@@ -1,0 +1,59 @@
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() — forces the full plan, no
+collect-to-driver cost in the timing) after a warm-up of the table reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from code_graph_backend_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+        except Exception as ex:  # a failed query is a 0-score, not a crash
+            print(f"bench: {name} failed: {ex}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        if dt == dt:
+            total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- brute_force_topk : exact cosine top-k — cross join + per-pair fold. The
+  dot product is a JVM-side `zip_with`/`aggregate` fold in double precision
+  (bit-reproducible; no Pandas round-trip needed at these dims).
+- lsh_topk         : random-hyperplane LSH — sign-bit sketch → candidates
+  share a bucket → exact re-rank within buckets. The scale path: the cross
+  join becomes an equi-join on bucket id.
+
+An IVF variant (k-means coarse quantizer → probe nearest centroids) is the
+next step up; the bucket-join skeleton here is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b) -> Column:
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: (qid, cid, sim), ties broken by cid.
+
+    The corpus side is the big one — Spark broadcasts `queries` (request-
+    sized) so the cross join is a broadcast nested loop over one corpus scan,
+    embarrassingly parallel across partitions.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    pairs = c.crossJoin(q).filter(F.col("qid") != F.col("cid"))
+    sims = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"))
+    )
+
+
+def hyperplane_sketch(vec_col="embedding", planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane sign sketch as an int bucket id.
+
+    'Random' planes are a deterministic xxhash64-seeded ±1 matrix so the
+    sketch is reproducible across runs/engines with no stored model."""
+    v = F.col(vec_col)
+    bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * F.when(F.pmod(F.xxhash64(i, F.lit(p)), 2) == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = same hyperplane bucket, then exact
+    cosine re-rank. Recall grows with fewer planes (bigger buckets) or with
+    multi-probe; at 100 TB the bucket equi-join replaces the cross join."""
+    sk = hyperplane_sketch(vec_col, planes, dim)
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), sk.alias("bucket"))
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), sk.alias("bucket"))
+    pairs = q.join(c, "bucket").filter(F.col("qid") != F.col("cid"))
+    sims = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"))
+    )

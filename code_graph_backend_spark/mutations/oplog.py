@@ -1,0 +1,133 @@
+"""Op-log: the state-transition redo log behind git time travel
+(SURVEY.md §1.5, M7).
+
+Reference design (api/graph.py:92-135, api/git_utils/git_graph.py:116-141,
+api/git_utils/git_utils.py:260-333): every mutating query whose result
+counters show a change is appended (query, params) to a backlog; backlog
+entries ride on PARENT/CHILD commit edges and are replayed verbatim to move
+the graph between commits, in either direction.
+
+Spark design: we log *logical ops* (op name + JSON params), not query text —
+rows `(commit_from, commit_to, seq, op, params_json)` in an append-only
+table. Replay dispatches each row to the mutation layer (M1-M6). Param
+payloads here are request-sized (per-commit file deltas); a bulk ingest
+would stage its batch as parquet and log the path instead — the dispatch
+indirection supports both.
+
+Determinism contract (FIXTURES.md §2): replaying HEAD→X→HEAD reproduces the
+exact file set of each commit, both directions, multi-hop.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.model import EDGES_SCHEMA, NODES_SCHEMA, PropertyGraph
+from .delete import cascade_delete
+from .merge import merge_edges, merge_nodes
+
+
+@dataclass
+class OpLogEntry:
+    commit_from: str
+    commit_to: str
+    seq: int
+    op: str
+    params_json: str
+
+
+@dataclass
+class OpLog:
+    """Append-only transition log + replay dispatcher."""
+
+    entries: list[OpLogEntry] = field(default_factory=list)
+
+    def record(self, commit_from: str, commit_to: str, op: str, params: dict) -> None:
+        seq = sum(
+            1 for e in self.entries if e.commit_from == commit_from and e.commit_to == commit_to
+        )
+        self.entries.append(
+            OpLogEntry(commit_from, commit_to, seq, op, json.dumps(params, sort_keys=True))
+        )
+
+    def transitions(self, commit_from: str, commit_to: str) -> list[OpLogEntry]:
+        sel = [
+            e for e in self.entries if e.commit_from == commit_from and e.commit_to == commit_to
+        ]
+        return sorted(sel, key=lambda e: e.seq)
+
+    # -- replay (M7, reference api/graph.py:540-545) -----------------------
+
+    def apply(self, graph: PropertyGraph, entry: OpLogEntry) -> PropertyGraph:
+        params = json.loads(entry.params_json)
+        spark = graph.spark
+        if entry.op == "merge_nodes":
+            batch = spark.createDataFrame(
+                [_node_row(r) for r in params["rows"]], NODES_SCHEMA
+            )
+            graph.nodes = merge_nodes(graph.nodes, batch)
+        elif entry.op == "merge_edges":
+            batch = spark.createDataFrame(
+                [(r["src"], r["dst"], r["type"], r.get("props")) for r in params["rows"]],
+                EDGES_SCHEMA,
+            )
+            graph.edges = merge_edges(graph.edges, batch)
+        elif entry.op == "delete_cascade":
+            graph.nodes, graph.edges = cascade_delete(
+                spark, graph.nodes, graph.edges, params["ids"], params.get("edge_type", "DEFINES")
+            )
+        elif entry.op == "delete_edges":
+            doomed = spark.createDataFrame(
+                [(r["src"], r["dst"], r["type"]) for r in params["rows"]],
+                "src long, dst long, type string",
+            )
+            graph.edges = graph.edges.join(doomed, ["src", "dst", "type"], "left_anti")
+        else:
+            raise ValueError(f"unknown op {entry.op!r}")
+        return graph
+
+    def replay_path(
+        self, graph: PropertyGraph, commit_path: list[str]
+    ) -> PropertyGraph:
+        """Walk commit hashes `[c0, c1, ..., cn]`, applying each hop's ops in
+        order — the Spark twin of switch_commit's PARENT*/CHILD* walk
+        (reference api/git_utils/git_utils.py:260-333)."""
+        for a, b in zip(commit_path, commit_path[1:]):
+            for entry in self.transitions(a, b):
+                graph = self.apply(graph, entry)
+            # cut lineage per hop: replay chains grow plans linearly otherwise
+            graph.nodes = graph.nodes.localCheckpoint(eager=True)
+            graph.edges = graph.edges.localCheckpoint(eager=True)
+        return graph
+
+    # -- persistence -------------------------------------------------------
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [(e.commit_from, e.commit_to, e.seq, e.op, e.params_json) for e in self.entries],
+            "commit_from string, commit_to string, seq int, op string, params_json string",
+        )
+
+    @classmethod
+    def from_df(cls, df: DataFrame) -> "OpLog":
+        rows = df.orderBy("commit_from", "commit_to", "seq").collect()
+        return cls([OpLogEntry(*r) for r in rows])
+
+
+def _node_row(r: dict) -> tuple:
+    return (
+        r["id"],
+        r["labels"],
+        r.get("name"),
+        r.get("path"),
+        r.get("ext"),
+        r.get("src_start"),
+        r.get("src_end"),
+        r.get("doc"),
+        r.get("props"),
+        r.get("coverage"),
+    )

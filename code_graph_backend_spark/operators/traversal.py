@@ -1,0 +1,143 @@
+"""Iterative variable-length traversal (SURVEY.md §2.3, J6-J8).
+
+Spark has no recursive CTE, so unbounded `-[:T*]->` patterns become a driver
+loop of DataFrame self-joins — each iteration one Spark job over the (cached)
+edges table. This is the standard BFS-on-DataFrames design (GraphFrames'
+motif/shortest-path kernels work the same way):
+
+- the frontier is a DataFrame of partial paths `(head, visited array<long>)`;
+- one hop = frontier ⋈ edges on head==src, cycle-pruned with
+  `~array_contains(visited, dst)` (the reference's `*` is simple-path
+  semantics — Cypher forbids repeated relationships; we forbid repeated
+  nodes, which coincides on these graphs and terminates always);
+- paths reaching `dst` are collected per depth and unioned;
+- `localCheckpoint` every few iterations cuts the lineage chain that would
+  otherwise grow linearly with depth (classic iterative-Spark pitfall).
+
+At 100 TB scale the frontier join is a shuffle on `head`; edges cached and
+pre-partitioned by `src` lets AQE pick a co-partitioned join. Depth is capped
+(default 12) — the reference is unbounded (api/graph.py:547-591) which on a
+dense call graph explodes combinatorially; this divergence is deliberate and
+documented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def find_paths(
+    spark: SparkSession,
+    edges: DataFrame,
+    src_id: int,
+    dst_id: int,
+    edge_type: str | None = "CALLS",
+    max_depth: int = 12,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """J6: all simple paths src -[:type*]-> dst
+    (reference api/graph.py:547-591, `find_paths`).
+
+    Returns one row per path: (path array<long> of node ids, depth int),
+    ordered by (depth, path) for determinism.
+    """
+    e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
+    e = e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")).cache()
+
+    frontier = spark.createDataFrame(
+        [(int(src_id), [int(src_id)])], "head long, path array<long>"
+    )
+    hits: DataFrame | None = None
+
+    for depth in range(1, max_depth + 1):
+        stepped = (
+            frontier.join(e, F.col("head") == F.col("_s"))
+            .filter(~F.array_contains(F.col("path"), F.col("_d")))
+            .select(
+                F.col("_d").alias("head"),
+                F.concat(F.col("path"), F.array(F.col("_d"))).alias("path"),
+            )
+        )
+        if checkpoint_every and depth % checkpoint_every == 0:
+            stepped = stepped.localCheckpoint(eager=True)
+        arrived = stepped.filter(F.col("head") == dst_id).select(
+            "path", F.lit(depth).alias("depth")
+        )
+        hits = arrived if hits is None else hits.unionByName(arrived)
+        frontier = stepped.filter(F.col("head") != dst_id)
+        if frontier.isEmpty():
+            break
+
+    assert hits is not None
+    return hits.orderBy("depth", "path")
+
+
+def reachable(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed_ids: list[int],
+    edge_type: str | None = "DEFINES",
+    max_depth: int = 64,
+) -> DataFrame:
+    """J7's closure: all nodes reachable from `seed_ids` over `edge_type`
+    (the read half of cascade delete, reference api/graph.py:408-426).
+
+    Returns DataFrame(id long) including the seeds. BFS with a visited set;
+    each round joins only the *new* frontier against edges, so work is
+    proportional to the closure, not depth × graph.
+    """
+    e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
+    e = e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")).cache()
+
+    visited = spark.createDataFrame([(int(i),) for i in seed_ids], "id long").cache()
+    frontier = visited
+
+    for depth in range(max_depth):
+        nxt = (
+            frontier.join(e, F.col("id") == F.col("_s"))
+            .select(F.col("_d").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def chain_payloads(
+    spark: SparkSession,
+    edges: DataFrame,
+    src_id: int,
+    dst_id: int,
+    edge_type: str,
+    payload_cols: list[str],
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """J8: walk a *linear* chain (commit PARENT/CHILD lists,
+    reference api/git_utils/git_graph.py:144-177) collecting edge payloads
+    in path order.
+
+    A linked list needs no set-based BFS: out-degree ≤1 per edge type, so we
+    iterate single-row hops but batch them — here implemented via find_paths
+    (the chain is the only simple path) then re-joining edges per hop to
+    recover payload order.
+
+    Returns (hop int, src long, dst long, *payload_cols) ordered by hop.
+    """
+    paths = find_paths(spark, edges, src_id, dst_id, edge_type, max_depth=max_depth)
+    one = paths.orderBy("depth").limit(1)  # LIMIT 1 as the reference does
+    hops = one.select(
+        F.posexplode(F.expr("transform(sequence(0, size(path)-2), i -> struct(path[i] as s, path[i+1] as d))"))
+    ).select(
+        F.col("pos").alias("hop"), F.col("col.s").alias("src"), F.col("col.d").alias("dst")
+    )
+    e = edges.filter(F.col("type") == edge_type)
+    return (
+        hops.join(e, ["src", "dst"])
+        .select("hop", "src", "dst", *payload_cols)
+        .orderBy("hop")
+    )

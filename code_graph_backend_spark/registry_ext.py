@@ -1,0 +1,242 @@
+"""Extension queries: LLM-training-data pipeline operators over the
+`documents` / `embeddings` / `events` tables, oracle-paired where SQL can
+express the semantics (everything except the approximate/LSH family, which
+the driver checks rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import dedup, similarity, text
+from .registry import register
+from .session import read_table
+from .streaming import windows
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j, c / (na.n_sh + nb.n_sh - c) AS jac
+    FROM common
+    JOIN sizes na ON na.doc_id = i
+    JOIN sizes nb ON nb.doc_id = j
+    WHERE c / (na.n_sh + nb.n_sh - c) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+# Approximate families — no SQL oracle (driver records rows-only): the
+# pytest suite instead asserts recall against the exact jaccard pairs.
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs)
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+    p AS (
+        SELECT qid, cid,
+               list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) AS dot,
+               list_sum(list_transform(qv, x -> x * x)) AS nq,
+               list_sum(list_transform(cv, x -> x * x)) AS nc
+        FROM q, c WHERE qid <> cid
+    ),
+    s AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS sim_raw FROM p)
+    SELECT qid, cid, ROUND(sim_raw, 6) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn FROM s)
+    WHERE rn <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    # 4 planes = 16 buckets: right selectivity for the sf0.01/0.1 corpus
+    # sizes; more planes (finer buckets) as the corpus grows.
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           len(list_filter(toks, x -> x IN ('a', 'the'))) / len(toks) AS stop_ratio
+    FROM t
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count().alias("n_tokens"),
+        text.distinct_token_count().alias("n_distinct"),
+        text.stopword_ratio().alias("stop_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           0.4 * (len(list_distinct(toks)) / len(toks))
+         + 0.3 * LEAST(1.0, len(toks) / 100.0)
+         + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('a', 'the'))) / len(toks))
+           AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score().alias("quality"))
+
+
+@register(
+    "text_lang_pred",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN list_contains(toks, 'spark') OR list_contains(toks, 'query')
+                     OR list_contains(toks, 'vector') THEN 'tech'
+                WHEN len(list_filter(toks, x -> x IN ('a', 'the'))) / len(toks) > 0.10
+                     THEN 'stop-heavy'
+                ELSE 'plain' END AS lang_pred
+    FROM t
+    """,
+)
+def text_lang_pred(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_pred().alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint().alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Windowed analytics over events
+# ---------------------------------------------------------------------------
+
+@register(
+    "w_tumbling_1h",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w_tumbling_1h(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    return windows.tumbling(events, "1 hour")
+
+
+@register(
+    "w_sliding_1h_30m",
+    """
+    WITH g AS (
+        SELECT make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000) AS s1,
+               event_type, value FROM events
+    ),
+    fan AS (
+        SELECT s1 AS ws, event_type, value FROM g
+        UNION ALL
+        SELECT s1 - INTERVAL 30 MINUTE, event_type, value FROM g
+    )
+    SELECT ws AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+    FROM fan GROUP BY 1, 2
+    """,
+)
+def w_sliding_1h_30m(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    return windows.sliding(events, "1 hour", "30 minutes")
+
+
+@register(
+    "w_session_30m",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w_session_30m(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    return windows.session(events, "30 minutes")

@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The session is tuned for correctness-reproducibility (UTC timestamps, ANSI
+off to match DuckDB's permissive casts) and for scale (AQE on, skew-join
+handling, broadcast threshold). On a real cluster the same config applies;
+only master/shuffle-partitions change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "code-graph-backend-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    Defaults: ``local[$SPARK_GRAFT_CPUS or *]``; shuffle partitions sized to
+    the core count locally (on a 1000-executor cluster you would set this to
+    2-3x total cores, or simply let AQE coalesce from a high initial value —
+    we enable AQE for exactly that reason).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Determinism / oracle comparability
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+        # splitting, and broadcast demotion — the main lever for 100 TB plans.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for the few Pandas-UDF paths (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast joins for small dims (nation/region/id-lists).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep parquet scans prunable.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events table stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert in read_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-provided parquet table (TESTDATA.md).
+
+    `events.ts` is TIMESTAMP(NANOS) in the files; with nanosAsLong it
+    arrives as long — normalize to a microsecond timestamp (floor), which
+    is what DuckDB's TIMESTAMP cast yields too.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,75 @@
+"""Windowed analytics over the `events` table (SURVEY.md §2.10 extensions).
+
+The reference has no streaming operators; these are the driver-mandated
+beyond-parity surface. Each aggregation is written once and runs in BOTH
+modes: batch (DataFrame in, DataFrame out — what the oracle checks) and
+Structured Streaming (readStream + watermark; see `streamify`), because
+`window()`/`session_window()` are mode-agnostic expressions.
+
+Float sums use exact decimal accumulation (order-independent — in streaming
+this also makes state-merge associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import dec_sum
+
+
+def tumbling(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling windows per event_type: count + exact value sum."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", 2).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding windows (width/slide) per event_type. Each event lands in
+    width/slide windows — Spark's window() does the fan-out internally."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", 2).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+    )
+
+
+def session(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after `gap` of silence.
+    (Streaming mode: identical expression + watermark; state is merged by
+    Spark's session-window state store.)"""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", 2).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def streamify(spark, parquet_path: str, agg, watermark: str = "2 hours"):
+    """Run one of the window aggs as a genuine Structured Streaming query
+    over a file source; returns the DataStreamWriter (caller starts it).
+
+    Used by tests to prove mode parity: `agg(stream_df)` with a watermark
+    produces, after the stream drains, the same rows as `agg(batch_df)`.
+    """
+    schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_path)
+        .withWatermark("ts", watermark)
+    )
+    return agg(stream).writeStream.outputMode("append")
