@@ -36,9 +36,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
         except Exception as ex:  # a failed query is a 0-score, not a crash
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
-            dt = float("nan")
-        timings[name] = round(dt, 3)
-        if dt == dt:
+            dt = None
+        # None (JSON null) for failures — NaN is not valid JSON
+        timings[name] = round(dt, 3) if dt is not None else None
+        if dt is not None:
             total += dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

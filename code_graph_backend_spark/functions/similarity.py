@@ -66,11 +66,12 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sketch(vec_col="embedding", planes: int = 16, dim: int = 64) -> Column:
+def hyperplane_sketch(vec_col="embedding", planes: int = 16, dim: int = 64, table: int = 0) -> Column:
     """Random-hyperplane sign sketch as an int bucket id.
 
     'Random' planes are a deterministic xxhash64-seeded ±1 matrix so the
-    sketch is reproducible across runs/engines with no stored model."""
+    sketch is reproducible across runs/engines with no stored model; `table`
+    salts the seed so multiple independent tables can be derived."""
     v = F.col(vec_col)
     bits = []
     for p in range(planes):
@@ -79,7 +80,9 @@ def hyperplane_sketch(vec_col="embedding", planes: int = 16, dim: int = 64) -> C
                 v,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda x, i: x.cast("double")
-                * F.when(F.pmod(F.xxhash64(i, F.lit(p)), 2) == 0, 1.0).otherwise(-1.0),
+                * F.when(
+                    F.pmod(F.xxhash64(i, F.lit(p), F.lit(table)), 2) == 0, 1.0
+                ).otherwise(-1.0),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -97,17 +100,46 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    planes: int = 12,
+    planes: int = 4,
+    tables: int = 16,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same hyperplane bucket, then exact
-    cosine re-rank. Recall grows with fewer planes (bigger buckets) or with
-    multi-probe; at 100 TB the bucket equi-join replaces the cross join."""
-    sk = hyperplane_sketch(vec_col, planes, dim)
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), sk.alias("bucket"))
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), sk.alias("bucket"))
-    pairs = q.join(c, "bucket").filter(F.col("qid") != F.col("cid"))
-    sims = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    """Approximate top-k: multi-table hyperplane LSH.
+
+    AND-amplification within a table (`planes` sign bits must all agree) ×
+    OR-amplification across `tables` independent tables — the standard
+    recall/cost dial. For NN at angle θ, candidate recall is
+    1-(1-(1-θ/π)^planes)^tables; defaults target ≳0.9 even for the weak
+    (θ≈70°) neighbors of a random corpus.
+
+    Plan shape: each side computes `tables` sketches in one narrow pass,
+    explodes to (table, bucket) rows, and the candidate join is a plain
+    equi-join on (table, bucket) — shuffle-friendly, no cross join. The
+    exact cosine re-rank runs only on deduped candidates.
+    """
+    def banded(df, idc, vecc, out_id, out_vec):
+        sketches = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_sketch(vecc, planes, dim, table=t).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vecc).alias(out_vec), F.explode(sketches).alias("e")
+        ).select(out_id, out_vec, "e.tbl", "e.bucket")
+
+    q = banded(queries, id_col, vec_col, "qid", "qv")
+    c = banded(corpus, id_col, vec_col, "cid", "cv")
+    cand = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qv", "cid", "cv")
+        .dropDuplicates(["qid", "cid"])
+    )
+    sims = cand.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
         sims.withColumn("rn", F.row_number().over(w))

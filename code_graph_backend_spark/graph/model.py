@@ -138,7 +138,9 @@ class PropertyGraph:
     def load(cls, spark: SparkSession, root: str, name: str) -> "PropertyGraph":
         d = os.path.join(root, name)
         nodes = spark.read.schema(NODES_SCHEMA).parquet(os.path.join(d, "nodes"))
-        edges = spark.read.parquet(os.path.join(d, "edges")).select(
+        # explicit schema: an empty edges table writes no part files, and
+        # the partition column `type` must still be present
+        edges = spark.read.schema(EDGES_SCHEMA).parquet(os.path.join(d, "edges")).select(
             "src", "dst", "type", "props"
         )
         return cls(spark, name, nodes, edges, root=root)

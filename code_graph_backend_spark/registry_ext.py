@@ -100,9 +100,7 @@ def ann_cosine_topk(spark, sf_dir):
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
-    # 4 planes = 16 buckets: right selectivity for the sf0.01/0.1 corpus
-    # sizes; more planes (finer buckets) as the corpus grows.
-    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, planes=4)
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
 # ---------------------------------------------------------------------------

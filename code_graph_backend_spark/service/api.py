@@ -1,0 +1,196 @@
+"""Service surface: the reference's 11 HTTP endpoints as typed methods
+(SURVEY.md §3). Flask/HTTP is a thin shell the reference keeps outside its
+query layer too — what matters for parity is request → operator → JSON-able
+result, which these methods reproduce 1:1.
+
+Result encoding mirrors api/entities/entity_encoder.py:3-24: nodes/edges as
+dicts, `Searchable` stripped from labels.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.model import PropertyGraph
+from ..operators import lookups, neighbors, search, traversal
+from ..operators.aggregates import counts
+from ..sources.git_ingest import commits_df
+
+
+def _encode_node(row: Row) -> dict:
+    d = row.asDict(recursive=True)
+    labels = [l for l in (d.get("labels") or []) if l != "Searchable"]
+    return {"id": d.get("id"), "labels": labels,
+            **{k: v for k, v in d.items() if k not in ("id", "labels") and v is not None}}
+
+
+class CodeGraphService:
+    """One instance per storage root; graphs addressed by repo name
+    (reference keeps one FalkorDB graph per repo, api/graph.py:35-45)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._info: dict[str, dict] = {}  # {repo: {commit, repo_url}} side-store
+
+    # -- read endpoints ---------------------------------------------------
+
+    def list_repos(self) -> list[str]:
+        """GET /list_repos (reference api/index.py:184-203, S13)."""
+        return PropertyGraph.list_graphs(self.root)
+
+    def repo_info(self, repo: str) -> dict:
+        """POST /repo_info (reference api/index.py:205-248, A1+A2+side-store)."""
+        g = PropertyGraph.load(self.spark, self.root, repo)
+        row = counts(g.nodes, g.edges).collect()[0]
+        info = self._info.get(repo, {})
+        return {
+            "repo": repo,
+            "node_count": row["node_count"],
+            "edge_count": row["edge_count"],
+            **info,
+        }
+
+    def graph_entities(self, repo: str, limit: int = 500) -> dict:
+        """POST /graph_entities (reference api/index.py:53-94, J4+O3)."""
+        g = PropertyGraph.load(self.spark, self.root, repo)
+        rows = neighbors.sub_graph(g.nodes, g.edges, limit).collect()
+        nodes, edges = {}, []
+        for r in rows:
+            nodes[r["src_id"]] = {"id": r["src_id"], "name": r["src_name"]}
+            if r["edge_type"] is not None:
+                nodes[r["dst_id"]] = {"id": r["dst_id"], "name": r["dst_name"]}
+                edges.append({"src": r["src_id"], "dst": r["dst_id"], "type": r["edge_type"]})
+        return {"nodes": list(nodes.values()), "edges": edges}
+
+    def get_neighbors(self, repo: str, node_ids: list[int],
+                      edge_type: str | None = None, label: str | None = None) -> list[dict]:
+        """POST /get_neighbors (reference api/index.py:97-144, J1)."""
+        g = PropertyGraph.load(self.spark, self.root, repo)
+        rows = neighbors.out_neighbors(
+            self.spark, g.nodes, g.edges, node_ids, edge_type, label
+        ).collect()
+        return [_encode_node(r) for r in rows]
+
+    def auto_complete(self, repo: str, prefix: str) -> list[dict]:
+        """POST /auto_complete (reference api/index.py:146-182, X3)."""
+        g = PropertyGraph.load(self.spark, self.root, repo)
+        return [_encode_node(r) for r in search.auto_complete(g.nodes, prefix).collect()]
+
+    def find_paths(self, repo: str, src: int, dest: int, max_depth: int = 12) -> list[list]:
+        """POST /find_paths (reference api/index.py:250-303, J6).
+
+        Returns interleaved [node, edge, node, ...] dicts per path
+        (reference api/graph.py:577-591); invariant: odd length, endpoints
+        match src/dest (tests/endpoints/test_find_paths.py:76-80).
+        """
+        g = PropertyGraph.load(self.spark, self.root, repo)
+        paths = traversal.find_paths(
+            self.spark, g.edges, src, dest, edge_type="CALLS", max_depth=max_depth
+        ).collect()
+        node_rows = {r["id"]: _encode_node(r) for r in g.nodes.collect()}
+        out = []
+        for p in paths:
+            ids = p["path"]
+            seq: list = []
+            for i, nid in enumerate(ids):
+                seq.append(node_rows.get(nid, {"id": nid}))
+                if i < len(ids) - 1:
+                    seq.append({"src": nid, "dst": ids[i + 1], "type": "CALLS"})
+            out.append(seq)
+        return out
+
+    def list_commits(self, repo: str) -> list[dict]:
+        """POST /list_commits (reference api/index.py:453-489, O1)."""
+        g = PropertyGraph.load(self.spark, self.root, f"{repo}_git")
+        rows = (
+            g.nodes.filter(F.array_contains("labels", "Commit"))
+            .orderBy(F.col("props").getItem("date").cast("long"))
+            .collect()
+        )
+        return [_encode_node(r) for r in rows]
+
+    def chat(self, repo: str, question: str) -> dict:
+        """POST /chat (reference api/index.py:305-328): text → query.
+
+        The reference ships the ontology to an LLM that emits Cypher
+        (api/llm.py:237-267). Our deterministic stand-in compiles a small
+        set of question templates onto the same public operators — the
+        execution path (what this engine owns) is identical; swapping the
+        template matcher for an LLM is a driver-side concern.
+        """
+        q = question.lower()
+        if "how many" in q and "function" in q:
+            g = PropertyGraph.load(self.spark, self.root, repo)
+            n = lookups.by_label(g.nodes, "Function").count()
+            return {"answer": n, "query": "count(label=Function)"}
+        if "unreachable" in q or "never called" in q:
+            g = PropertyGraph.load(self.spark, self.root, repo)
+            rows = neighbors.unreachable(g.nodes, g.edges, edge_type="CALLS").collect()
+            return {"answer": [_encode_node(r) for r in rows], "query": "unreachable(CALLS)"}
+        return {"answer": None, "query": None, "error": "unsupported question template"}
+
+    # -- ingest endpoints ---------------------------------------------------
+
+    def analyze_folder(self, path: str, name: str | None = None) -> dict:
+        """POST /analyze_folder (reference api/index.py:330-381, §3.1 pass 1-2)."""
+        from ..sources.python_analyzer import analyze_python_files
+        from ..sources.source_scan import scan_source_tree
+
+        name = name or path.rstrip("/").rsplit("/", 1)[-1]
+        files = scan_source_tree(self.spark, path, exts=(".py",))
+        nodes, edges = analyze_python_files(self.spark, files)
+        g = PropertyGraph(self.spark, name, nodes, edges, root=self.root)
+        g.save()
+        n, e = g.counts()
+        return {"repo": name, "nodes": n, "edges": e}
+
+    def analyze_repo(self, repo_path: str, name: str | None = None) -> dict:
+        """POST /analyze_repo (reference api/index.py:383-417): sources +
+        git commit graph + side-store HEAD."""
+        name = name or repo_path.rstrip("/").rsplit("/", 1)[-1]
+        result = self.analyze_folder(repo_path, name)
+        cdf = commits_df(self.spark, repo_path)
+        commit_nodes = cdf.select(
+            F.xxhash64("hash").alias("id"),
+            F.array(F.lit("Commit")).alias("labels"),
+            F.col("hash").alias("name"),
+            F.lit("").alias("path"),
+            F.lit(None).cast("string").alias("ext"),
+            F.lit(None).cast("int").alias("src_start"),
+            F.lit(None).cast("int").alias("src_end"),
+            F.col("message").alias("doc"),
+            F.map_from_arrays(
+                F.array(F.lit("author"), F.lit("date")),
+                F.array(F.col("author"), F.col("date").cast("string")),
+            ).alias("props"),
+            F.lit(None).cast("double").alias("coverage"),
+        )
+        gg = PropertyGraph(self.spark, f"{name}_git", commit_nodes, None, root=self.root)
+        gg.save()
+        head = cdf.orderBy(F.desc("date")).limit(1).collect()[0]["hash"]
+        self._info[name] = {"commit": head, "repo_url": repo_path, "analyzed_at": int(time.time())}
+        return {**result, "head": head}
+
+    def switch_commit(self, repo: str, target_commit: str, oplog, commit_path: list[str]) -> dict:
+        """POST /switch_commit (reference api/index.py:419-451, M7 replay)."""
+        g = PropertyGraph.load(self.spark, self.root, repo)
+        g = oplog.replay_path(g, commit_path)
+        g.save()
+        self._info.setdefault(repo, {})["commit"] = target_commit
+        n, e = g.counts()
+        return {"repo": repo, "commit": target_commit, "nodes": n, "edges": e}
+
+    def delete_repo(self, repo: str) -> dict:
+        g = PropertyGraph.load(self.spark, self.root, repo)
+        g.drop()
+        self._info.pop(repo, None)
+        return {"deleted": repo}
+
+
+def to_json(obj) -> str:
+    return json.dumps(obj, default=str)

@@ -1,0 +1,325 @@
+"""S2/J13: Python source → property-graph rows, as a distributed parse UDF.
+
+Reference pipeline (api/analyzers/python/analyzer.py + source_analyzer.py):
+tree-sitter parses each file; a DFS turns class/function defs into entities
+with DEFINES edges (first pass); an LSP resolves call/annotation symbols to
+def-sites, emitting CALLS/EXTENDS/RETURNS/PARAMETERS edges (second pass).
+
+Spark design:
+- first pass  = `mapInPandas` over the binaryFile scan: Python's own `ast`
+  module (stdlib, per-executor, no service) parses and emits FLAT rows —
+  entities and symbol references share one discriminated schema so one
+  parse produces everything.
+- second pass = name-resolution JOIN (J13): references ⋈ definitions on
+  name. The reference's LSP is def-site-precise; a name join is the
+  scalable batch equivalent (divergence documented in SURVEY §3.1).
+  Unresolved names (builtins like `print`) become external nodes, matching
+  the reference's behavior of creating callable nodes for builtins
+  (tests/test_py_analyzer.py:55-59).
+
+Line numbers are 0-based like tree-sitter rows (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import ast
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..graph.model import node_id_expr
+
+PARSE_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),  # entity|call|extends|returns|params
+        StructField("label", StringType(), True),  # entity: Class|Function
+        StructField("name", StringType(), True),
+        StructField("path", StringType(), False),
+        StructField("src_start", IntegerType(), True),
+        StructField("src_end", IntegerType(), True),
+        StructField("doc", StringType(), True),
+        StructField("parent_name", StringType(), True),
+        StructField("parent_start", IntegerType(), True),
+        StructField("target", StringType(), True),  # call/extends/returns/params
+        StructField("line", IntegerType(), True),  # call site row
+        StructField("text", StringType(), True),  # call source text
+    ]
+)
+
+
+def _annotation_name(node) -> str | None:
+    if node is None:
+        return None
+    if isinstance(node, ast.Name):
+        return node.id
+    if isinstance(node, ast.Constant):  # `-> None`
+        return str(node.value)
+    if isinstance(node, ast.Attribute):
+        return node.attr
+    if isinstance(node, ast.Subscript):
+        return _annotation_name(node.value)
+    return None
+
+
+def _call_name(node: ast.Call) -> str | None:
+    f = node.func
+    if isinstance(f, ast.Name):
+        return f.id
+    if isinstance(f, ast.Attribute):
+        return f.attr
+    return None
+
+
+def parse_python_source(path: str, source: str) -> list[tuple]:
+    """Pure-python kernel: one file → flat rows (shared by the Spark UDF and
+    the unit tests)."""
+    rows: list[tuple] = []
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return rows
+    src_lines = source.splitlines()
+
+    def visit(node, parent_name: str | None, parent_start: int | None):
+        for child in ast.iter_child_nodes(node):
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                label = "Class" if isinstance(child, ast.ClassDef) else "Function"
+                start, end = child.lineno - 1, (child.end_lineno or child.lineno) - 1
+                doc = ast.get_docstring(child)
+                rows.append(
+                    ("entity", label, child.name, path, start, end, doc,
+                     parent_name, parent_start, None, None, None)
+                )
+                if isinstance(child, ast.ClassDef):
+                    for base in child.bases:
+                        t = _annotation_name(base)
+                        if t:
+                            rows.append(
+                                ("extends", None, child.name, path, start, end, None,
+                                 None, None, t, None, None)
+                            )
+                else:
+                    for arg in child.args.args + child.args.kwonlyargs:
+                        t = _annotation_name(arg.annotation)
+                        if t:
+                            rows.append(
+                                ("params", None, child.name, path, start, end, None,
+                                 None, None, t, None, None)
+                            )
+                    t = _annotation_name(child.returns)
+                    if t:
+                        rows.append(
+                            ("returns", None, child.name, path, start, end, None,
+                             None, None, t, None, None)
+                        )
+                    # calls within this function body (not nested defs)
+                    for sub in ast.walk(child):
+                        if isinstance(sub, ast.Call):
+                            callee = _call_name(sub)
+                            if callee:
+                                line = sub.lineno - 1
+                                text = (
+                                    src_lines[line].strip()
+                                    if 0 <= line < len(src_lines)
+                                    else None
+                                )
+                                rows.append(
+                                    ("call", None, child.name, path, start, end, None,
+                                     None, None, callee, line, text)
+                                )
+                visit(child, child.name, start)
+            else:
+                visit(child, parent_name, parent_start)
+
+    visit(tree, None, None)
+    return rows
+
+
+def parse_files(files: DataFrame) -> DataFrame:
+    """files(path, content[, ...]) → PARSE_SCHEMA rows, distributed."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PARSE_SCHEMA.fields]
+        for pdf in batches:
+            out: list[tuple] = []
+            for _, r in pdf.iterrows():
+                content = r["content"]
+                source = content.decode("utf-8", errors="replace") if isinstance(
+                    content, (bytes, bytearray)
+                ) else str(content)
+                out.extend(parse_python_source(r["path"], source))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(kernel, PARSE_SCHEMA)
+
+
+def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Second pass: rows → (nodes, edges), resolution by name join."""
+    parsed = parsed.cache()
+    ent = parsed.filter(F.col("kind") == "entity")
+
+    # entity nodes (labels + Searchable, reference api/graph.py:250,400)
+    ent_nodes = ent.select(
+        F.array(F.col("label"), F.lit("Searchable")).alias("labels"),
+        "name", "path",
+        F.lit(None).cast("string").alias("ext"),
+        "src_start", "src_end", "doc",
+    )
+    # file nodes (reference api/graph.py:392-406)
+    file_nodes = (
+        parsed.select("path").distinct()
+        .select(
+            F.array(F.lit("File"), F.lit("Searchable")).alias("labels"),
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            F.col("path"),
+            F.concat(F.lit("."), F.element_at(F.split("path", "\\."), -1)).alias("ext"),
+            F.lit(None).cast("int").alias("src_start"),
+            F.lit(None).cast("int").alias("src_end"),
+            F.lit(None).cast("string").alias("doc"),
+        )
+    )
+
+    # unresolved targets → external nodes (builtins: print, str, None, ...)
+    defs = ent.select("name").distinct()
+    ext_nodes = (
+        parsed.filter(F.col("kind").isin("call", "extends", "returns", "params"))
+        .select(F.col("target").alias("name")).distinct()
+        .join(defs, "name", "left_anti")
+        .select(
+            F.array(F.lit("Function"), F.lit("Searchable")).alias("labels"),
+            "name",
+            F.lit("").alias("path"),
+            F.lit(None).cast("string").alias("ext"),
+            F.lit(None).cast("int").alias("src_start"),
+            F.lit(None).cast("int").alias("src_end"),
+            F.lit(None).cast("string").alias("doc"),
+        )
+    )
+
+    all_nodes = ent_nodes.unionByName(file_nodes).unionByName(ext_nodes)
+    nodes = all_nodes.select(
+        node_id_expr().alias("id"),
+        "labels", "name", "path", "ext", "src_start", "src_end", "doc",
+        F.lit(None).cast("map<string,string>").alias("props"),
+        F.lit(None).cast("double").alias("coverage"),
+    )
+
+    # id lookup views ----------------------------------------------------
+    ids = nodes.select("id", F.element_at("labels", 1).alias("label"),
+                       "name", "path", "src_start")
+
+    # DEFINES: parent entity (or file) → child entity
+    child_ids = ent.alias("c").join(
+        ids.alias("ci"),
+        (F.col("c.name") == F.col("ci.name"))
+        & (F.col("c.path") == F.col("ci.path"))
+        & (F.col("c.src_start").eqNullSafe(F.col("ci.src_start")))
+        & (F.col("ci.label") == F.col("c.label")),
+    ).select(
+        F.col("ci.id").alias("child_id"),
+        F.col("c.path").alias("path"),
+        F.col("c.parent_name").alias("parent_name"),
+        F.col("c.parent_start").alias("parent_start"),
+    )
+    # parent = entity with matching (name, path, start) else the File node
+    parent_ent = ids.filter(F.col("label") != "File").select(
+        F.col("id").alias("parent_id"), F.col("name").alias("pname"),
+        F.col("path").alias("ppath"), F.col("src_start").alias("pstart"),
+    )
+    file_ids = ids.filter(F.col("label") == "File").select(
+        F.col("id").alias("file_id"), F.col("path").alias("fpath")
+    )
+    defines = (
+        child_ids.join(
+            parent_ent,
+            (F.col("parent_name") == F.col("pname"))
+            & (F.col("path") == F.col("ppath"))
+            & (F.col("parent_start").eqNullSafe(F.col("pstart"))),
+            "left_outer",
+        )
+        .join(file_ids, F.col("path") == F.col("fpath"))
+        .select(
+            F.coalesce("parent_id", "file_id").alias("src"),
+            F.col("child_id").alias("dst"),
+            F.lit("DEFINES").alias("type"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+    )
+
+    # symbol edges: resolve target by name — entity definition wins, else
+    # the external node created above (J13 name-resolution join).
+    entity_targets = (
+        ids.filter(F.col("label") != "File")
+        .filter(F.col("path") != "")
+        .groupBy("name")
+        .agg(F.min("id").alias("target_id"))
+    )
+    external_targets = (
+        ids.filter((F.col("label") != "File") & (F.col("path") == ""))
+        .join(entity_targets, "name", "left_anti")
+        .select("name", F.col("id").alias("target_id"))
+    )
+    target_lookup = entity_targets.unionByName(external_targets).withColumnRenamed(
+        "name", "tname"
+    )
+
+    refs = parsed.filter(F.col("kind").isin("call", "extends", "returns", "params"))
+    src_resolved = refs.alias("r").join(
+        ids.alias("si"),
+        (F.col("r.name") == F.col("si.name"))
+        & (F.col("r.path") == F.col("si.path"))
+        & (F.col("r.src_start").eqNullSafe(F.col("si.src_start")))
+        & (F.col("si.label") != "File"),
+    ).select(
+        F.col("si.id").alias("src"),
+        F.col("r.kind").alias("kind"),
+        F.col("r.target").alias("target"),
+        F.col("r.line").alias("line"),
+        F.col("r.text").alias("text"),
+    )
+    sym_edges = (
+        src_resolved.join(target_lookup, F.col("target") == F.col("tname"))
+        .select(
+            "src",
+            F.col("target_id").alias("dst"),
+            F.when(F.col("kind") == "call", "CALLS")
+            .when(F.col("kind") == "extends", "EXTENDS")
+            .when(F.col("kind") == "returns", "RETURNS")
+            .otherwise("PARAMETERS")
+            .alias("type"),
+            "line",
+            "text",
+        )
+        .distinct()  # before the map build: set ops reject MAP columns
+        .select(
+            "src",
+            "dst",
+            "type",
+            F.when(
+                F.col("type") == "CALLS",
+                F.map_filter(
+                    F.create_map(
+                        F.lit("line"), F.col("line").cast("string"),
+                        F.lit("text"), F.col("text"),
+                    ),
+                    lambda _, v: v.isNotNull(),
+                ),
+            ).alias("props"),
+        )
+    )
+
+    edges = defines.unionByName(sym_edges)
+    return nodes, edges
+
+
+def analyze_python_files(spark: SparkSession, files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """End-to-end: binaryFile rows → (nodes, edges)."""
+    return graph_from_parsed(spark, parse_files(files))

@@ -1,0 +1,147 @@
+"""MERGE semantics, cascade delete, op-log time travel (SURVEY §2.9, §1.5).
+
+The op-log test reproduces the reference's 4-commit fixture contract
+(FIXTURES.md §2): replaying HEAD→X→HEAD yields the exact file set of each
+commit, both directions, multi-hop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_graph_backend_spark.graph.model import NODES_SCHEMA, PropertyGraph
+from code_graph_backend_spark.mutations import OpLog, cascade_delete, merge_nodes
+from code_graph_backend_spark.mutations.merge import set_props_by_id
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, ["File", "Searchable"], n, p, None, None, None, None, pr, None)
+            for (i, n, p, pr) in rows
+        ],
+        NODES_SCHEMA,
+    )
+
+
+def test_merge_update_insert_and_metrics(spark):
+    existing = _nodes(spark, [(1, "a.py", "/r", {"k": "1"}), (2, "b.py", "/r", None)])
+    batch = _nodes(spark, [(2, "b2.py", "/r", {"x": "9"}), (3, "c.py", "/r", None)])
+    merged, m = merge_nodes(existing, batch, key=("id",), with_metrics=True)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["name"] == "b2.py" and rows[2]["props"] == {"x": "9"}
+    assert rows[1]["props"] == {"k": "1"}
+    assert (m.rows_matched, m.rows_inserted) == (1, 1)
+
+
+def test_merge_props_map_merge(spark):
+    existing = _nodes(spark, [(1, "a.py", "/r", {"k": "1", "keep": "y"})])
+    batch = _nodes(spark, [(1, "a.py", "/r", {"k": "2", "new": "n"})])
+    merged = merge_nodes(existing, batch, key=("id",))
+    props = merged.collect()[0]["props"]
+    assert props == {"k": "2", "keep": "y", "new": "n"}  # += semantics
+
+
+def test_set_props_by_id(spark):
+    nodes = _nodes(spark, [(1, "a.py", "/r", {"k": "1"}), (2, "b.py", "/r", None)])
+    updates = spark.createDataFrame(
+        [(1, {"cov": "0.5"})], "id long, props map<string,string>"
+    )
+    out = {r["id"]: r["props"] for r in set_props_by_id(nodes, updates).collect()}
+    assert out[1] == {"k": "1", "cov": "0.5"}
+    assert out[2] is None
+
+
+def test_cascade_delete(spark):
+    nodes = _nodes(
+        spark,
+        [(i, f"n{i}", "/r", None) for i in range(1, 7)],
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, "DEFINES", None), (2, 3, "DEFINES", None), (4, 5, "DEFINES", None),
+         (6, 2, "CALLS", None)],
+        "src long, dst long, type string, props map<string,string>",
+    )
+    nodes2, edges2 = cascade_delete(spark, nodes, edges, [1], edge_type="DEFINES")
+    assert {r["id"] for r in nodes2.collect()} == {4, 5, 6}
+    # edges touching deleted nodes are gone, incl. the incoming CALLS
+    assert {(r["src"], r["dst"]) for r in edges2.collect()} == {(4, 5)}
+
+
+# ---------------------------------------------------------------------------
+# op-log time travel over the golden 4-commit chain (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+COMMITS = ["fac1698", "c4332d0", "5ec6b14", "df8d021"]
+# file sets per commit: a.py | a.py | a.py b.py c.py | a.py c.py
+EXPECT = {
+    "fac1698": {"a.py"},
+    "c4332d0": {"a.py"},
+    "5ec6b14": {"a.py", "b.py", "c.py"},
+    "df8d021": {"a.py", "c.py"},
+}
+
+
+def _file_row(name, ver=""):
+    return {
+        "id": hash(name) % 10_000,
+        "labels": ["File", "Searchable"],
+        "name": name,
+        "path": "/r",
+        "props": {"ver": ver} if ver else None,
+    }
+
+
+@pytest.fixture()
+def oplog_world(spark):
+    """Build the op-log for the golden chain in both directions."""
+    log = OpLog()
+    # forward transitions (CHILD direction)
+    log.record("fac1698", "c4332d0", "merge_nodes", {"rows": [_file_row("a.py", "v2")]})
+    log.record("c4332d0", "5ec6b14", "merge_nodes",
+               {"rows": [_file_row("b.py"), _file_row("c.py")]})
+    log.record("5ec6b14", "df8d021", "delete_cascade",
+               {"ids": [_file_row("b.py")["id"]], "edge_type": "DEFINES"})
+    # backward transitions (PARENT direction)
+    log.record("df8d021", "5ec6b14", "merge_nodes", {"rows": [_file_row("b.py")]})
+    log.record("5ec6b14", "c4332d0", "delete_cascade",
+               {"ids": [_file_row("b.py")["id"], _file_row("c.py")["id"]],
+                "edge_type": "DEFINES"})
+    log.record("c4332d0", "fac1698", "merge_nodes", {"rows": [_file_row("a.py", "v1")]})
+
+    head = PropertyGraph(spark, "repo")
+    head.nodes = spark.createDataFrame(
+        [(hash(n) % 10_000, ["File", "Searchable"], n, "/r", None, None, None, None, None, None)
+         for n in EXPECT["df8d021"]],
+        NODES_SCHEMA,
+    )
+    return log, head
+
+
+def _files(g):
+    return {r["name"] for r in g.nodes.collect()}
+
+
+def test_replay_backward_single_hop(spark, oplog_world):
+    log, head = oplog_world
+    g = log.replay_path(head, ["df8d021", "5ec6b14"])
+    assert _files(g) == EXPECT["5ec6b14"]
+
+
+def test_replay_backward_multi_hop_and_return(spark, oplog_world):
+    log, head = oplog_world
+    g = log.replay_path(head, ["df8d021", "5ec6b14", "c4332d0", "fac1698"])
+    assert _files(g) == EXPECT["fac1698"]
+    g = log.replay_path(g, ["fac1698", "c4332d0", "5ec6b14", "df8d021"])
+    assert _files(g) == EXPECT["df8d021"]
+
+
+def test_replay_is_change_gated(spark, oplog_world):
+    """Mirrors the reference's counter-gated backlog: merge metrics expose
+    whether anything changed (api/graph.py:152-169)."""
+    log, head = oplog_world
+    batch = head.nodes.limit(0)
+    merged, m = merge_nodes(head.nodes, batch, key=("id",), with_metrics=True)
+    assert not m.changed

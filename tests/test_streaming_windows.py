@@ -1,0 +1,98 @@
+"""Windowed analytics + streaming/batch parity (SURVEY §2.10 extensions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_graph_backend_spark.streaming import windows
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_tumbling(spark):
+    ev = _events(
+        spark,
+        [(_t(5), 1, "click", 1.0), (_t(59), 1, "click", 2.0), (_t(65), 1, "click", 4.0)],
+    )
+    rows = {r["window_start"]: (r["n_events"], r["value_sum"])
+            for r in windows.tumbling(ev, "1 hour").collect()}
+    assert rows[T0] == (2, 3.0)
+    assert rows[T0 + dt.timedelta(hours=1)] == (1, 4.0)
+
+
+def test_sliding_fanout(spark):
+    ev = _events(spark, [(_t(40), 1, "click", 1.0)])
+    rows = sorted(r["window_start"] for r in windows.sliding(ev, "1 hour", "30 minutes").collect())
+    # event at :40 belongs to windows starting at :00 and :30
+    assert rows == [T0, T0 + dt.timedelta(minutes=30)]
+
+
+def test_session_gap_semantics(spark):
+    ev = _events(
+        spark,
+        [
+            (_t(0), 1, "a", 1.0),
+            (_t(10), 1, "a", 1.0),   # same session (gap 10m < 30m)
+            (_t(55), 1, "a", 1.0),   # new session (gap 45m)
+            (_t(0), 2, "a", 1.0),    # separate user
+        ],
+    )
+    rows = windows.session(ev, "30 minutes").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_streaming_batch_parity(spark, tmp_path):
+    """The same tumbling expression over readStream == over read (mode
+    parity — the point of sharing the agg between both)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # events.ts may arrive as nanos-long in this container; normalize
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    data_dir = str(tmp_path / "ev")
+    src.limit(500).write.parquet(data_dir)
+
+    batch = windows.tumbling(spark.read.parquet(data_dir), "1 hour").collect()
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+        .withWatermark("ts", "10 hours")
+    )
+    q = (
+        windows.tumbling(stream, "1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    stream_rows = spark.sql("select * from tumbling_test").collect()
+    q.stop()
+
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert {key(r): (r["n_events"], r["value_sum"]) for r in batch} == {
+        key(r): (r["n_events"], r["value_sum"]) for r in stream_rows
+    }
