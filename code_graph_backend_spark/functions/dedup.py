@@ -80,17 +80,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """k minhash values per doc: min over shingles of xxhash64(shingle, seed).
 
-    One narrow pass — the k hashes are computed inside a single transform
-    over the shingle array (no explode, no shuffle).
+    Shape: explode shingles → one hash aggregate computing all k mins.
+    The k hash computations per exploded row and the k min-accumulators all
+    live in one whole-stage-codegen'd partial agg — one shuffle on doc_id,
+    map-side combined. (A per-row `transform` fold re-walks the shingle
+    array k times per doc — measured ~10× slower.)
     """
-    sh = shingles(text_col, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
-            for seed in range(k)
-        ]
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
     )
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    return sh.groupBy(id_col).agg(
+        F.array(*[F.min(F.xxhash64("s", F.lit(seed))) for seed in range(k)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
