@@ -53,10 +53,12 @@ def ngram_jaccard_pairs(
     (boilerplate) would hot-spot the index at scale; mitigation is dropping
     top-frequency shingles (stop-shingles) — exposed via `max_df`.
     """
-    sh = docs.select(F.col(id_col).alias("i"), F.explode(shingles(text_col, n)).alias("s"))
-    sizes = docs.select(
-        F.col(id_col).alias("_id"), F.size(shingles(text_col, n)).alias("n_sh")
-    )
+    sh = docs.select(
+        F.col(id_col).alias("i"), F.explode(shingles(text_col, n)).alias("s")
+    ).persist()  # the inverted index feeds both self-join sides AND the
+    # per-doc sizes — materialize once (MEMORY_AND_DISK, spills at scale)
+    # instead of re-exploding the corpus three times
+    sizes = sh.groupBy(F.col("i").alias("_id")).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -118,7 +120,9 @@ def minhash_lsh_candidates(
                 f"hash(slice(sig, b * {rows} + 1, {rows})) as bh))"
             )
         ).alias("e"),
-    ).select("i", "e.band", "e.bh")
+    ).select("i", "e.band", "e.bh").persist()
+    # persist: both sides of the candidate self-join read the banded
+    # signatures — without it the minhash agg runs twice
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -132,33 +136,53 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(text_col="text", n: int = 3, bits: int = 64):
-    """64-bit SimHash over shingle xxhash64s — per-bit majority vote,
-    expressed as pure array arithmetic (no UDF).
+def simhash_signatures(
+    docs: DataFrame, id_col="doc_id", text_col="text", n: int = 3, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc — per-bit majority vote over shingle xxhash64s.
 
-    For each bit position: +1 if the shingle hash has the bit set, else -1;
-    the sign of the sum gives the output bit.
+    Shape: explode shingles → hash each once → ONE aggregate computing all
+    64 per-bit popcounts (+ a shingle count); bit b of the output is set iff
+    more than half the shingle hashes have bit b set (the sign-of-±1-votes
+    rule of classic SimHash). The popcounts are packed 2-per-long in 32-bit
+    lanes, so the aggregate has 33 buffer columns — under Spark's
+    codegen.maxFields=100 cutoff, keeping the whole partial agg in
+    whole-stage codegen. 32-bit lanes can't overflow below 2^32 shingles
+    per doc. (Two rejected shapes, both measured at sf0.1: 64 × `F.aggregate`
+    folds in one projection blew the codegen limit and ran interpreted,
+    ~90× slower; 64 separate sum columns tripped maxFields and fell back
+    to interpreted agg, ~2× slower.)
+
+    Docs with no shingles get signature 0.
     """
-    sh = shingles(text_col, n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # Shift amounts must be literals in Spark's shift functions, so the
-    # per-bit loop is unrolled in Python — it builds one (wide) JVM
-    # expression tree, still fully codegen'd, no UDF.
-    def _vote(b: int):
-        # closure (not a default arg: pyspark binds every lambda param
-        # to a lambda variable, so arity must stay 2)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    assert bits == 64, "simhash is a 64-bit signature"
+    sh = docs.select(
+        F.col(id_col), F.explode_outer(shingles(text_col, n)).alias("s")
+    ).select(
+        id_col,
+        # hash once per shingle; null shingle (empty doc) → null hash, so the
+        # lane sums skip it and count("h") stays 0
+        F.when(F.col("s").isNotNull(), F.xxhash64("s")).alias("h"),
+    )
 
+    def lane(g: int):
+        # bits 2g and 2g+1, packed at lane offsets 0 and 32 of one long
+        lo = F.shiftright("h", 2 * g).bitwiseAND(F.lit(1))
+        hi = F.shiftleft(F.shiftright("h", 2 * g + 1).bitwiseAND(F.lit(1)), 32)
+        return F.sum(lo + hi).alias(f"_g{g}")
+
+    cnt = sh.groupBy(id_col).agg(
+        F.count("h").alias("_n"), *[lane(g) for g in range(bits // 2)]
+    )
     out = F.lit(0).cast("long")
     for b in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
+        c = F.shiftright(f"_g{b // 2}", 32 * (b % 2)).bitwiseAND(F.lit(0xFFFFFFFF))
         mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of long
         out = out.bitwiseOR(
-            F.when(bit_sum > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(c * 2 > F.col("_n"), F.lit(mask).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-    return out
+    return cnt.select(F.col(id_col), out.alias("sh"))
 
 
 def simhash_near_dup_pairs(
@@ -166,7 +190,9 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit simhash band (Hamming
     distance ≤ 3 of 64 guarantees ≥1 identical band — pigeonhole)."""
-    d = docs.select(F.col(id_col).alias("i"), simhash(text_col).alias("sh"))
+    d = simhash_signatures(docs, id_col, text_col).select(
+        F.col(id_col).alias("i"), "sh"
+    )
     bands = 64 // band_bits
     banded = d.select(
         "i",
@@ -177,7 +203,8 @@ def simhash_near_dup_pairs(
                 f"shiftright(sh, b * {band_bits}) & {(1 << band_bits) - 1} as bv))"
             )
         ).alias("e"),
-    ).select("i", "sh", "e.band", "e.bv")
+    ).select("i", "sh", "e.band", "e.bv").persist()
+    # persist: the simhash agg is the expensive input to both join sides
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -48,28 +48,38 @@ def find_paths(
     frontier = spark.createDataFrame(
         [(int(src_id), [int(src_id)])], "head long, path array<long>"
     )
+    n_frontier = 1
     hits: DataFrame | None = None
 
     for depth in range(1, max_depth + 1):
+        # Big-side-stationary join: edges stay put (cached); the frontier is
+        # broadcast while small, falling back to a shuffle join (AQE-planned)
+        # if a hop ever produces a huge frontier.
+        f = F.broadcast(frontier) if n_frontier < 1_000_000 else frontier
+        # localCheckpoint truncates the logical plan to a leaf — without it
+        # every hop's plan embeds the previous hop's whole plan and analysis
+        # time grows without bound (caches cut execution, not planning).
         stepped = (
-            frontier.join(e, F.col("head") == F.col("_s"))
+            e.join(f, F.col("head") == F.col("_s"))
             .filter(~F.array_contains(F.col("path"), F.col("_d")))
             .select(
                 F.col("_d").alias("head"),
                 F.concat(F.col("path"), F.array(F.col("_d"))).alias("path"),
             )
+            .localCheckpoint(eager=True)  # the one real job per hop
         )
-        if checkpoint_every and depth % checkpoint_every == 0:
-            stepped = stepped.localCheckpoint(eager=True)
+        n_stepped = stepped.count()  # on checkpointed data: trivial
+        if n_stepped == 0:
+            break
         arrived = stepped.filter(F.col("head") == dst_id).select(
             "path", F.lit(depth).alias("depth")
         )
         hits = arrived if hits is None else hits.unionByName(arrived)
         frontier = stepped.filter(F.col("head") != dst_id)
-        if frontier.isEmpty():
-            break
+        n_frontier = n_stepped  # upper bound; exact value isn't worth a job
 
-    assert hits is not None
+    if hits is None:
+        hits = spark.createDataFrame([], "path array<long>, depth int")
     return hits.orderBy("depth", "path")
 
 
@@ -90,20 +100,34 @@ def reachable(
     e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
     e = e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")).cache()
 
-    visited = spark.createDataFrame([(int(i),) for i in seed_ids], "id long").cache()
-    frontier = visited
+    seeds = spark.createDataFrame([(int(i),) for i in seed_ids], "id long").cache()
+    visited = seeds
+    frontier, n_frontier = seeds, len(seed_ids)
 
     for depth in range(max_depth):
+        # One Spark job per hop (the count that materializes nxt's cache).
+        # Edges never move: the frontier is broadcast while small (the normal
+        # case — a frontier bigger than the broadcast cutoff falls back to a
+        # shuffle join AQE can re-plan). `visited` is a lazy union of the
+        # cached per-hop frontiers, compacted every 8 hops to bound plan size.
+        f = F.broadcast(frontier) if n_frontier < 1_000_000 else frontier
+        # localCheckpoint (not cache): it truncates the logical plan, so
+        # `visited` stays a flat union of leaf relations. With cache alone
+        # each hop's plan embeds the previous visited (which embeds the
+        # previous hop...) — exponential analysis blowup.
         nxt = (
-            frontier.join(e, F.col("id") == F.col("_s"))
+            e.join(f, F.col("id") == F.col("_s"))
             .select(F.col("_d").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)  # the one real job per hop
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        n_frontier = nxt.count()  # on checkpointed data: trivial
+        if n_frontier == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        if (depth + 1) % 8 == 0:
+            visited = visited.localCheckpoint(eager=True)
         frontier = nxt
     return visited
 

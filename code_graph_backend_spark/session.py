@@ -34,6 +34,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Heap for the single local JVM (driver == executors in local mode).
+        # Must be set before getOrCreate — PySpark forwards it to the JVM
+        # launch. Default 1g OOMs iterative/cached workloads on this box.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
         # Determinism / oracle comparability
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: runtime shuffle-partition coalescing, skew-join
