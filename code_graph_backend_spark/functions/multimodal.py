@@ -53,11 +53,14 @@ FEATURES_SCHEMA = StructType(
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for an image decoder: derives (w, h, hash)
-    from the bytes. Replace with PIL `Image.open(io.BytesIO(payload))`."""
+    from the bytes. Replace with PIL `Image.open(io.BytesIO(payload))`.
+    The arithmetic is deliberately SQL-expressible (octet_length + md5) so
+    the oracle can verify the whole mapInPandas plumbing end-to-end."""
     import hashlib
 
+    n = len(payload or b"")
     h = hashlib.md5(payload or b"").hexdigest()
-    return (int(h[:4], 16) % 2048 + 1, int(h[4:8], 16) % 2048 + 1, h)
+    return (n % 2048 + 1, (n * 7 + 13) % 2048 + 1, h)
 
 
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:

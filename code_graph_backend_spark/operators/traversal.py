@@ -132,6 +132,60 @@ def reachable(
     return visited
 
 
+def chain_positions(
+    spark: SparkSession,
+    edges: DataFrame,
+    src_id: int,
+    dst_id: int,
+    edge_type: str,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """Positions (node, pos) along a *linear* chain from src to dst —
+    pointer-doubling list ranking, O(log n) rounds instead of O(n) BFS hops.
+
+    Assumes out-degree ≤ 1 per node for `edge_type` (commit PARENT/CHILD
+    lists, reference api/git_utils/git_graph.py:144-177). Round k holds
+    `reach` = every node within 2^k hops of src with its exact distance, and
+    a jump table `J` of exactly-2^k-hop links; both double per round, so a
+    1M-commit chain takes 20 rounds of n-row joins (n·log n total work) —
+    the design that survives long histories, where frontier BFS is 1M jobs.
+    """
+    e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
+    jump = e.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d"), F.lit(1).alias("_len")
+    ).localCheckpoint(eager=True)
+
+    reach = spark.createDataFrame([(int(src_id), 0)], "node long, pos int")
+    found = False
+    for _k in range(max(1, (max_depth).bit_length())):
+        if reach.filter(F.col("node") == dst_id).limit(1).count() > 0:
+            found = True
+            break
+        # grow reach: every known position + a 2^k jump
+        # both sides are checkpointed (known sizes): AQE broadcasts the
+        # smaller one — reach early on, jump once reach outgrows it
+        stepped = (
+            reach.join(jump, reach["node"] == jump["_s"])
+            .select(F.col("_d").alias("node"), (F.col("pos") + F.col("_len")).alias("pos"))
+        )
+        reach = reach.unionByName(stepped).localCheckpoint(eager=True)
+        # square the jump table: 2^k ∘ 2^k = 2^(k+1)
+        j2 = jump.alias("a").join(
+            jump.alias("b"), F.col("a._d") == F.col("b._s")
+        ).select(
+            F.col("a._s").alias("_s"),
+            F.col("b._d").alias("_d"),
+            (F.col("a._len") + F.col("b._len")).alias("_len"),
+        )
+        jump = j2.localCheckpoint(eager=True)
+    if not found and reach.filter(F.col("node") == dst_id).limit(1).count() == 0:
+        return spark.createDataFrame([], "node long, pos int")
+    dst_pos = reach.filter(F.col("node") == dst_id).agg(F.min("pos")).first()[0]
+    return reach.filter(F.col("pos") <= dst_pos).groupBy("node").agg(
+        F.min("pos").alias("pos")
+    )
+
+
 def chain_payloads(
     spark: SparkSession,
     edges: DataFrame,
@@ -145,20 +199,15 @@ def chain_payloads(
     reference api/git_utils/git_graph.py:144-177) collecting edge payloads
     in path order.
 
-    A linked list needs no set-based BFS: out-degree ≤1 per edge type, so we
-    iterate single-row hops but batch them — here implemented via find_paths
-    (the chain is the only simple path) then re-joining edges per hop to
-    recover payload order.
+    Built on `chain_positions` (pointer-doubling list ranking): consecutive
+    positions joined back to the typed edges recover each hop's payload.
 
     Returns (hop int, src long, dst long, *payload_cols) ordered by hop.
     """
-    paths = find_paths(spark, edges, src_id, dst_id, edge_type, max_depth=max_depth)
-    one = paths.orderBy("depth").limit(1)  # LIMIT 1 as the reference does
-    hops = one.select(
-        F.posexplode(F.expr("transform(sequence(0, size(path)-2), i -> struct(path[i] as s, path[i+1] as d))"))
-    ).select(
-        F.col("pos").alias("hop"), F.col("col.s").alias("src"), F.col("col.d").alias("dst")
-    )
+    pos = chain_positions(spark, edges, src_id, dst_id, edge_type, max_depth)
+    a = pos.select(F.col("pos").alias("hop"), F.col("node").alias("src"))
+    b = pos.select((F.col("pos") - 1).alias("hop"), F.col("node").alias("dst"))
+    hops = a.join(b, "hop")
     e = edges.filter(F.col("type") == edge_type)
     return (
         hops.join(e, ["src", "dst"])

@@ -22,14 +22,15 @@ from pyspark.sql.window import Window
 
 from .graph.tpch import SQL_EDGES, SQL_NODES, build_graph
 from .mutations.delete import cascade_delete
-from .mutations.merge import merge_nodes
+from .mutations.merge import merge_nodes, set_props_by_id
 from .operators.aggregates import dec_sum
 from .operators.lookups import by_ids, by_label, point_by_name
 from .operators.neighbors import in_neighbors, out_neighbors, sub_graph, two_hop, unreachable
 from .operators.rangejoin import range_join_binned
 from .operators.search import auto_complete
-from .operators.traversal import find_paths, reachable
+from .operators.traversal import chain_payloads, find_paths, reachable
 from .session import read_table
+from .sources.lcov import propagate_full_coverage
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -539,6 +540,200 @@ def m5_cascade_delete(spark, sf_dir):
     nodes, edges = _graph(spark, sf_dir)
     nodes2, _ = cascade_delete(spark, nodes, edges, [3], edge_type=None)
     return nodes2.groupBy(_label()).agg(F.count("*").alias("remaining"))
+
+
+# ---------------------------------------------------------------------------
+# J3 — 1-hop out, fixed type: callees twin (reference api/graph.py:372-380)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j3_callees",
+    f"""
+    {_GRAPH_CTE}
+    SELECT n.id, n.name FROM edges e JOIN nodes n ON n.id = e.dst
+    WHERE e.src = 10000001 AND e.type = 'CONTAINS'
+    """,
+)
+def j3_callees(spark, sf_dir):
+    nodes, edges = _graph(spark, sf_dir)
+    return out_neighbors(spark, nodes, edges, [10000001], edge_type="CONTAINS").select(
+        "id", "name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8/A4 — linear chain walk collecting hops in path order
+# (reference git_graph.py:144-177)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j8_chain_payloads",
+    f"""
+    WITH RECURSIVE edges AS ({SQL_EDGES}),
+    walk(hop, src, dst) AS (
+        SELECT 0, e.src, e.dst FROM edges e
+        WHERE e.src = 40000003 AND e.type = 'NEXT'
+        UNION ALL
+        SELECT w.hop + 1, e.src, e.dst
+        FROM walk w JOIN edges e ON e.src = w.dst AND e.type = 'NEXT'
+        WHERE w.dst <> 40000015
+    )
+    SELECT CAST(hop AS INT) AS hop, src, dst FROM walk
+    """,
+)
+def j8_chain_payloads(spark, sf_dir):
+    _, edges = _graph(spark, sf_dir)
+    return chain_payloads(
+        spark, edges, 40000003, 40000015, "NEXT", payload_cols=[], max_depth=32
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — null predicate on edge properties (reference git_graph.py:152-171)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p5_null_predicate",
+    """
+    SELECT 'CONTAINS' AS type, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+    """,
+)
+def p5_null_predicate(spark, sf_dir):
+    # only CONTAINS edges carry props (pos) in the twin graph, so filtering
+    # `props IS NOT NULL` must yield exactly the lineitem count
+    _, edges = _graph(spark, sf_dir)
+    return (
+        edges.filter(F.col("props").isNotNull())
+        .groupBy("type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — UNWIND range(0,size) + list indexing (reference api/graph.py:295-297)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f4_unwind_indexed",
+    """
+    WITH t AS (
+        SELECT p_partkey, string_split(p_name, ' ') AS toks
+        FROM part WHERE p_partkey < 10
+    )
+    SELECT p_partkey, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+    FROM t, UNNEST(generate_series(1, len(toks))) u(i)
+    """,
+)
+def f4_unwind_indexed(spark, sf_dir):
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") < 10)
+        .select("p_partkey", F.posexplode(F.split("p_name", " ")))
+        .select("p_partkey", F.col("pos").cast("int").alias("pos"), F.col("col").alias("token"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 — bulk `SET n += props` by id list (reference api/graph.py:291-304)
+# ---------------------------------------------------------------------------
+
+@register(
+    "m3_bulk_props",
+    f"""
+    {_GRAPH_CTE}
+    SELECT id, name, CASE WHEN id IN (1, 2, 3) THEN 'gold' END AS tier
+    FROM nodes WHERE id <= 10
+    """,
+)
+def m3_bulk_props(spark, sf_dir):
+    nodes, _ = _graph(spark, sf_dir)
+    updates = spark.createDataFrame(
+        [(i, {"tier": "gold"}) for i in (1, 2, 3)], "id long, props map<string,string>"
+    )
+    return (
+        set_props_by_id(nodes, updates)
+        .filter(F.col("id") <= 10)
+        .select("id", "name", F.col("props").getItem("tier").alias("tier"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — conditional propagating update (reference api/graph.py:470-480)
+# ---------------------------------------------------------------------------
+
+@register(
+    "m4_propagate_coverage",
+    """
+    SELECT DISTINCT l_partkey + 20000000 AS id, 1.0 AS coverage
+    FROM lineitem WHERE l_orderkey IN (1, 2, 3)
+    """,
+)
+def m4_propagate_coverage(spark, sf_dir):
+    nodes, edges = _graph(spark, sf_dir)
+    seeded = nodes.withColumn(
+        "coverage",
+        F.when(F.col("id").isin([10000001, 10000002, 10000003]), 1.0).otherwise(
+            F.col("coverage")
+        ),
+    )
+    out = propagate_full_coverage(seeded, edges, label="Order", edge_type="CONTAINS")
+    return (
+        out.filter(F.array_contains("labels", "Part") & (F.col("coverage") == 1.0))
+        .select("id", "coverage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7 — op-log replay (reference api/graph.py:540-545, git_utils.py:260-333)
+# ---------------------------------------------------------------------------
+
+@register(
+    "m7_oplog_replay",
+    f"""
+    WITH nodes AS ({SQL_NODES}), edges AS ({SQL_EDGES}),
+    after_nodes AS (
+        SELECT id, label FROM nodes WHERE id NOT BETWEEN 40000020 AND 40000024
+        UNION ALL SELECT 70000000 + i, 'Tag' FROM generate_series(0, 9) t(i)
+    ),
+    after_edges AS (
+        SELECT * FROM edges
+        WHERE NOT (src BETWEEN 40000020 AND 40000024 OR dst BETWEEN 40000020 AND 40000024)
+          AND NOT (src = 40000010 AND dst = 40000011 AND type = 'NEXT')
+    )
+    SELECT kind, n FROM (
+        SELECT label AS kind, CAST(COUNT(*) AS BIGINT) AS n
+        FROM after_nodes GROUP BY label
+        UNION ALL
+        SELECT '_edges', CAST(COUNT(*) AS BIGINT) FROM after_edges
+    ) t
+    """,
+)
+def m7_oplog_replay(spark, sf_dir):
+    from .graph.model import PropertyGraph
+    from .mutations.oplog import OpLog
+
+    nodes, edges = _graph(spark, sf_dir)
+    olog = OpLog()
+    olog.record(
+        "c0", "c1", "merge_nodes",
+        {"rows": [
+            {"id": 70000000 + i, "labels": ["Tag", "Searchable"], "name": f"tag-{i}"}
+            for i in range(10)
+        ]},
+    )
+    olog.record(
+        "c0", "c1", "delete_edges",
+        {"rows": [{"src": 40000010, "dst": 40000011, "type": "NEXT"}]},
+    )
+    olog.record("c0", "c1", "delete_cascade", {"ids": [40000020], "edge_type": "NEXT"})
+    g = olog.replay_path(PropertyGraph(spark, "m7_tmp", nodes, edges), ["c0", "c1"])
+    return (
+        g.nodes.groupBy(_label("labels")).agg(F.count("*").alias("n"))
+        .select(F.col("label").alias("kind"), "n")
+        .unionByName(
+            g.edges.agg(F.count("*").alias("n")).select(F.lit("_edges").alias("kind"), "n")
+        )
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .functions import dedup, similarity, text
+from .functions import dedup, multimodal, similarity, text
 from .registry import register
 from .session import read_table
 from .streaming import windows
@@ -101,6 +101,58 @@ def ann_cosine_topk(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    nv AS (
+        SELECT vec_id,
+               list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS n
+        FROM v
+    ),
+    p AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               list_sum(list_transform(list_zip(a.n, b.n), x -> x[1] * x[2])) AS sim_raw
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    )
+    SELECT i, j, ROUND(sim_raw, 6) AS sim FROM p WHERE sim_raw >= 0.42
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.42)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload + metadata → mapInPandas feature
+# extraction. The decode kernel is the deterministic fake (the container has
+# no image libs) whose arithmetic is SQL-expressible, so the whole Arrow
+# round-trip is oracle-checked, not just smoke-tested.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_media_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 2048 + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7 + 13) % 2048 + 1 AS INT) AS height,
+           md5(text) AS feature_hash
+    FROM documents
+    """,
+)
+def mm_media_features(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("string").alias("meta_json"),
+    )
+    return multimodal.extract_features(media, fake=True)
 
 
 # ---------------------------------------------------------------------------

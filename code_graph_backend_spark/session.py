@@ -39,6 +39,12 @@ def get_spark(
         # launch. Default 1g OOMs iterative/cached workloads on this box.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
+        # Whole-stage codegen emits one JIT-compiled class per plan; a long
+        # session (40+ distinct queries) fills the JVM's default 240 MB code
+        # cache, after which the JIT silently stops compiling and hot loops
+        # run interpreted (~8× slowdowns, measured). Reserve enough for the
+        # whole query suite.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         # Determinism / oracle comparability
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: runtime shuffle-partition coalescing, skew-join

@@ -95,14 +95,21 @@ def function_coverage(lines: DataFrame, functions: DataFrame) -> DataFrame:
     )
 
 
-def propagate_full_coverage(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def propagate_full_coverage(
+    nodes: DataFrame,
+    edges: DataFrame,
+    label: str = "File",
+    edge_type: str = "DEFINES",
+) -> DataFrame:
     """M4: files with coverage 1.0 push 1.0 to their DEFINES children
-    (reference api/graph.py:470-480)."""
+    (reference api/graph.py:470-480). label/edge_type are parameterized so
+    the same conditional-propagation operator runs on any parent→child
+    relation."""
     full_files = nodes.filter(
-        F.array_contains("labels", "File") & (F.col("coverage") == 1.0)
+        F.array_contains("labels", label) & (F.col("coverage") == 1.0)
     ).select(F.col("id").alias("fid"))
     children = (
-        edges.filter(F.col("type") == "DEFINES")
+        edges.filter(F.col("type") == edge_type)
         .join(full_files, F.col("src") == F.col("fid"))
         .select(F.col("dst").alias("id"))
         .distinct()

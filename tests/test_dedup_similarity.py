@@ -78,3 +78,26 @@ def test_cosine_self_similarity(emb):
     a = emb.limit(1).select(F.col("embedding").alias("v"))
     sim = a.select(similarity.cosine(F.col("v"), F.col("v")).alias("s")).collect()[0]["s"]
     assert sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_embedding_cosine_near_dup_exact(spark):
+    # hand-built corpus: v0≈v1 (near-dup), v2 orthogonal
+    d = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["i"], r["j"]): r["sim"]
+        for r in similarity.cosine_near_dup_pairs(d, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.999
+
+
+def test_embedding_cosine_threshold_filters(emb):
+    out = similarity.cosine_near_dup_pairs(emb, threshold=0.42).collect()
+    assert all(r["sim"] >= 0.42 and r["i"] < r["j"] for r in out)
