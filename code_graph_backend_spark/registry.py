@@ -27,7 +27,7 @@ from .operators.aggregates import dec_sum
 from .operators.lookups import by_ids, by_label, point_by_name
 from .operators.neighbors import in_neighbors, out_neighbors, sub_graph, two_hop, unreachable
 from .operators.rangejoin import range_join_binned
-from .operators.search import auto_complete
+from .operators.search import auto_complete, build_prefix_table
 from .operators.traversal import chain_payloads, find_paths, reachable
 from .session import read_table
 from .sources.lcov import propagate_full_coverage
@@ -631,6 +631,65 @@ def f4_unwind_indexed(spark, sf_dir):
         .select("p_partkey", F.posexplode(F.split("p_name", " ")))
         .select("p_partkey", F.col("pos").cast("int").alias("pos"), F.col("col").alias("token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A4 — ORDER-PRESERVING collect (reference git_graph.py:154,172: payloads
+# gathered along the path in hop order)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a4_ordered_collect",
+    """
+    SELECT o_orderkey,
+           array_to_string(list(CAST(l_partkey AS VARCHAR) ORDER BY l_linenumber, l_partkey), ',')
+               AS parts_in_order
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_custkey IN (1, 2, 3)
+    GROUP BY o_orderkey
+    """,
+)
+def a4_ordered_collect(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        orders.filter(F.col("o_custkey").isin([1, 2, 3]))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                    ),
+                    lambda s: s["l_partkey"].cast("string"),
+                ),
+                ",",
+            ).alias("parts_in_order")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — explicit prefix-index table (reference api/graph.py:59-62 full-text
+# index; our derived search table variant)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x2_prefix_table",
+    f"""
+    {_GRAPH_CTE}
+    , s AS (SELECT id, name FROM nodes WHERE label = 'Supplier' AND id <= 30000005)
+    SELECT substring(name, 1, i) AS prefix, id, name
+    FROM s, UNNEST(generate_series(1, LEAST(length(name), 8))) u(i)
+    """,
+)
+def x2_prefix_table(spark, sf_dir):
+    nodes, _ = _graph(spark, sf_dir)
+    subset = nodes.filter(
+        F.array_contains("labels", "Supplier") & (F.col("id") <= 30000005)
+    )
+    return build_prefix_table(subset, max_len=8)
 
 
 # ---------------------------------------------------------------------------

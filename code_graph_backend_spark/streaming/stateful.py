@@ -1,0 +1,76 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+(SURVEY.md §2.10 extensions — the reference has no streaming surface; this
+is the driver-mandated beyond-parity path for stream processing that
+`window()`/`session_window()` can't express).
+
+Design notes for scale: state lives in Spark's per-key state store (RocksDB
+on a real cluster — set spark.sql.streaming.stateStore.providerClass), so
+state size is bounded by distinct keys, not events. The kernel sees one
+group per call with all that micro-batch's rows as Arrow batches — keep
+per-key state small (scalars/fixed vectors), never accumulate raw rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, value_sum), emitted once per micro-batch.
+
+    The stateful twin of `windows.session`-style accumulation: totals
+    survive across micro-batches in the state store, so the last emitted row
+    per user equals the full-history batch aggregate (tested for parity).
+    """
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, value_sum double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_first_seen(events: DataFrame, fp_col: str = "event_type") -> DataFrame:
+    """Streaming exact dedup: emit each (user_id, fingerprint) only the
+    FIRST time it appears in the stream — the stateful core of an online
+    training-data dedup (state = set of fingerprints per key, here hashes).
+    """
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (seen,) = state.get if state.exists else ([],)
+        seen_set = set(seen)
+        fresh: list[str] = []
+        for pdf in pdfs:
+            for v in pdf[fp_col]:
+                if v not in seen_set:
+                    seen_set.add(v)
+                    fresh.append(v)
+        state.update((sorted(seen_set),))
+        yield pd.DataFrame({"user_id": [key[0]] * len(fresh), "fp": fresh})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, fp string",
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

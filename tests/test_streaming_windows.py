@@ -96,3 +96,86 @@ def test_streaming_batch_parity(spark, tmp_path):
     assert {key(r): (r["n_events"], r["value_sum"]) for r in batch} == {
         key(r): (r["n_events"], r["value_sum"]) for r in stream_rows
     }
+
+
+def test_stateful_running_stats_parity(spark, tmp_path):
+    """applyInPandasWithState totals across micro-batches == batch groupBy."""
+    import datetime as dt
+
+    from code_graph_backend_spark.streaming import stateful
+
+    rows = [
+        (T0 + dt.timedelta(minutes=m), uid, "e", float(m + uid))
+        for m in range(0, 60, 5)
+        for uid in (1, 2, 3)
+    ]
+    ev = _events(spark, rows).repartition(4)
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful.running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emission per user == full-history totals
+    got = {
+        r["user_id"]: (r["n_events"], r["value_sum"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, value_sum FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM running_stats) WHERE rn = 1"""
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    import datetime as dt
+
+    from code_graph_backend_spark.streaming import stateful
+
+    rows = [
+        (T0 + dt.timedelta(minutes=i), 1, t, 0.0)
+        for i, t in enumerate(["a", "b", "a", "c", "b", "a"])
+    ]
+    ev = _events(spark, rows).repartition(3)
+    src = str(tmp_path / "ev2")
+    ev.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful.streaming_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [(r["user_id"], r["fp"]) for r in spark.sql("SELECT * FROM first_seen").collect()]
+    assert sorted(got) == [(1, "a"), (1, "b"), (1, "c")]
