@@ -96,12 +96,16 @@ class OpLog:
         """Walk commit hashes `[c0, c1, ..., cn]`, applying each hop's ops in
         order — the Spark twin of switch_commit's PARENT*/CHILD* walk
         (reference api/git_utils/git_utils.py:260-333)."""
-        for a, b in zip(commit_path, commit_path[1:]):
+        for i, (a, b) in enumerate(zip(commit_path, commit_path[1:])):
             for entry in self.transitions(a, b):
                 graph = self.apply(graph, entry)
-            # cut lineage per hop: replay chains grow plans linearly otherwise
-            graph.nodes = graph.nodes.localCheckpoint(eager=True)
-            graph.edges = graph.edges.localCheckpoint(eager=True)
+            # cut lineage every few hops: replay chains grow plans linearly
+            # otherwise. Not every hop — each checkpoint materializes the
+            # whole graph, so short replays (the common switch_commit case)
+            # shouldn't pay a full-graph write per hop.
+            if (i + 1) % 4 == 0:
+                graph.nodes = graph.nodes.localCheckpoint(eager=True)
+                graph.edges = graph.edges.localCheckpoint(eager=True)
         return graph
 
     # -- persistence -------------------------------------------------------

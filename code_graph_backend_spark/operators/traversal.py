@@ -26,6 +26,84 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Rows per partition to aim for in iterative intermediates. Frontiers are
+# narrow (a few longs per row), so 100k rows ≈ a few MB — far below a
+# healthy task's working set; anything smaller than this per task is pure
+# scheduling overhead. Partition counts are derived from the *measured*
+# row count of the previous round (we count every round anyway to detect
+# fixpoint), so a hop that explodes to billions of rows still gets
+# thousands of partitions while a 10-row commit walk runs 1-task stages.
+_ROWS_PER_PARTITION = 100_000
+
+
+def _parts_for(n_rows: int, cap: int = 2000) -> int:
+    return max(1, min(cap, n_rows // _ROWS_PER_PARTITION + 1))
+
+
+# Edge sets at or below this row count are traversed driver-side: the whole
+# (already type-filtered) edge list is one Arrow collect (~16 B/row → ≤80 MB)
+# and the BFS/DFS runs in-process, replacing 15-25 tiny Spark jobs whose
+# scheduling overhead dwarfs the work. Above it, the distributed loop runs —
+# a 100 TB call graph never collects. This mirrors AQE's philosophy: pick
+# the physical strategy from measured sizes, not hopes.
+_LOCAL_EDGE_ROWS = 5_000_000
+
+
+def _stationary_edges(e: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize the loop-stationary edge side and right-size it.
+
+    The traversal loop scans this table once per hop, so its partition count
+    is a per-round task-overhead multiplier. One counting pass (amortized
+    over all hops) decides: a small edge set is squeezed to few partitions
+    (a 12-hop walk over a 38-partition cache otherwise costs 12×38 tasks of
+    ~nothing); a big one keeps its natural partitioning — repartitioning
+    100 TB of edges per query would dwarf the traversal itself.
+
+    Returns (materialized_df, row_count); caller need not unpersist — small
+    sets are localCheckpoints (freed by GC), big ones stay cached only until
+    the caller unpersists.
+    """
+    e = e.cache()
+    n = e.count()
+    if n <= 20 * _ROWS_PER_PARTITION:
+        compact = e.repartition(_parts_for(n)).localCheckpoint(eager=True)
+        e.unpersist()
+        return compact, n
+    return e, n
+
+
+def _adjacency(e: DataFrame) -> dict[int, list[int]]:
+    """Collect a measured-small edge set into a driver-side adjacency map."""
+    pdf = e.toPandas()
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(pdf["_s"], pdf["_d"]):
+        adj.setdefault(int(s), []).append(int(d))
+    return adj
+
+
+def _local_find_paths(
+    spark: SparkSession, adj: dict[int, list[int]], src_id: int, dst_id: int, max_depth: int
+) -> DataFrame:
+    """Driver-side twin of the distributed path loop (same semantics: simple
+    paths, depth cap, no extension past dst)."""
+    out: list[tuple[list[int], int]] = []
+    stack: list[tuple[int, list[int]]] = [(src_id, [src_id])]
+    while stack:
+        head, path = stack.pop()
+        if len(path) - 1 >= max_depth:
+            continue
+        for d in adj.get(head, ()):
+            if d in path:
+                continue  # simple-path semantics: no repeated nodes
+            p2 = path + [d]
+            if d == dst_id:
+                out.append((p2, len(p2) - 1))
+            else:
+                stack.append((d, p2))
+    if not out:
+        return spark.createDataFrame([], "path array<long>, depth int")
+    return spark.createDataFrame(out, "path array<long>, depth int").orderBy("depth", "path")
+
 
 def find_paths(
     spark: SparkSession,
@@ -43,7 +121,9 @@ def find_paths(
     ordered by (depth, path) for determinism.
     """
     e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
-    e = e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")).cache()
+    e, n_e = _stationary_edges(e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")))
+    if n_e <= _LOCAL_EDGE_ROWS:
+        return _local_find_paths(spark, _adjacency(e), int(src_id), int(dst_id), max_depth)
 
     frontier = spark.createDataFrame(
         [(int(src_id), [int(src_id)])], "head long, path array<long>"
@@ -66,6 +146,12 @@ def find_paths(
                 F.col("_d").alias("head"),
                 F.concat(F.col("path"), F.array(F.col("_d"))).alias("path"),
             )
+            # repartition (not coalesce): the hop join keeps the edge scan's
+            # full parallelism; only the (small) hop RESULT shuffles down to
+            # a partition count matched to the measured frontier size. A
+            # coalesce here would merge the scan itself — one task reading
+            # every edge partition at scale.
+            .repartition(_parts_for(n_frontier))
             .localCheckpoint(eager=True)  # the one real job per hop
         )
         n_stepped = stepped.count()  # on checkpointed data: trivial
@@ -78,6 +164,8 @@ def find_paths(
         frontier = stepped.filter(F.col("head") != dst_id)
         n_frontier = n_stepped  # upper bound; exact value isn't worth a job
 
+    # every surviving row is checkpointed — the edge cache is loop-local
+    e.unpersist()
     if hits is None:
         hits = spark.createDataFrame([], "path array<long>, depth int")
     return hits.orderBy("depth", "path")
@@ -98,7 +186,26 @@ def reachable(
     proportional to the closure, not depth × graph.
     """
     e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
-    e = e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")).cache()
+    e, n_e = _stationary_edges(e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")))
+    if n_e <= _LOCAL_EDGE_ROWS:
+        adj = _adjacency(e)
+        visited_s = {int(i) for i in seed_ids}
+        frontier_s = visited_s
+        for _ in range(max_depth):
+            nxt_s = {
+                d for s in frontier_s for d in adj.get(s, ()) if d not in visited_s
+            }
+            if not nxt_s:
+                break
+            visited_s |= nxt_s
+            frontier_s = nxt_s
+        if not visited_s:
+            return spark.createDataFrame([], "id long")
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"id": sorted(visited_s)}).astype("int64")
+        )
 
     seeds = spark.createDataFrame([(int(i),) for i in seed_ids], "id long").cache()
     visited = seeds
@@ -120,6 +227,11 @@ def reachable(
             .select(F.col("_d").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
+            # small-result shuffle: partitions track the measured frontier
+            # size (see _parts_for) while the edge scan keeps full
+            # parallelism. distinct() already shuffles, so this only
+            # re-sizes the final exchange.
+            .repartition(_parts_for(n_frontier))
             .localCheckpoint(eager=True)  # the one real job per hop
         )
         n_frontier = nxt.count()  # on checkpointed data: trivial
@@ -129,6 +241,8 @@ def reachable(
         if (depth + 1) % 8 == 0:
             visited = visited.localCheckpoint(eager=True)
         frontier = nxt
+    e.unpersist()
+    seeds.unpersist()
     return visited
 
 
@@ -151,15 +265,34 @@ def chain_positions(
     the design that survives long histories, where frontier BFS is 1M jobs.
     """
     e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
-    jump = e.select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d"), F.lit(1).alias("_len")
-    ).localCheckpoint(eager=True)
+    jump, n_jump = _stationary_edges(
+        e.select(F.col("src").alias("_s"), F.col("dst").alias("_d"), F.lit(1).alias("_len"))
+    )  # n_jump also sizes every squared table below (it only shrinks)
+    if n_jump <= _LOCAL_EDGE_ROWS:
+        # driver-side chain walk (out-degree ≤ 1 ⇒ the successor map is a
+        # function); positions are exact, cycle-guarded by the visited check
+        succ = {}
+        pdf = jump.select("_s", "_d").toPandas()
+        for s, d in zip(pdf["_s"], pdf["_d"]):
+            succ[int(s)] = int(d)
+        pos_map, node, p = {int(src_id): 0}, int(src_id), 0
+        while node != dst_id and p < max_depth:
+            node = succ.get(node)
+            if node is None or node in pos_map:
+                return spark.createDataFrame([], "node long, pos int")
+            p += 1
+            pos_map[node] = p
+        if node != dst_id:
+            return spark.createDataFrame([], "node long, pos int")
+        return spark.createDataFrame(
+            [(n, q) for n, q in pos_map.items() if q <= p], "node long, pos int"
+        )
 
     reach = spark.createDataFrame([(int(src_id), 0)], "node long, pos int")
-    found = False
+    jump0 = jump  # may be a cache (big case) — release it after the loop
+    n_reach, found = 1, src_id == dst_id
     for _k in range(max(1, (max_depth).bit_length())):
-        if reach.filter(F.col("node") == dst_id).limit(1).count() > 0:
-            found = True
+        if found:
             break
         # grow reach: every known position + a 2^k jump
         # both sides are checkpointed (known sizes): AQE broadcasts the
@@ -168,7 +301,18 @@ def chain_positions(
             reach.join(jump, reach["node"] == jump["_s"])
             .select(F.col("_d").alias("node"), (F.col("pos") + F.col("_len")).alias("pos"))
         )
-        reach = reach.unionByName(stepped).localCheckpoint(eager=True)
+        reach = (
+            reach.unionByName(stepped)
+            .repartition(_parts_for(n_reach * 2))
+            .localCheckpoint(eager=True)
+        )
+        # one tiny job on the checkpointed reach answers both "how big"
+        # (partitioning for next round) and "did we arrive" (loop exit)
+        n_reach, found = reach.agg(
+            F.count("*"), F.max(F.col("node") == dst_id)
+        ).first()
+        if found:
+            break
         # square the jump table: 2^k ∘ 2^k = 2^(k+1)
         j2 = jump.alias("a").join(
             jump.alias("b"), F.col("a._d") == F.col("b._s")
@@ -177,8 +321,9 @@ def chain_positions(
             F.col("b._d").alias("_d"),
             (F.col("a._len") + F.col("b._len")).alias("_len"),
         )
-        jump = j2.localCheckpoint(eager=True)
-    if not found and reach.filter(F.col("node") == dst_id).limit(1).count() == 0:
+        jump = j2.repartition(_parts_for(n_jump)).localCheckpoint(eager=True)
+    jump0.unpersist()
+    if not found:
         return spark.createDataFrame([], "node long, pos int")
     dst_pos = reach.filter(F.col("node") == dst_id).agg(F.min("pos")).first()[0]
     return reach.filter(F.col("pos") <= dst_pos).groupBy("node").agg(
