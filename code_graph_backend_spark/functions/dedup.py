@@ -15,7 +15,9 @@ Four tiers, all shuffle-architected for 100 TB:
 - simhash        : 64-bit locality hash per doc; near-dups share the hash
                    (or differ in few bits — banded by 16-bit chunks).
 
-All JVM-side: xxhash64 / md5 / explode / groupBy — no Python UDFs.
+Exact/Jaccard/MinHash run JVM-side (xxhash64 / md5 / explode / groupBy).
+SimHash signatures are the one Arrow-batched kernel: the computation is
+per-row, so a map-only mapInPandas beats shuffling exploded shingles.
 """
 
 from __future__ import annotations
@@ -139,50 +141,63 @@ def minhash_lsh_candidates(
 def simhash_signatures(
     docs: DataFrame, id_col="doc_id", text_col="text", n: int = 3, bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per doc — per-bit majority vote over shingle xxhash64s.
+    """64-bit SimHash per doc — per-bit majority vote over shingle hashes.
 
-    Shape: explode shingles → hash each once → ONE aggregate computing all
-    64 per-bit popcounts (+ a shingle count); bit b of the output is set iff
-    more than half the shingle hashes have bit b set (the sign-of-±1-votes
-    rule of classic SimHash). The popcounts are packed 2-per-long in 32-bit
-    lanes, so the aggregate has 33 buffer columns — under Spark's
-    codegen.maxFields=100 cutoff, keeping the whole partial agg in
-    whole-stage codegen. 32-bit lanes can't overflow below 2^32 shingles
-    per doc. (Two rejected shapes, both measured at sf0.1: 64 × `F.aggregate`
-    folds in one projection blew the codegen limit and ran interpreted,
-    ~90× slower; 64 separate sum columns tripped maxFields and fell back
-    to interpreted agg, ~2× slower.)
+    MAP-ONLY: one Arrow-batched `mapInPandas` kernel computes the whole
+    signature per doc — tokenize, shingle, hash (blake2b/8-byte,
+    deterministic across workers), majority-vote all 64 bits in a single
+    numpy reduction. No explode, no shuffle: simhash is per-row math, so the
+    scalable plan is linear embarrassing parallelism over input partitions.
+
+    (Rejected shape, measured: explode shingles → groupBy(doc) with 33
+    packed popcount aggregates. It's JVM-side, but it shuffles every shingle
+    of the corpus — at 100 TB that's a multi-TB exchange for a map-only
+    computation — and its 64-bit-extraction aggregate costs ~4 s of codegen
+    compile per session before the first row. Two other all-column variants
+    fell out of whole-stage codegen entirely, 2-90× slower.)
 
     Docs with no shingles get signature 0.
     """
     assert bits == 64, "simhash is a 64-bit signature"
-    sh = docs.select(
-        F.col(id_col), F.explode_outer(shingles(text_col, n)).alias("s")
-    ).select(
-        id_col,
-        # hash once per shingle; null shingle (empty doc) → null hash, so the
-        # lane sums skip it and count("h") stays 0
-        F.when(F.col("s").isNotNull(), F.xxhash64("s")).alias("h"),
-    )
+    import hashlib
 
-    def lane(g: int):
-        # bits 2g and 2g+1, packed at lane offsets 0 and 32 of one long
-        lo = F.shiftright("h", 2 * g).bitwiseAND(F.lit(1))
-        hi = F.shiftleft(F.shiftright("h", 2 * g + 1).bitwiseAND(F.lit(1)), 32)
-        return F.sum(lo + hi).alias(f"_g{g}")
+    import numpy as np
+    import pandas as pd
 
-    cnt = sh.groupBy(id_col).agg(
-        F.count("h").alias("_n"), *[lane(g) for g in range(bits // 2)]
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs = np.zeros(len(pdf), dtype=np.uint64)
+            for row, text in enumerate(pdf[text_col]):
+                toks = (text or "").split(" ")
+                ss = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                if not ss:
+                    continue
+                hs = np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest()
+                        for s in ss
+                    ),
+                    dtype=np.uint64,
+                )
+                # per-bit popcount over all shingle hashes, then majority
+                votes = (
+                    (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).sum(axis=0)
+                sigs[row] = np.bitwise_or.reduce(
+                    (votes * 2 > len(hs)).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sh": sigs.astype(np.int64)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, sh long"
     )
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        c = F.shiftright(f"_g{b // 2}", 32 * (b % 2)).bitwiseAND(F.lit(0xFFFFFFFF))
-        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of long
-        out = out.bitwiseOR(
-            F.when(c * 2 > F.col("_n"), F.lit(mask).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return cnt.select(F.col(id_col), out.alias("sh"))
 
 
 def simhash_near_dup_pairs(

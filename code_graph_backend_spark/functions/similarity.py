@@ -48,19 +48,57 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: (qid, cid, sim), ties broken by cid.
 
-    The corpus side is the big one — Spark broadcasts `queries` (request-
-    sized) so the cross join is a broadcast nested loop over one corpus scan,
-    embarrassingly parallel across partitions.
+    The corpus side is the big one — the query matrix (request-sized) is
+    broadcast to every partition, which computes its corpus-block × queries
+    similarity as ONE numpy GEMM per Arrow batch and keeps only its local
+    top-k per query. The global pass then ranks nbatches × |Q| × k partial
+    rows — tiny — with a window. (Rejected shape: crossJoin + a Catalyst
+    `aggregate(zip_with(...))` fold per pair — higher-order functions
+    run interpreted, measured ~10× slower per pair, and the full pair set
+    hits the shuffle.)
     """
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qrows = queries.select(F.col(id_col).cast("long"), vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+
+    def kernel(batches):
+        b_qids, b_Q, b_qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            # same arithmetic as the SQL oracle: raw dot, then divide by norms
+            sims = (C @ b_Q.T) / (cn[:, None] * b_qn[None, :])
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            outs = []
+            for qi in range(len(b_qids)):
+                col = sims[:, qi]
+                idx = np.nonzero(cids != b_qids[qi])[0]
+                if not len(idx):
+                    continue
+                order = np.lexsort((cids[idx], -col[idx]))[:k]  # sim desc, cid asc
+                sel = idx[order]
+                outs.append(
+                    pd.DataFrame(
+                        {"qid": b_qids[qi], "cid": cids[sel], "sim": col[sel]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "qid long, cid long, sim double"
     )
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    pairs = c.crossJoin(q).filter(F.col("qid") != F.col("cid"))
-    sims = pairs.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
-        sims.withColumn("rn", F.row_number().over(w))
+        partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "cid", F.round("sim", 6).alias("sim"))
     )
@@ -217,7 +255,23 @@ def lsh_topk(
         .select("qid", "qv", "cid", "cv")
         .dropDuplicates(["qid", "cid"])
     )
-    sims = cand.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+
+    # exact re-rank on deduped candidates: one vectorized einsum per Arrow
+    # batch (row-wise dot), same raw-dot/norms arithmetic as the oracle —
+    # not a per-pair Catalyst HOF fold (interpreted, ~10× slower)
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qm = np.array(list(pdf["qv"]), dtype=np.float64)
+            Cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", Qm, Cm)
+            nrm = np.sqrt((Qm * Qm).sum(axis=1)) * np.sqrt((Cm * Cm).sum(axis=1))
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "cid": pdf["cid"], "sim": dots / nrm}
+            )
+
+    sims = cand.mapInPandas(rerank, "qid long, cid long, sim double")
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
         sims.withColumn("rn", F.row_number().over(w))
