@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import fan_out
+
 
 def shingles(text_col="text", n: int = 3):
     """n-token shingles as an array<string> column."""
@@ -55,7 +57,7 @@ def ngram_jaccard_pairs(
     (boilerplate) would hot-spot the index at scale; mitigation is dropping
     top-frequency shingles (stop-shingles) — exposed via `max_df`.
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col).alias("i"), F.explode(shingles(text_col, n)).alias("s")
     ).persist()  # the inverted index feeds both self-join sides AND the
     # per-doc sizes — materialize once (MEMORY_AND_DISK, spills at scale)
@@ -90,7 +92,7 @@ def minhash_signatures(
     map-side combined. (A per-row `transform` fold re-walks the shingle
     array k times per doc — measured ~10× slower.)
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
     )
     return sh.groupBy(id_col).agg(
@@ -165,37 +167,48 @@ def simhash_signatures(
     import pandas as pd
 
     def kernel(batches):
+        shift = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            sigs = np.zeros(len(pdf), dtype=np.uint64)
+            # hash every shingle of the batch into one flat array, keeping
+            # per-doc segment lengths — all 64-bit vote math then runs as
+            # batch-level numpy (one (total_shingles × 64) bit matrix +
+            # reduceat over the segment boundaries), not per-doc small-array
+            # calls whose per-call overhead dominates at ~50 shingles/doc
+            blobs: list[bytes] = []
+            lens = np.zeros(len(pdf), dtype=np.int64)
             for row, text in enumerate(pdf[text_col]):
                 toks = (text or "").split(" ")
                 ss = {
                     " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
                 }
-                if not ss:
-                    continue
-                hs = np.frombuffer(
+                lens[row] = len(ss)
+                blobs.append(
                     b"".join(
                         hashlib.blake2b(s.encode(), digest_size=8).digest()
                         for s in ss
-                    ),
-                    dtype=np.uint64,
+                    )
                 )
-                # per-bit popcount over all shingle hashes, then majority
-                votes = (
-                    (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                ).sum(axis=0)
-                sigs[row] = np.bitwise_or.reduce(
-                    (votes * 2 > len(hs)).astype(np.uint64)
-                    << np.arange(64, dtype=np.uint64)
-                )
+            hs = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+            bits = ((hs[:, None] >> shift) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nonempty = lens > 0
+            votes = np.zeros((len(pdf), 64), dtype=np.int64)
+            if hs.size:
+                # reduceat needs strictly valid offsets; empty docs reuse the
+                # next doc's start and are zeroed via the mask below
+                seg = np.add.reduceat(bits, np.minimum(starts, len(hs) - 1), axis=0)
+                votes[nonempty] = seg[nonempty]
+            sigs = np.bitwise_or.reduce(
+                ((votes * 2 > lens[:, None]).astype(np.uint64)) << shift, axis=1
+            )
+            sigs[~nonempty] = 0
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "sh": sigs.astype(np.int64)}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
         kernel, f"{id_col} long, sh long"
     )
 

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import fan_out
+
 
 def _dot(a, b) -> Column:
     return F.aggregate(
@@ -93,7 +95,7 @@ def brute_force_topk(
             if outs:
                 yield pd.concat(outs)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
+    partial = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         kernel, "qid long, cid long, sim double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
@@ -153,8 +155,8 @@ def cosine_near_dup_pairs(
                 }
             )
 
-    src = corpus.select(
-        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    src = fan_out(
+        corpus.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
     )
     return src.mapInPandas(kernel, "i long, j long, sim double")
 
@@ -242,7 +244,7 @@ def lsh_topk(
                 yield pd.concat(out)
 
         vec_t = dict(df.dtypes)[vecc]
-        return df.select(idc, vecc).mapInPandas(
+        return fan_out(df.select(idc, vecc)).mapInPandas(
             kernel,
             f"{out_id} long, {out_vec} {vec_t}, tbl int, bucket long",
         )

@@ -80,3 +80,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def fan_out(df, min_parts: int | None = None):
+    """Raise a coarse scan's partition count to the session's parallelism.
+
+    Small/single-file parquet inputs arrive as 1-2 partitions; any CPU-bound
+    per-row stage (shingling, hashing, GEMM kernels) then runs on one core
+    no matter how many the cluster has. One cheap shuffle of the raw rows
+    buys full parallelism for everything downstream. No-op whenever the
+    input is already at least as parallel as the session — a 100 TB scan
+    with thousands of splits never reshuffles.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
