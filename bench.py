@@ -25,6 +25,25 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the engine before timing anything: JVM classloading + first-job
+    # codegen (~2-3 s), parquet footers, the exchange machinery, and the
+    # Python/Arrow worker pool all pay one-time costs that would otherwise
+    # land on whichever query happens to run first.
+    from code_graph_backend_spark.session import read_table
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        try:
+            read_table(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass
+    spark.range(0, 1000).selectExpr("id % 7 k", "id v").groupBy("k").count().count()
+    try:
+        spark.range(0, 64).toPandas()  # Arrow path
+        spark.range(0, 64).select("id").mapInPandas(lambda it: it, "id long").count()
+    except Exception:
+        pass
+
     qs = e.queries()
     timings: dict[str, float] = {}
     total = 0.0

@@ -326,6 +326,19 @@ def m6_edge_prop_update(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (beyond-parity): inverted-file index — k-means cells + probe join.
+# Approximate ⇒ rows-only check; pytest asserts recall vs brute force.
+# ---------------------------------------------------------------------------
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    from .functions import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+# ---------------------------------------------------------------------------
 # As-of join (beyond-parity): purchase → most recent strictly-prior click
 # ---------------------------------------------------------------------------
 

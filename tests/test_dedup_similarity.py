@@ -101,3 +101,18 @@ def test_embedding_cosine_near_dup_exact(spark):
 def test_embedding_cosine_threshold_filters(emb):
     out = similarity.cosine_near_dup_pairs(emb, threshold=0.42).collect()
     assert all(r["sim"] >= 0.42 and r["i"] < r["j"] for r in out)
+
+
+def test_ivf_topk_recall_at_10(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {}
+    for r in similarity.brute_force_topk(q, emb, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    approx = {}
+    for r in similarity.ivf_topk(q, emb, k=10, n_probe=6).collect():
+        approx.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(len(exact[q_] & approx.get(q_, set())) for q_ in exact)
+    total = sum(len(v) for v in exact.values())
+    # probing 6/16 cells: recall well above the ~37% probe fraction because
+    # true neighbors concentrate in the query's nearest cells
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
