@@ -65,3 +65,37 @@ def fingerprint(text="text") -> Column:
     """Document fingerprint: md5 of the lowercased text. (A rolling/locality
     hash lives in dedup.simhash; md5 is the exact-dup key.)"""
     return F.md5(F.lower(F.col(text)))
+
+
+# BPE-ish subword pattern: alnum runs chunked to ≤4 chars (the typical
+# subword length) plus each non-alnum symbol. Greedy {1,4} chunks
+# identically under Java regex (Spark) and RE2 (DuckDB), so the estimate
+# is oracle-comparable.
+BPE_PATTERN = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9 ]"
+
+
+def bpe_token_estimate(text="text") -> Column:
+    """Subword-token count estimate via the BPE-ish regex — the
+    whitespace-independent twin of `token_count` (long words cost multiple
+    subword tokens, punctuation costs one each), matching how LLM tokenizers
+    price text. JVM-side regexp, no UDF."""
+    return F.size(F.regexp_extract_all(F.col(text), F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "int"
+    )
+
+
+def rolling_fingerprint(text="text") -> Column:
+    """Order-sensitive rolling hash over the token stream:
+    acc = (acc * 31 + len(token)) mod (2^31 - 1).
+
+    Unlike the md5 `fingerprint` (exact content key), the rolling form is
+    incremental — a streaming ingest can extend it token-by-token — and
+    whole-document reorderings change it while the bag-of-words stays the
+    same. The per-token contribution is deliberately arithmetic-only so the
+    same recurrence runs on any engine (oracle-comparable); swap in a wider
+    mix (e.g. xxhash of the token) when collision resistance matters."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + F.length(x), F.lit(2147483647)),
+    )

@@ -326,6 +326,52 @@ def m6_edge_prop_update(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Text analysis batch 2: BPE-ish subword estimate + rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bpe_tokens",
+    """
+    SELECT doc_id,
+           CAST(token_count AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9 ]')) AS INT)
+               AS bpe_tokens
+    FROM (SELECT doc_id, text, len(string_split(text, ' ')) AS token_count
+          FROM documents)
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    from .functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count().alias("ws_tokens"),
+        T.bpe_token_estimate().alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647
+           ) AS rfp
+    FROM t
+    """,
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    from .functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_fingerprint().alias("rfp"))
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN (beyond-parity): inverted-file index — k-means cells + probe join.
 # Approximate ⇒ rows-only check; pytest asserts recall vs brute force.
 # ---------------------------------------------------------------------------

@@ -20,6 +20,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def streaming_oplog_apply(spark, oplog_stream: DataFrame, graph) -> tuple:
+    """§2.10's incremental-pipeline mapping: the op-log as an append stream,
+    the graph as the materialized state (SURVEY.md §2.10; the batch twin is
+    OpLog.replay_path / reference git_utils.py:114-244).
+
+    `foreachBatch` applies each micro-batch's ops in (commit, seq) order
+    through the same mutation layer the batch path uses — M1-M6 semantics
+    are shared, streaming only changes the arrival schedule. Returns
+    (query, state) where state["graph"] is the live PropertyGraph; callers
+    stop the query then read the graph.
+
+    At scale: each micro-batch's MERGE is one bounded Delta-style commit;
+    the state store is the graph tables themselves, so stream restarts
+    recover from the last materialized version (checkpointLocation tracks
+    the source offsets).
+    """
+    from ..mutations.oplog import OpLog, OpLogEntry
+
+    state = {"graph": graph}
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        log = OpLog()
+        rows = batch_df.orderBy("commit_from", "commit_to", "seq").collect()
+        if not rows:
+            return
+        g = state["graph"]
+        for r in rows:
+            entry = OpLogEntry(
+                r["commit_from"], r["commit_to"], r["seq"], r["op"], r["params_json"]
+            )
+            g = log.apply(g, entry)
+        g.nodes = g.nodes.localCheckpoint(eager=True)
+        g.edges = g.edges.localCheckpoint(eager=True)
+        state["graph"] = g
+
+    query = oplog_stream.writeStream.foreachBatch(apply_batch).outputMode("append")
+    return query, state
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running (n_events, value_sum), emitted once per micro-batch.
 

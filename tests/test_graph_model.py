@@ -78,3 +78,19 @@ def test_frame_sample_plan(spark):
     rows = plan.collect()
     assert {r["media_id"] for r in rows} <= {f"m{i:04d}" for i in range(9) if i % 3 == 2}
     assert all(r["frame_idx"] % 10 == 0 for r in rows)
+
+
+def test_edge_scan_partition_pruned(small_graph, spark, tmp_path):
+    """X1/X4 (range-index analogue): edges persisted partitioned by type,
+    so a type-filtered hop prunes non-matching partitions at the scan."""
+    from code_graph_backend_spark.graph.model import PropertyGraph
+
+    g = PropertyGraph(spark, "pruned", small_graph.nodes, small_graph.edges,
+                      root=str(tmp_path))
+    g.save()
+    loaded = PropertyGraph.load(spark, str(tmp_path), "pruned")
+    one_type = loaded.edges.filter(F.col("type") == "DEFINES")
+    plan = one_type._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "DEFINES" in plan, plan[:2000]
+    # and the pruned scan returns exactly the DEFINES edges
+    assert one_type.count() == small_graph.edges.filter(F.col("type") == "DEFINES").count()

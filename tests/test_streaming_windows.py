@@ -179,3 +179,55 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
         q.stop()
     got = [(r["user_id"], r["fp"]) for r in spark.sql("SELECT * FROM first_seen").collect()]
     assert sorted(got) == [(1, "a"), (1, "b"), (1, "c")]
+
+
+def test_streaming_oplog_apply_matches_batch_replay(spark, tmp_path):
+    """§2.10: op-log as an append stream + foreachBatch MERGE == batch
+    replay of the same log (shared M1-M6 mutation layer)."""
+    import json
+
+    from code_graph_backend_spark.graph.model import (
+        EDGES_SCHEMA, NODES_SCHEMA, PropertyGraph,
+    )
+    from code_graph_backend_spark.mutations.oplog import OpLog
+    from code_graph_backend_spark.streaming import stateful
+
+    def fresh_graph(name):
+        nodes = spark.createDataFrame(
+            [(1, ["File", "Searchable"], "a.py", "a.py", None, None, None, None, None, None)],
+            NODES_SCHEMA,
+        )
+        edges = spark.createDataFrame([], EDGES_SCHEMA)
+        return PropertyGraph(spark, name, nodes, edges)
+
+    log = OpLog()
+    log.record("c0", "c1", "merge_nodes", {"rows": [
+        {"id": 2, "labels": ["Function", "Searchable"], "name": "f", "path": "a.py"}]})
+    log.record("c0", "c1", "merge_edges", {"rows": [
+        {"src": 1, "dst": 2, "type": "DEFINES"}]})
+    log.record("c1", "c2", "merge_nodes", {"rows": [
+        {"id": 3, "labels": ["Class", "Searchable"], "name": "C", "path": "a.py"}]})
+
+    # batch replay
+    g_batch = log.replay_path(fresh_graph("b"), ["c0", "c1", "c2"])
+    expect_nodes = sorted((r["id"], r["name"]) for r in g_batch.nodes.collect())
+    expect_edges = sorted((r["src"], r["dst"], r["type"]) for r in g_batch.edges.collect())
+
+    # streamed replay: one parquet file per commit hop → maxFilesPerTrigger=1
+    src = str(tmp_path / "oplog")
+    df = log.to_df(spark)
+    df.filter(F.col("commit_to") == "c1").coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("commit_to") == "c2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    writer, state = stateful.streaming_oplog_apply(spark, stream, fresh_graph("s"))
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    g_stream = state["graph"]
+    assert sorted((r["id"], r["name"]) for r in g_stream.nodes.collect()) == expect_nodes
+    assert sorted((r["src"], r["dst"], r["type"]) for r in g_stream.edges.collect()) == expect_edges
