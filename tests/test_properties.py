@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) — beyond the reference's example-only
+test strategy (SURVEY.md §5): traversal kernels against a pure-Python graph
+oracle on arbitrary small graphs, and MERGE-layer algebraic laws.
+
+Graphs stay ≤8 nodes so every example runs through the engine's local fast
+path (3 Spark jobs); examples are capped to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from code_graph_backend_spark.operators.traversal import find_paths, reachable
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0,
+    max_size=20,
+    unique=True,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(s, d, "T", None) for s, d in pairs],
+        "src long, dst long, type string, props map<string,string>",
+    )
+
+
+def _py_closure(pairs, seeds):
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    visited = set(seeds)
+    frontier = set(seeds)
+    while frontier:
+        frontier = {
+            d for s in frontier for d in adj.get(s, ()) if d not in visited
+        }
+        visited |= frontier
+    return visited
+
+
+def _py_simple_paths(pairs, src, dst, max_depth):
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    out = []
+    stack = [(src, (src,))]
+    while stack:
+        head, path = stack.pop()
+        if len(path) - 1 >= max_depth:
+            continue
+        for d in adj.get(head, ()):
+            if d in path:
+                continue
+            p2 = path + (d,)
+            if d == dst:
+                out.append(p2)
+            else:
+                stack.append((d, p2))
+    return sorted(out)
+
+
+@SETTINGS
+@given(pairs=edges_strategy, seed=st.integers(0, 7))
+def test_reachable_matches_python_oracle(spark, pairs, seed):
+    got = {
+        r["id"]
+        for r in reachable(spark, _edges_df(spark, pairs), [seed], edge_type="T").collect()
+    }
+    assert got == _py_closure(pairs, [seed])
+
+
+@SETTINGS
+@given(pairs=edges_strategy, src=st.integers(0, 7), dst=st.integers(0, 7))
+def test_find_paths_matches_python_oracle(spark, pairs, src, dst):
+    if src == dst:
+        return  # reference semantics for self-paths are not exercised
+    got = sorted(
+        tuple(r["path"])
+        for r in find_paths(
+            spark, _edges_df(spark, pairs), src, dst, edge_type="T", max_depth=8
+        ).collect()
+    )
+    assert got == _py_simple_paths(pairs, src, dst, 8)
+
+
+@SETTINGS
+@given(
+    batch=st.lists(
+        st.tuples(st.integers(0, 5), st.text("ab", min_size=1, max_size=3)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_merge_nodes_idempotent(spark, batch):
+    """merge(merge(g, b), b) == merge(g, b) — MERGE is an upsert, not append."""
+    from code_graph_backend_spark.graph.model import NODES_SCHEMA
+    from code_graph_backend_spark.mutations.merge import merge_nodes
+
+    base = spark.createDataFrame(
+        [(0, ["X"], "orig", None, None, None, None, None, None, None)], NODES_SCHEMA
+    )
+    b = spark.createDataFrame(
+        [(i, ["X"], name, None, None, None, None, None, None, None) for i, name in batch],
+        NODES_SCHEMA,
+    )
+    once = merge_nodes(base, b).localCheckpoint(eager=True)
+    twice = merge_nodes(once, b)
+    got_once = sorted((r["id"], r["name"]) for r in once.collect())
+    got_twice = sorted((r["id"], r["name"]) for r in twice.collect())
+    assert got_once == got_twice
+    # every batched id present exactly once
+    ids = [r[0] for r in got_once]
+    assert len(ids) == len(set(ids))
