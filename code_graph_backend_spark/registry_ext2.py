@@ -326,6 +326,58 @@ def m6_edge_prop_update(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# P8 — extension + ignore filters (reference source_analyzer.py:87,93-100:
+# suffix ∈ supported set, substring-ignore list)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p8_ext_ignore_filters",
+    """
+    SELECT doc_id, source, lang FROM documents
+    WHERE lang IN ('en', 'fr') AND source NOT LIKE '%1%'
+    """,
+)
+def p8_ext_ignore_filters(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("lang").isin(["en", "fr"]) & ~F.col("source").contains("1")
+    ).select("doc_id", "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware aggregation (beyond-parity scale pattern): 5 event types over
+# 10k+ rows = every row funnels into 5 reducers; the salted two-phase agg
+# restores parallelism. Values accumulate as exact decimals so the salted
+# result is bit-identical to the plain GROUP BY oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    from .operators.skew import salted_agg
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "_v", F.col("value").cast("decimal(30,2)")
+    )
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {"n": ("event_type", "count"), "value_sum": ("_v", "sum")},
+        salt=16,
+    )
+    return out.select(
+        "event_type", "n", F.col("value_sum").cast("double").alias("value_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis batch 2: BPE-ish subword estimate + rolling-hash fingerprint
 # ---------------------------------------------------------------------------
 
