@@ -132,6 +132,13 @@ class PropertyGraph:
             if os.path.exists(d):
                 shutil.rmtree(d)
             os.rename(tmp, d)
+        # re-point this graph at the files just written: the in-memory plans
+        # may still reference the REPLACED directory (load → mutate → save
+        # cycles would otherwise read deleted files), and cached file
+        # listings for the path are stale either way
+        self.spark.catalog.refreshByPath(self._dir)
+        reloaded = PropertyGraph.load(self.spark, self.root, self.name)
+        self.nodes, self.edges = reloaded.nodes, reloaded.edges
         return self
 
     @classmethod

@@ -101,3 +101,32 @@ def test_chat_templates(svc):
     assert n >= 4
     unreachable = svc.chat("fixture", "which functions are unreachable?")["answer"]
     assert isinstance(unreachable, list)
+
+
+def test_switch_commit_forward_and_back(svc, spark):
+    """POST /switch_commit both directions (reference api/index.py:419-451 +
+    git_utils.py:260-333): redo-log forward, logged inverse ops backward."""
+    from code_graph_backend_spark.mutations.oplog import OpLog
+
+    before = svc.repo_info("fixture")
+    log = OpLog()
+    log.record("c0", "c1", "merge_nodes", {"rows": [
+        {"id": 999_001, "labels": ["Function", "Searchable"],
+         "name": "added_in_c1", "path": "new.py"}]})
+    log.record("c1", "c0", "delete_cascade", {"ids": [999_001], "edge_type": "DEFINES"})
+
+    fwd = svc.switch_commit("fixture", "c1", log, ["c0", "c1"])
+    assert fwd["nodes"] == before["node_count"] + 1
+    assert svc.repo_info("fixture")["commit"] == "c1"
+
+    back = svc.switch_commit("fixture", "c0", log, ["c1", "c0"])
+    assert back["nodes"] == before["node_count"]
+    assert svc.repo_info("fixture")["commit"] == "c0"
+
+
+def test_delete_repo(svc, spark, tmp_path):
+    (tmp_path / "solo.py").write_text("def f():\n    return 1\n")
+    svc.analyze_folder(str(tmp_path), "doomed")
+    assert "doomed" in svc.list_repos()
+    svc.delete_repo("doomed")
+    assert "doomed" not in svc.list_repos()
