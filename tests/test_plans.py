@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the plans we designed for are the plans Spark
+actually runs (broadcasts where intended, pruned scans, no nested-loop
+fallbacks). Guards against regressions that stay correct but stop scaling.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_flagship_broadcasts_dims_and_prunes_columns(spark, qs):
+    df = qs["flagship_region_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    # lineitem scan must not read the full table width
+    assert "l_comment" not in plan and "l_shipdate" not in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, qs):
+    plan = _plan(qs["j12_range_join_coverage"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_tfidf_broadcasts_vocabulary(spark, qs):
+    plan = _plan(qs["text_tfidf_topterms"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_neighbors_broadcasts_id_seeds(spark, qs):
+    plan = _plan(qs["j1_out_neighbors"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_point_lookup_filters_before_limit(spark, qs):
+    plan = _plan(qs["p1_point_lookup_by_name"](spark, SF))
+    assert any(op in plan for op in ("TakeOrderedAndProject", "CollectLimit")), plan[:1500]
+    # the name/label predicates must reach the cached-relation scan, not
+    # run as a post-scan filter only
+    assert "InMemoryTableScan" in plan
+    scan = plan[plan.index("InMemoryTableScan"):]
+    assert "array_contains" in scan.split("InMemoryRelation")[0]
