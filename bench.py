@@ -59,22 +59,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
-        # best-of-2: this box shows multi-second external load spikes; a
-        # single sample can read 5-10x high. The repeat is skipped for
-        # queries whose first run is already long (bounded wall budget).
-        dt = None
-        for attempt in range(2):
+        # best-of-N: this box shows multi-minute external load waves; a
+        # single sample can read 5-50x high. Two samples always (skipped
+        # when the first is already long — bounded wall budget); a third
+        # when the first two disagree wildly, i.e. at least one sample was
+        # taken inside a load wave.
+        samples: list[float] = []
+        failed = False
+        while True:
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.count()
-                sample = time.perf_counter() - t0
+                samples.append(time.perf_counter() - t0)
             except Exception as ex:  # a failed query is a 0-score, not a crash
                 print(f"bench: {name} failed: {ex}", file=sys.stderr)
+                failed = True
                 break
-            dt = sample if dt is None else min(dt, sample)
-            if dt > 15.0:
+            if samples[-1] > 15.0 and len(samples) >= 1:
                 break
+            if len(samples) == 2 and max(samples) / max(min(samples), 1e-9) > 3:
+                continue  # discordant: one more tie-breaker sample
+            if len(samples) >= 2:
+                break
+        dt = min(samples) if samples else None
         # None (JSON null) for failures — NaN is not valid JSON
         timings[name] = round(dt, 3) if dt is not None else None
         if dt is not None:
