@@ -76,13 +76,20 @@ def main() -> None:
                 print(f"bench: {name} failed: {ex}", file=sys.stderr)
                 failed = True
                 break
-            if samples[-1] > 15.0 and len(samples) >= 1:
-                break
-            if len(samples) == 2 and max(samples) / max(min(samples), 1e-9) > 3:
-                continue  # discordant: one more tie-breaker sample
-            if len(samples) >= 2:
-                break
-        dt = min(samples) if samples else None
+            if len(samples) < 2:
+                continue  # always at least 2 samples — slow queries too;
+                # a single sample taken inside a load wave reads 5-50x high
+            if (
+                len(samples) == 2
+                and max(samples) / max(min(samples), 1e-9) > 3
+                and min(samples) <= 20.0
+            ):
+                continue  # discordant: one more tie-breaker sample (only
+                # when the best sample is short enough to afford a third)
+            break
+        # An intermittently-failing query is a failure, not a timing — do
+        # not report min() over the samples that happened to succeed.
+        dt = None if failed or not samples else min(samples)
         # None (JSON null) for failures — NaN is not valid JSON
         timings[name] = round(dt, 3) if dt is not None else None
         if dt is not None:

@@ -29,12 +29,20 @@ from ..session import fan_out
 
 
 def shingles(text_col="text", n: int = 3):
-    """n-token shingles as an array<string> column."""
+    """n-token shingles as an array<string> column.
+
+    Docs with fewer than n tokens yield an EMPTY array: sequence(0, size-n)
+    would count downward for short docs and element_at(t, 0) then throws, so
+    the whole expression is gated on size(t) >= n.
+    """
     t = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(t) - n)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]))
-    )
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
@@ -48,20 +56,38 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, id_col="doc_id", text_col="text", n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-token shingles.
 
     Plan shape: explode (narrow) → shuffle on shingle (the inverted index) →
     pair-count agg → broadcast-join doc sizes → filter. Skewed shingles
-    (boilerplate) would hot-spot the index at scale; mitigation is dropping
-    top-frequency shingles (stop-shingles) — exposed via `max_df`.
+    (boilerplate) hot-spot the index at scale: one shingle shared by k docs
+    produces k² join rows. `max_df` caps that — shingles appearing in more
+    than `max_df` documents are dropped from BOTH the index and the per-doc
+    sizes, so the result is exact Jaccard over the non-boilerplate shingle
+    space (the standard stop-shingle semantics). Default None = off, exact
+    Jaccard over all shingles.
     """
     sh = fan_out(docs).select(
         F.col(id_col).alias("i"), F.explode(shingles(text_col, n)).alias("s")
     ).persist()  # the inverted index feeds both self-join sides AND the
     # per-doc sizes — materialize once (MEMORY_AND_DISK, spills at scale)
     # instead of re-exploding the corpus three times
+    if max_df is not None:
+        # Hot shingles are few by definition (high df ⇒ boilerplate), so the
+        # stop-list broadcast-anti-joins against the index without a shuffle.
+        hot = (
+            sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti").persist()
     sizes = sh.groupBy(F.col("i").alias("_id")).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -196,10 +222,13 @@ def simhash_signatures(
             nonempty = lens > 0
             votes = np.zeros((len(pdf), 64), dtype=np.int64)
             if hs.size:
-                # reduceat needs strictly valid offsets; empty docs reuse the
-                # next doc's start and are zeroed via the mask below
-                seg = np.add.reduceat(bits, np.minimum(starts, len(hs) - 1), axis=0)
-                votes[nonempty] = seg[nonempty]
+                # reduceat over the offsets of NON-EMPTY docs only: those
+                # are strictly increasing and strictly < len(hs), so every
+                # segment is exactly one doc's shingles. (Clamping all-doc
+                # offsets instead shifts the last doc's boundary whenever a
+                # batch ends with empty docs — wrong signatures.)
+                seg = np.add.reduceat(bits, starts[nonempty], axis=0)
+                votes[nonempty] = seg
             sigs = np.bitwise_or.reduce(
                 ((votes * 2 > lens[:, None]).astype(np.uint64)) << shift, axis=1
             )

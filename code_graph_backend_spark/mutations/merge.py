@@ -72,7 +72,10 @@ def merge_nodes(
     cols = existing.columns
     assert set(batch.columns) == set(cols), "merge requires identical schemas"
     b = batch.select(*[F.col(c).alias(f"_b_{c}") for c in cols])
-    cond = [F.col(c) == F.col(f"_b_{c}") for c in key]
+    # eqNullSafe: a null key column (e.g. edges without props['pos'] when
+    # merging with_pos) must MATCH a null on the other side — plain equality
+    # never matches null=null, which would duplicate such rows on re-merge.
+    cond = [F.col(c).eqNullSafe(F.col(f"_b_{c}")) for c in key]
 
     joined = existing.join(b, cond, "full_outer")
     out_cols = []
@@ -88,8 +91,11 @@ def merge_nodes(
 
     if not with_metrics:
         return result
-    matched = existing.join(batch.select(*key).distinct(), list(key), "left_semi").count()
-    inserted = batch.join(existing.select(*key).distinct(), list(key), "left_anti").count()
+    bk = batch.select(*[F.col(c).alias(f"_k_{c}") for c in key]).distinct()
+    ek = existing.select(*[F.col(c).alias(f"_k_{c}") for c in key]).distinct()
+    kcond = [F.col(c).eqNullSafe(F.col(f"_k_{c}")) for c in key]
+    matched = existing.join(bk, kcond, "left_semi").count()
+    inserted = batch.join(ek, kcond, "left_anti").count()
     return result, MergeMetrics(matched, inserted)
 
 

@@ -92,7 +92,15 @@ class CodeGraphService:
         paths = traversal.find_paths(
             self.spark, g.edges, src, dest, edge_type="CALLS", max_depth=max_depth
         ).collect()
-        node_rows = {r["id"]: _encode_node(r) for r in g.nodes.collect()}
+        # Collect ONLY the nodes appearing on the returned paths (bounded by
+        # path count × depth), never the whole nodes table — at 100 TB the
+        # full collect is a driver OOM. The IN-list filter pushes to the
+        # parquet scan; result size == len(path_ids).
+        path_ids = sorted({nid for p in paths for nid in p["path"]})
+        node_rows = {
+            r["id"]: _encode_node(r)
+            for r in g.nodes.filter(F.col("id").isin(path_ids)).collect()
+        } if path_ids else {}
         out = []
         for p in paths:
             ids = p["path"]

@@ -70,11 +70,23 @@ def get_spark(
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-provided parquet table (TESTDATA.md).
 
-    `events.ts` is TIMESTAMP(NANOS) in the files; with nanosAsLong it
-    arrives as long — normalize to a microsecond timestamp (floor), which
-    is what DuckDB's TIMESTAMP cast yields too.
+    `events.ts` is TIMESTAMP(NANOS) in the files, which Spark's reader
+    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set. The
+    conf is runtime-settable, and callers may hand us a foreign
+    SparkSession built without it (the correctness driver does exactly
+    that), so set it here — at read time — rather than relying on our own
+    session factory. With nanosAsLong the column arrives as long;
+    normalize to a microsecond timestamp (floor), which is what DuckDB's
+    TIMESTAMP cast yields too.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    except Exception:
+        # Conf rejected (unlikely) or scan failed under legacy mode: fall
+        # back to an explicit-schema read so a foreign session still works.
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

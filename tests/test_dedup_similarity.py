@@ -116,3 +116,47 @@ def test_ivf_topk_recall_at_10(emb):
     # probing 6/16 cells: recall well above the ~37% probe fraction because
     # true neighbors concentrate in the query's nearest cells
     assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+
+def test_shingles_short_and_empty_docs(spark):
+    """Docs with fewer than n tokens must yield empty shingle sets, not
+    crash (sequence(0, size-n) counts downward for short docs)."""
+    d = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "a b c d e f g h"), (4, "only one two")],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_jaccard_pairs(d, threshold=0.0).collect()
+    # short/empty docs produce no shingles => appear in no pair; no crash
+    ids = {x for r in out for x in (r["i"], r["j"])}
+    assert ids <= {3, 4}
+    sigs = dedup.minhash_signatures(d).collect()
+    assert {r["doc_id"] for r in sigs} == {3, 4}  # shingle-less docs drop out
+    lsh = dedup.minhash_lsh_candidates(d).collect()
+    assert all(r["i"] in (3, 4) and r["j"] in (3, 4) for r in lsh)
+
+
+def test_simhash_signature_stable_across_batch_layout(spark):
+    """A doc's simhash must not depend on whether empty docs follow it in
+    the same Arrow batch (reduceat offset bug regression)."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    solo = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    trailing_empties = spark.createDataFrame(
+        [(1, text), (2, ""), (3, "x")], "doc_id long, text string"
+    ).coalesce(1)  # force one batch so 1 is followed by shingle-less docs
+    sig_solo = dedup.simhash_signatures(solo).collect()[0]["sh"]
+    sigs = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures(trailing_empties).collect()}
+    assert sigs[1] == sig_solo
+    assert sigs[2] == 0 and sigs[3] == 0
+
+
+def test_ngram_jaccard_max_df_bounds_hot_shingle(spark):
+    """A boilerplate shingle shared by every doc must not blow up the pair
+    space when max_df caps it."""
+    boiler = "this is standard header text"
+    rows = [(i, f"{boiler} unique words {i} payload {i * 7} tail {i * 13}") for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # without the cap: the boilerplate shingles pair everything with everything
+    uncapped = dedup.ngram_jaccard_pairs(d, threshold=0.01).count()
+    capped = dedup.ngram_jaccard_pairs(d, threshold=0.01, max_df=5).count()
+    assert capped < uncapped
+    assert capped == 0  # unique remainders share no rare shingle

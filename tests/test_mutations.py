@@ -145,3 +145,24 @@ def test_replay_is_change_gated(spark, oplog_world):
     batch = head.nodes.limit(0)
     merged, m = merge_nodes(head.nodes, batch, key=("id",), with_metrics=True)
     assert not m.changed
+
+
+def test_merge_edges_null_pos_idempotent(spark):
+    """Edges whose props lack 'pos' have null _pos on both sides of the
+    with_pos merge key; eqNullSafe must match them so re-merging the same
+    batch is idempotent (no duplicates)."""
+    from code_graph_backend_spark.mutations.merge import merge_edges
+
+    schema = "src long, dst long, type string, props map<string,string>"
+    existing = spark.createDataFrame(
+        [(1, 2, "CALLS", {"pos": "7"}), (1, 3, "DEFINES", {})], schema
+    )
+    batch = spark.createDataFrame(
+        [(1, 2, "CALLS", {"pos": "7"}), (1, 3, "DEFINES", {"x": "1"})], schema
+    )
+    once = merge_edges(existing, batch, with_pos=True)
+    assert once.count() == 2
+    twice = merge_edges(once, batch, with_pos=True)
+    assert twice.count() == 2  # re-merge upserts, never duplicates
+    props = {(r["src"], r["dst"]): r["props"] for r in twice.collect()}
+    assert props[(1, 3)].get("x") == "1"
