@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from code_graph_backend_spark import registry
 from code_graph_backend_spark import registry_ext  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext2  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext3  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:

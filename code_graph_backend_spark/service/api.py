@@ -150,7 +150,7 @@ class CodeGraphService:
         from ..sources.source_scan import scan_source_tree
 
         name = name or path.rstrip("/").rsplit("/", 1)[-1]
-        files = scan_source_tree(self.spark, path, exts=(".py",))
+        files = scan_source_tree(self.spark, path, exts=(".py", ".java", ".cs"))
         nodes, edges = analyze_python_files(self.spark, files)
         g = PropertyGraph(self.spark, name, nodes, edges, root=self.root)
         g.save()

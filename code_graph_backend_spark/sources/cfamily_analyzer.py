@@ -1,0 +1,401 @@
+"""S2 (Java / C#): C-family source → PARSE_SCHEMA rows.
+
+Reference pipeline (api/analyzers/java/analyzer.py:41-107,
+csharp/analyzer.py:33-110): tree-sitter finds class/interface/enum/struct/
+method/constructor declarations; symbol captures record base classes,
+implemented interfaces, invocations, parameter and return types; the edge
+mapping is base_class→EXTENDS, implement_interface→IMPLEMENTS,
+extend_interface→EXTENDS, call→CALLS(line,text), parameters→PARAMETERS,
+return_type→RETURNS (source_analyzer.py:156-169). Unresolved symbols are
+skipped (source_analyzer.py:155-157) — no external nodes, unlike Python.
+
+This implementation: the container has no tree-sitter, so declarations are
+found with a brace-aware scanner over comment/string-stripped source —
+offsets are preserved during stripping, so line numbers and nesting
+(brace-depth + span containment) are exact. The heuristic parser is a
+documented divergence in *mechanism*; the emitted row shape and label/edge
+inventory match the reference. The kernels are pure functions: the Spark
+entry point is the shared dispatching `parse_files` in source code —
+mapInPandas over the binaryFile scan, one parse per file, no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+# -- language specs ----------------------------------------------------------
+
+_JAVA_KEYWORDS = {
+    "if", "for", "while", "switch", "catch", "return", "new", "super",
+    "this", "throw", "do", "else", "case", "break", "continue", "assert",
+    "synchronized", "try", "finally", "instanceof", "yield",
+}
+_CS_KEYWORDS = _JAVA_KEYWORDS | {
+    "foreach", "lock", "using", "checked", "unchecked", "typeof", "nameof",
+    "sizeof", "default", "when", "is", "as", "await", "get", "set", "add",
+    "remove", "init", "base",
+}
+_MODIFIERS = {
+    "public", "private", "protected", "internal", "static", "final",
+    "abstract", "sealed", "virtual", "override", "async", "readonly",
+    "partial", "extern", "unsafe", "native", "synchronized", "strictfp",
+    "default", "transient", "volatile", "new", "const",
+}
+
+_TYPE_DECL_RE = re.compile(r"\b(class|interface|enum|struct)\s+([A-Za-z_]\w*)")
+# `ReturnType name(`: two identifier-ish tokens (the first possibly generic/
+# array/dotted) separated by whitespace, immediately before an open paren.
+_METHOD_RE = re.compile(
+    r"([A-Za-z_][\w.$]*(?:\s*<[^<>;{}]{0,160}>)?(?:\s*\[\s*\])*[?]?)\s+([A-Za-z_]\w*)\s*\("
+)
+_CTOR_RE = re.compile(r"(?<![\w.$>\]])([A-Za-z_]\w*)\s*\(")
+_CALL_RE = re.compile(r"(?<![\w.$])(?:[\w.$\[\]]+\s*\.\s*)?([A-Za-z_]\w*)\s*\(")
+
+
+def _strip(source: str):
+    """Blank out comments and string/char literals, preserving offsets.
+
+    Returns (cleaned, comments) where comments is a list of
+    (start, end, text, is_line) spans in the ORIGINAL source.
+    """
+    out = list(source)
+    comments: list[tuple[int, int, str, bool]] = []
+    i, n = 0, len(source)
+    while i < n:
+        c = source[i]
+        nxt = source[i + 1] if i + 1 < n else ""
+        if c == "/" and nxt == "/":
+            j = source.find("\n", i)
+            j = n if j < 0 else j
+            comments.append((i, j, source[i:j], True))
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif c == "/" and nxt == "*":
+            j = source.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            comments.append((i, j, source[i:j], False))
+            for k in range(i, j):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j
+        elif c == "@" and nxt == '"':  # C# verbatim string: "" escapes a quote
+            j = i + 2
+            while j < n:
+                if source[j] == '"':
+                    if j + 1 < n and source[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j + 1, n)):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j + 1
+        elif c in ('"', "'"):
+            q, j = c, i + 1
+            while j < n and source[j] != q:
+                j += 2 if source[j] == "\\" else 1
+            for k in range(i, min(j + 1, n)):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j + 1
+        else:
+            i = i + 1
+    return "".join(out), comments
+
+
+def _brace_match(cleaned: str) -> dict[int, int]:
+    stack: list[int] = []
+    match: dict[int, int] = {}
+    for i, c in enumerate(cleaned):
+        if c == "{":
+            stack.append(i)
+        elif c == "}" and stack:
+            match[stack.pop()] = i
+    return match
+
+
+def _line_of(source: str, offset: int) -> int:
+    return source.count("\n", 0, offset)
+
+
+def _base_type_name(tok: str) -> str | None:
+    """`List<Foo>[]...` / `System.Console` / `ref int` → base identifier."""
+    tok = re.sub(r"<[^<>]*(?:<[^<>]*>[^<>]*)*>", "", tok)
+    tok = tok.replace("[", " ").replace("]", " ").replace("?", " ")
+    tok = tok.replace("...", " ")
+    parts = [p for p in re.split(r"[\s]+", tok.strip()) if p]
+    parts = [p for p in parts if p not in _MODIFIERS and p not in
+             ("ref", "out", "in", "params", "this", "final", "var")
+             and not p.startswith("@")]
+    if not parts:
+        return None
+    name = parts[0].split(".")[-1]
+    return name if re.fullmatch(r"[A-Za-z_]\w*", name) else None
+
+
+def _split_params(params: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in params:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _doc_before(source: str, comments, decl_start: int, line_doc: bool) -> str | None:
+    """Doc comment directly above a declaration.
+
+    Java (reference java/analyzer.py:59-63): the adjacent block comment.
+    C# (reference csharp/analyzer.py:57-67): the contiguous run of `//`
+    lines directly above, joined with newlines.
+    """
+    def _only_modifiers(gap: str) -> bool:
+        return all(
+            t in _MODIFIERS or t.startswith("@") or t.startswith("[")
+            for t in gap.split()
+        )
+
+    chain: list[str] = []
+    end_cursor = decl_start
+    for start, end, text, is_line in reversed(comments):
+        if end > end_cursor:
+            continue
+        # modifiers/annotations may sit between the doc comment and the
+        # decl keyword the regex anchored on (`/** doc */ public class X`)
+        if not _only_modifiers(source[end:end_cursor]):
+            break
+        if line_doc != is_line:
+            break
+        chain.insert(0, text)
+        end_cursor = start
+        if not line_doc:
+            break  # Java: single adjacent block comment
+    return "\n".join(chain) if chain else None
+
+
+def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
+    """Shared Java/C# kernel → PARSE_SCHEMA tuples (see python_analyzer)."""
+    is_cs = lang == "cs"
+    keywords = _CS_KEYWORDS if is_cs else _JAVA_KEYWORDS
+    cleaned, comments = _strip(source)
+    braces = _brace_match(cleaned)
+    rows: list[tuple] = []
+    src_lines = source.splitlines()
+
+    # ---- type declarations (+ their body spans) ----------------------------
+    types = []  # (kind, name, decl_off, open_off, close_off)
+    for m in _TYPE_DECL_RE.finditer(cleaned):
+        kind, name = m.group(1), m.group(2)
+        if kind == "struct" and not is_cs:
+            continue
+        open_off = cleaned.find("{", m.end())
+        if open_off < 0 or open_off not in braces:
+            continue
+        types.append((kind, name, m.start(), open_off, braces[open_off]))
+
+    def enclosing_type(off: int):
+        best = None
+        for t in types:
+            if t[3] < off <= t[4]:
+                if best is None or t[3] > best[3]:
+                    best = t
+        return best
+
+    label_of = {"class": "Class", "interface": "Interface",
+                "enum": "Enum", "struct": "Struct"}
+
+    type_rows: dict[int, tuple[str, str, int]] = {}
+    for kind, name, decl_off, open_off, close_off in types:
+        parent = enclosing_type(decl_off)
+        start = _line_of(source, decl_off)
+        end = _line_of(source, close_off)
+        doc = _doc_before(source, comments, decl_off, line_doc=is_cs)
+        pname, pstart = (None, None)
+        if parent is not None:
+            pname, pstart = parent[1], _line_of(source, parent[2])
+        rows.append(("entity", label_of[kind], name, path, start, end, doc,
+                     pname, pstart, None, None, None))
+        type_rows[decl_off] = (kind, name, start)
+
+        # ---- inheritance clause -------------------------------------------
+        header = cleaned[decl_off:open_off]
+        if is_cs:
+            # `name : Base, IFoo` — first base of a CLASS is by convention the
+            # base class; everything else implements (csharp/analyzer.py:76-95)
+            mm = re.search(r":\s*(.+)$", header, re.S)
+            if mm:
+                bases = [_base_type_name(b) for b in _split_params(mm.group(1))]
+                bases = [b for b in bases if b]
+                for pos, b in enumerate(bases):
+                    if kind == "class":
+                        # C# syntax can't distinguish base class from first
+                        # interface (reference csharp/analyzer.py:80-87 NOTE);
+                        # `cs_base` defers the EXTENDS-vs-IMPLEMENTS decision
+                        # to the resolution join, where the target's label is
+                        # known — the correction the reference delegates to LSP.
+                        k = "cs_base" if pos == 0 else "implements"
+                    elif kind == "interface":
+                        k = "extends"
+                    else:  # struct: interfaces only
+                        k = "implements"
+                    rows.append((k, None, name, path, start, end, None,
+                                 None, None, b, None, None))
+        else:
+            ext = re.search(r"\bextends\b(.*?)(?:\bimplements\b|$)", header, re.S)
+            imp = re.search(r"\bimplements\b(.*)$", header, re.S)
+            if ext:
+                for b in _split_params(ext.group(1)):
+                    bn = _base_type_name(b)
+                    if bn:
+                        rows.append(("extends", None, name, path, start, end,
+                                     None, None, None, bn, None, None))
+            if imp and kind == "class":
+                for b in _split_params(imp.group(1)):
+                    bn = _base_type_name(b)
+                    if bn:
+                        rows.append(("implements", None, name, path, start, end,
+                                     None, None, None, bn, None, None))
+
+    # ---- methods / constructors -------------------------------------------
+    depth = 0
+    depth_at = [0] * (len(cleaned) + 1)
+    for i, c in enumerate(cleaned):
+        depth_at[i] = depth
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth = max(0, depth - 1)
+    depth_at[len(cleaned)] = depth
+
+    def body_depth(t) -> int:
+        return depth_at[t[3]] + 1
+
+    methods = []  # (name, decl_off, header_end, body_open|None, body_close|None, ret, params_txt, owner)
+    seen_offsets: set[int] = set()
+    for m in _METHOD_RE.finditer(cleaned):
+        ret, name = m.group(1), m.group(2)
+        ret_base = ret.split("<")[0].split(".")[-1].strip()
+        if ret_base in keywords or name in keywords or ret_base in _MODIFIERS:
+            continue  # `public Task(` is a constructor, not a method `Task`
+        owner = enclosing_type(m.start())
+        if owner is None or depth_at[m.start()] != body_depth(owner):
+            continue  # only members declared directly in a type body
+        close = _find_paren_close(cleaned, m.end() - 1)
+        if close is None:
+            continue
+        after = _next_nonspace(cleaned, close + 1)
+        # allow `throws A, B` / generic `where` clauses between ) and { ;
+        body_open = None
+        if after is not None:
+            j = close + 1
+            while j < len(cleaned) and cleaned[j] not in "{;}":
+                j += 1
+            if j < len(cleaned) and cleaned[j] == "{":
+                body_open = j
+            elif j < len(cleaned) and cleaned[j] == ";":
+                body_open = None
+            else:
+                continue
+        methods.append((name, m.start(1), m.end() - 1, body_open,
+                        braces.get(body_open) if body_open is not None else None,
+                        ret, cleaned[m.end():close], owner, "method"))
+        seen_offsets.add(m.start(2))
+
+    for m in _CTOR_RE.finditer(cleaned):
+        name = m.group(1)
+        if m.start(1) in seen_offsets or name in keywords:
+            continue
+        owner = enclosing_type(m.start(1))
+        if owner is None or name != owner[1]:
+            continue
+        if depth_at[m.start(1)] != body_depth(owner):
+            continue
+        close = _find_paren_close(cleaned, m.end() - 1)
+        if close is None:
+            continue
+        j = close + 1
+        while j < len(cleaned) and cleaned[j] not in "{;}":
+            j += 1
+        if j >= len(cleaned) or cleaned[j] != "{":
+            continue
+        methods.append((name, m.start(1), m.end() - 1, j, braces.get(j),
+                        None, cleaned[m.end():close], owner, "ctor"))
+
+    for (name, decl_off, _hdr_end, body_open, body_close, ret, params_txt,
+         owner, mkind) in methods:
+        start = _line_of(source, decl_off)
+        end = _line_of(source, body_close if body_close is not None else decl_off)
+        label = "Constructor" if mkind == "ctor" else "Method"
+        doc = _doc_before(source, comments, decl_off, line_doc=is_cs)
+        pname, pstart = owner[1], _line_of(source, owner[2])
+        rows.append(("entity", label, name, path, start, end, doc,
+                     pname, pstart, None, None, None))
+
+        # parameters / return type (reference java/analyzer.py:96-101)
+        for p in _split_params(params_txt):
+            pn = _base_type_name(p)
+            if pn:
+                rows.append(("params", None, name, path, start, end, None,
+                             None, None, pn, None, None))
+        if mkind == "method" and ret:
+            rn = _base_type_name(ret)
+            if rn:
+                rows.append(("returns", None, name, path, start, end, None,
+                             None, None, rn, None, None))
+
+        # invocations inside the body (reference java/analyzer.py:91-95)
+        if body_open is not None and body_close is not None:
+            body = cleaned[body_open + 1 : body_close]
+            for cm in _CALL_RE.finditer(body):
+                callee = cm.group(1)
+                if callee in keywords:
+                    continue
+                pre = body[: cm.start()].rstrip()
+                if pre.endswith("new"):  # object creation, not invocation
+                    continue
+                off = body_open + 1 + cm.start(1)
+                line = _line_of(source, off)
+                text = (src_lines[line].strip()
+                        if 0 <= line < len(src_lines) else None)
+                rows.append(("call", None, name, path, start, end, None,
+                             None, None, callee, line, text))
+    return rows
+
+
+def _find_paren_close(cleaned: str, open_off: int) -> int | None:
+    depth = 0
+    for i in range(open_off, len(cleaned)):
+        if cleaned[i] == "(":
+            depth += 1
+        elif cleaned[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return None
+
+
+def _next_nonspace(cleaned: str, off: int) -> int | None:
+    for i in range(off, len(cleaned)):
+        if not cleaned[i].isspace():
+            return i
+    return None
+
+
+def parse_java_source(path: str, source: str) -> list[tuple]:
+    """Java file → PARSE_SCHEMA rows (reference java/analyzer.py:41-107)."""
+    return _parse_cfamily(path, source, "java")
+
+
+def parse_csharp_source(path: str, source: str) -> list[tuple]:
+    """C# file → PARSE_SCHEMA rows (reference csharp/analyzer.py:33-110)."""
+    return _parse_cfamily(path, source, "cs")

@@ -144,18 +144,33 @@ def parse_python_source(path: str, source: str) -> list[tuple]:
 
 
 def parse_files(files: DataFrame) -> DataFrame:
-    """files(path, content[, ...]) → PARSE_SCHEMA rows, distributed."""
+    """files(path, content[, ...]) → PARSE_SCHEMA rows, distributed.
+
+    Dispatches per file extension like the reference's analyzer registry
+    (api/analyzers/source_analyzer.py:24-29): .py → ast, .java/.cs → the
+    brace-aware C-family kernels. Unknown extensions parse to nothing.
+    """
+    from .cfamily_analyzer import parse_csharp_source, parse_java_source
+
+    parsers = {
+        "py": parse_python_source,
+        "java": parse_java_source,
+        "cs": parse_csharp_source,
+    }
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in PARSE_SCHEMA.fields]
         for pdf in batches:
             out: list[tuple] = []
             for _, r in pdf.iterrows():
+                parser = parsers.get(r["path"].rsplit(".", 1)[-1].lower())
+                if parser is None:
+                    continue
                 content = r["content"]
                 source = content.decode("utf-8", errors="replace") if isinstance(
                     content, (bytes, bytearray)
                 ) else str(content)
-                out.extend(parse_python_source(r["path"], source))
+                out.extend(parser(r["path"], source))
             yield pd.DataFrame(out, columns=cols)
 
     return files.mapInPandas(kernel, PARSE_SCHEMA)
@@ -187,10 +202,14 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         )
     )
 
-    # unresolved targets → external nodes (builtins: print, str, None, ...)
+    # unresolved targets → external nodes (builtins: print, str, None, ...).
+    # PYTHON refs only: the reference's Python analyzer materializes builtin
+    # callables as nodes (tests/test_py_analyzer.py:55-59), while Java/C#
+    # skip unresolved symbols entirely (source_analyzer.py:155-157).
     defs = ent.select("name").distinct()
     ext_nodes = (
         parsed.filter(F.col("kind").isin("call", "extends", "returns", "params"))
+        .filter(F.col("path").endswith(".py"))
         .select(F.col("target").alias("name")).distinct()
         .join(defs, "name", "left_anti")
         .select(
@@ -271,7 +290,11 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         "name", "tname"
     )
 
-    refs = parsed.filter(F.col("kind").isin("call", "extends", "returns", "params"))
+    refs = parsed.filter(
+        F.col("kind").isin(
+            "call", "extends", "returns", "params", "implements", "cs_base"
+        )
+    )
     src_resolved = refs.alias("r").join(
         ids.alias("si"),
         (F.col("r.name") == F.col("si.name"))
@@ -281,17 +304,66 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     ).select(
         F.col("si.id").alias("src"),
         F.col("r.kind").alias("kind"),
+        F.col("r.path").alias("rpath"),
         F.col("r.target").alias("target"),
         F.col("r.line").alias("line"),
         F.col("r.text").alias("text"),
     )
+
+    py_resolved = src_resolved.filter(F.col("rpath").endswith(".py")).join(
+        target_lookup, F.col("target") == F.col("tname")
+    ).select(
+        "src", F.col("target_id").alias("dst"), "kind", "line", "text",
+        F.lit(None).cast("string").alias("dst_label"),
+    )
+
+    # Java/C# resolution is TYPED, mirroring the reference's resolve_symbol
+    # dispatch (java/analyzer.py:130-136): calls resolve only to callables,
+    # type references only to type declarations; unresolved are dropped.
+    type_targets = (
+        ids.filter(F.col("label").isin("Class", "Interface", "Enum", "Struct"))
+        .filter(F.col("path") != "")
+        .groupBy("name")
+        .agg(F.min(F.struct("id", "label")).alias("s"))
+        .select(F.col("name").alias("tname"), F.col("s.id").alias("target_id"),
+                F.col("s.label").alias("dst_label"))
+    )
+    callable_targets = (
+        ids.filter(F.col("label").isin("Function", "Method", "Constructor"))
+        .filter(F.col("path") != "")
+        .groupBy("name")
+        .agg(F.min("id").alias("target_id"))
+        .select(F.col("name").alias("tname"), "target_id",
+                F.lit(None).cast("string").alias("dst_label"))
+    )
+    cf = src_resolved.filter(~F.col("rpath").endswith(".py"))
+    cf_resolved = (
+        cf.filter(F.col("kind") == "call")
+        .join(callable_targets, F.col("target") == F.col("tname"))
+        .unionByName(
+            cf.filter(F.col("kind") != "call")
+            .join(type_targets, F.col("target") == F.col("tname"))
+        )
+        .select("src", F.col("target_id").alias("dst"), "kind", "line", "text",
+                "dst_label")
+    )
+
     sym_edges = (
-        src_resolved.join(target_lookup, F.col("target") == F.col("tname"))
+        py_resolved.unionByName(cf_resolved)
         .select(
             "src",
-            F.col("target_id").alias("dst"),
+            "dst",
             F.when(F.col("kind") == "call", "CALLS")
             .when(F.col("kind") == "extends", "EXTENDS")
+            .when(F.col("kind") == "implements", "IMPLEMENTS")
+            # C# class first-base: EXTENDS unless the target resolved to an
+            # Interface (reference csharp/analyzer.py:80-87 NOTE — the
+            # correction it delegates to LSP happens here, label-aware)
+            .when(
+                F.col("kind") == "cs_base",
+                F.when(F.col("dst_label") == "Interface", "IMPLEMENTS")
+                .otherwise("EXTENDS"),
+            )
             .when(F.col("kind") == "returns", "RETURNS")
             .otherwise("PARAMETERS")
             .alias("type"),

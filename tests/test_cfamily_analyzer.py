@@ -1,0 +1,228 @@
+"""Java / C# analyzer parity tests, mirroring the reference's
+tests/test_csharp_analyzer.py:14-69 assertions (Interface/Class/Method/
+Constructor nodes, DEFINES counts, the IMPLEMENTS edge) against the full
+Spark pipeline, plus Java-specific EXTENDS/IMPLEMENTS/Enum coverage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_graph_backend_spark.sources.python_analyzer import (
+    PARSE_SCHEMA,
+    graph_from_parsed,
+)
+
+CSHARP_SRC = """\
+using System;
+
+namespace TestProject
+{
+    public interface ILogger
+    {
+        void Log(string message);
+    }
+
+    public class ConsoleLogger : ILogger
+    {
+        public void Log(string message)
+        {
+            Console.WriteLine(message);
+        }
+    }
+
+    /// <summary>
+    /// Represents a task to be executed.
+    /// </summary>
+    public class Task
+    {
+        public string Name { get; set; }
+        private ILogger _logger;
+
+        public Task(string name, ILogger logger)
+        {
+            Name = name;
+            _logger = logger;
+            _logger.Log("Task created: " + name);
+        }
+
+        public bool Execute()
+        {
+            _logger.Log("Executing: " + Name);
+            return true;
+        }
+
+        public void Abort(float delay)
+        {
+            _logger.Log("Aborting: " + Name);
+            Execute();
+        }
+    }
+}
+"""
+
+JAVA_SRC = """\
+/** Greets people. */
+public class Greeter extends Base implements Hello, Goodbye {
+    private String name;
+
+    /** ctor doc */
+    public Greeter(String name) {
+        this.name = name;
+        register(name);
+    }
+
+    public String greet(int times) {
+        register(name);
+        return name;
+    }
+}
+
+interface Hello extends Salutation {
+    void sayHello(String who);
+}
+
+interface Goodbye {
+    void sayGoodbye(String who);
+}
+
+class Base {
+    public void register(String name) {
+    }
+}
+
+enum Color { RED, GREEN }
+"""
+
+
+def _ingest(spark, files: dict[str, str]):
+    from code_graph_backend_spark.sources.python_analyzer import parse_files
+
+    rows = [(p, s.encode()) for p, s in files.items()]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    parsed = parse_files(df)
+    assert parsed.schema == PARSE_SCHEMA
+    return graph_from_parsed(spark, parsed)
+
+
+@pytest.fixture(scope="module")
+def cs_graph(spark):
+    nodes, edges = _ingest(spark, {"Program.cs": CSHARP_SRC})
+    return nodes.cache(), edges.cache()
+
+
+@pytest.fixture(scope="module")
+def java_graph(spark):
+    nodes, edges = _ingest(spark, {"Greeter.java": JAVA_SRC})
+    return nodes.cache(), edges.cache()
+
+
+def _by_label(nodes, label):
+    return nodes.filter(F.array_contains("labels", label))
+
+
+def test_csharp_entity_inventory(cs_graph):
+    nodes, _ = cs_graph
+    assert _by_label(nodes, "Interface").filter(F.col("name") == "ILogger").count() == 1
+    assert _by_label(nodes, "Class").filter(F.col("name") == "ConsoleLogger").count() == 1
+    assert _by_label(nodes, "Class").filter(F.col("name") == "Task").count() == 1
+    for m in ["Log", "Execute", "Abort"]:
+        assert nodes.filter(F.col("name") == m).count() >= 1, m
+    assert _by_label(nodes, "Constructor").filter(F.col("name") == "Task").count() == 1
+    # Java/C# never materialize external nodes for unresolved symbols
+    # (WriteLine, string, void must NOT appear)
+    assert nodes.filter(F.col("name").isin("WriteLine", "string", "void")).count() == 0
+
+
+def test_csharp_defines_edges(spark, cs_graph):
+    nodes, edges = cs_graph
+    file_ids = [r["id"] for r in _by_label(nodes, "File").collect()]
+    defines = edges.filter(F.col("type") == "DEFINES")
+    assert defines.filter(F.col("src").isin(file_ids)).count() >= 3
+    task_id = _by_label(nodes, "Class").filter(F.col("name") == "Task").collect()[0]["id"]
+    assert defines.filter(F.col("src") == task_id).count() == 3  # ctor+2 methods
+
+
+def test_csharp_implements_edge(cs_graph):
+    """ConsoleLogger-[:IMPLEMENTS]->ILogger — the cs_base label-aware
+    correction (reference csharp/analyzer.py:80-87 NOTE)."""
+    nodes, edges = cs_graph
+    ids = {r["name"]: r["id"] for r in nodes.collect()}
+    impl = edges.filter(
+        (F.col("type") == "IMPLEMENTS")
+        & (F.col("src") == ids["ConsoleLogger"])
+        & (F.col("dst") == ids["ILogger"])
+    )
+    assert impl.count() == 1
+
+
+def test_csharp_calls_and_doc(cs_graph):
+    nodes, edges = cs_graph
+    abort = nodes.filter(F.col("name") == "Abort").collect()[0]
+    execute = nodes.filter(F.col("name") == "Execute").collect()[0]
+    calls = edges.filter(
+        (F.col("type") == "CALLS")
+        & (F.col("src") == abort["id"])
+        & (F.col("dst") == execute["id"])
+    ).collect()
+    assert len(calls) == 1 and calls[0]["props"]["text"] == "Execute();"
+    task = nodes.filter((F.col("name") == "Task") & F.array_contains("labels", "Class")).collect()[0]
+    assert "Represents a task" in task["doc"]
+
+
+def test_java_inventory_and_edges(java_graph):
+    nodes, edges = java_graph
+    ids = {}
+    for r in nodes.collect():
+        ids.setdefault(r["name"], {})[r["labels"][0]] = r["id"]
+    assert "Class" in ids["Greeter"] and "Constructor" in ids["Greeter"]
+    assert "Interface" in ids["Hello"] and "Interface" in ids["Goodbye"]
+    assert "Enum" in ids["Color"]
+    assert "Method" in ids["greet"] and "Method" in ids["register"]
+
+    etypes = {
+        (r["src"], r["type"], r["dst"])
+        for r in edges.collect()
+    }
+    g = ids["Greeter"]["Class"]
+    # extends resolves to the Base class; implements to both interfaces
+    assert (g, "EXTENDS", ids["Base"]["Class"]) in etypes
+    assert (g, "IMPLEMENTS", ids["Hello"]["Interface"]) in etypes
+    assert (g, "IMPLEMENTS", ids["Goodbye"]["Interface"]) in etypes
+    # interface extends interface stays EXTENDS even though the target is an
+    # Interface (the cs_base correction must not leak into Java)
+    # Salutation is undefined => dropped, no edge and no external node
+    assert not any(t == "EXTENDS" and s == ids["Hello"]["Interface"] for s, t, _ in etypes)
+    # ctor + greet both call register
+    assert (ids["Greeter"]["Constructor"], "CALLS", ids["register"]["Method"]) in etypes
+    assert (ids["greet"]["Method"], "CALLS", ids["register"]["Method"]) in etypes
+    # params/returns resolve to type entities only (String/int dropped)
+    assert nodes.filter(F.col("name").isin("String", "int", "void")).count() == 0
+
+
+def test_java_interface_extends_resolved(spark):
+    """interface A extends B where B IS defined → EXTENDS edge (not
+    IMPLEMENTS), proving typed resolution keeps Java semantics."""
+    src = "interface B {}\ninterface A extends B {}\n"
+    nodes, edges = _ingest(spark, {"I.java": src})
+    ids = {r["name"]: r["id"] for r in nodes.filter(F.col("path") != "").collect()}
+    rows = {(r["src"], r["type"], r["dst"]) for r in edges.collect()}
+    assert (ids["A"], "EXTENDS", ids["B"]) in rows
+    assert not any(t == "IMPLEMENTS" for _, t, _ in rows)
+
+
+def test_mixed_corpus_python_unaffected(spark, fixture_graph):
+    """Ingesting a Python file alongside Java must keep the Python-side
+    behavior (external builtin nodes) intact."""
+    nodes, edges = _ingest(
+        spark,
+        {
+            "src.py": "def log(msg):\n    print(msg)\n",
+            "Base.java": "class Base { public void register(String n) { } }",
+        },
+    )
+    # print → external Function node (python semantics preserved)
+    ext = nodes.filter((F.col("name") == "print") & (F.col("path") == ""))
+    assert ext.count() == 1
+    # while String (java, unresolved) is absent
+    assert nodes.filter(F.col("name") == "String").count() == 0
