@@ -31,6 +31,11 @@ from .delete import cascade_delete
 from .merge import merge_edges, merge_nodes
 
 
+OPLOG_SCHEMA = (
+    "commit_from string, commit_to string, seq int, op string, params_json string"
+)
+
+
 @dataclass
 class OpLogEntry:
     commit_from: str
@@ -80,6 +85,22 @@ class OpLog:
             graph.nodes, graph.edges = cascade_delete(
                 spark, graph.nodes, graph.edges, params["ids"], params.get("edge_type", "DEFINES")
             )
+        elif entry.op == "delete_files":
+            # Reference delete_files (api/graph.py:408-426): UNWIND $files →
+            # MATCH (f:File {path}) → cascade over DEFINES. Params carry
+            # PATHS, not ids — the id lookup happens against the live graph
+            # at replay time, so the op is position-independent.
+            file_ids = [
+                r["id"]
+                for r in graph.nodes.filter(
+                    F.array_contains("labels", "File")
+                    & F.col("path").isin(params["paths"])
+                ).collect()
+            ]
+            if file_ids:
+                graph.nodes, graph.edges = cascade_delete(
+                    spark, graph.nodes, graph.edges, file_ids, "DEFINES"
+                )
         elif entry.op == "delete_edges":
             doomed = spark.createDataFrame(
                 [(r["src"], r["dst"], r["type"]) for r in params["rows"]],
@@ -113,7 +134,7 @@ class OpLog:
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
             [(e.commit_from, e.commit_to, e.seq, e.op, e.params_json) for e in self.entries],
-            "commit_from string, commit_to string, seq int, op string, params_json string",
+            OPLOG_SCHEMA,
         )
 
     @classmethod

@@ -10,6 +10,7 @@ dicts, `Searchable` stripped from labels.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from pyspark.sql import Row, SparkSession
@@ -18,7 +19,51 @@ from pyspark.sql import functions as F
 from ..graph.model import PropertyGraph
 from ..operators import lookups, neighbors, search, traversal
 from ..operators.aggregates import counts
-from ..sources.git_ingest import commits_df
+
+
+class RepoInfoStore:
+    """Persistent per-repo key-value side store (commit, repo_url, ...) —
+    the Spark twin of the reference's Redis `{repo}_info` hash
+    (api/info.py:9-88): a tiny single-file parquet table under the storage
+    root (SURVEY §1.6), surviving process restarts. Rows are per-repo and
+    request-sized; writes go through temp+rename so a crash never corrupts
+    the table."""
+
+    _SCHEMA = "repo string, info string"  # info = JSON dict
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.path = os.path.join(root, "_repo_info.parquet")
+
+    def _read_all(self) -> dict[str, dict]:
+        if not os.path.exists(self.path):
+            return {}
+        df = self.spark.read.schema(self._SCHEMA).parquet(self.path)
+        return {r["repo"]: json.loads(r["info"]) for r in df.collect()}
+
+    def _write_all(self, data: dict[str, dict]) -> None:
+        rows = [(k, json.dumps(v, sort_keys=True)) for k, v in sorted(data.items())]
+        df = self.spark.createDataFrame(rows, self._SCHEMA)
+        tmp = self.path + "__tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def get(self, repo: str) -> dict:
+        return self._read_all().get(repo, {})
+
+    def set(self, repo: str, **kv) -> None:
+        data = self._read_all()
+        data.setdefault(repo, {}).update(kv)
+        self._write_all(data)
+
+    def delete(self, repo: str) -> None:
+        data = self._read_all()
+        if data.pop(repo, None) is not None:
+            self._write_all(data)
 
 
 def _encode_node(row: Row) -> dict:
@@ -35,7 +80,7 @@ class CodeGraphService:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        self._info: dict[str, dict] = {}  # {repo: {commit, repo_url}} side-store
+        self._info = RepoInfoStore(spark, root)  # persistent side-store
 
     # -- read endpoints ---------------------------------------------------
 
@@ -47,7 +92,7 @@ class CodeGraphService:
         """POST /repo_info (reference api/index.py:205-248, A1+A2+side-store)."""
         g = PropertyGraph.load(self.spark, self.root, repo)
         row = counts(g.nodes, g.edges).collect()[0]
-        info = self._info.get(repo, {})
+        info = self._info.get(repo)
         return {
             "repo": repo,
             "node_count": row["node_count"],
@@ -151,6 +196,13 @@ class CodeGraphService:
 
         name = name or path.rstrip("/").rsplit("/", 1)[-1]
         files = scan_source_tree(self.spark, path, exts=(".py", ".java", ".cs"))
+        # binaryFile paths are file: URIs; store REPO-RELATIVE paths so the
+        # graph matches git-diff paths (time travel deletes/re-adds by the
+        # same key) and is portable across clones.
+        prefix = "file:" + os.path.abspath(path).rstrip("/") + "/"
+        files = files.withColumn(
+            "path", F.replace(F.col("path"), F.lit(prefix), F.lit(""))
+        )
         nodes, edges = analyze_python_files(self.spark, files)
         g = PropertyGraph(self.spark, name, nodes, edges, root=self.root)
         g.save()
@@ -159,45 +211,76 @@ class CodeGraphService:
 
     def analyze_repo(self, repo_path: str, name: str | None = None) -> dict:
         """POST /analyze_repo (reference api/index.py:383-417): sources +
-        git commit graph + side-store HEAD."""
+        full commit graph (PARENT/CHILD edges + per-transition op-logs,
+        reference git_utils.py:73-258) + side-store HEAD."""
+        from ..sources.git_history import build_commit_graph
+
         name = name or repo_path.rstrip("/").rsplit("/", 1)[-1]
         result = self.analyze_folder(repo_path, name)
-        cdf = commits_df(self.spark, repo_path)
-        commit_nodes = cdf.select(
-            F.xxhash64("hash").alias("id"),
-            F.array(F.lit("Commit")).alias("labels"),
-            F.col("hash").alias("name"),
-            F.lit("").alias("path"),
-            F.lit(None).cast("string").alias("ext"),
-            F.lit(None).cast("int").alias("src_start"),
-            F.lit(None).cast("int").alias("src_end"),
-            F.col("message").alias("doc"),
-            F.map_from_arrays(
-                F.array(F.lit("author"), F.lit("date")),
-                F.array(F.col("author"), F.col("date").cast("string")),
-            ).alias("props"),
-            F.lit(None).cast("double").alias("coverage"),
-        )
-        gg = PropertyGraph(self.spark, f"{name}_git", commit_nodes, None, root=self.root)
+        gg, log = build_commit_graph(self.spark, repo_path, name)
+        gg.root = self.root
         gg.save()
-        head = cdf.orderBy(F.desc("date")).limit(1).collect()[0]["hash"]
-        self._info[name] = {"commit": head, "repo_url": repo_path, "analyzed_at": int(time.time())}
+        self._save_oplog(name, log)
+        head = _git_head(repo_path)
+        self._info.set(name, commit=head, repo_url=repo_path,
+                       analyzed_at=int(time.time()))
         return {**result, "head": head}
 
-    def switch_commit(self, repo: str, target_commit: str, oplog, commit_path: list[str]) -> dict:
-        """POST /switch_commit (reference api/index.py:419-451, M7 replay)."""
+    def _oplog_path(self, repo: str) -> str:
+        return f"{self.root}/{repo}_git/oplog"
+
+    def _save_oplog(self, repo: str, log) -> None:
+        df = log.to_df(self.spark)
+        df.coalesce(1).write.mode("overwrite").parquet(self._oplog_path(repo))
+
+    def _load_oplog(self, repo: str):
+        from ..mutations.oplog import OPLOG_SCHEMA, OpLog
+
+        # explicit schema: an empty op-log writes no parquet part files
+        return OpLog.from_df(
+            self.spark.read.schema(OPLOG_SCHEMA).parquet(self._oplog_path(repo))
+        )
+
+    def switch_commit(self, repo: str, target_commit: str,
+                      oplog=None, commit_path: list[str] | None = None) -> dict:
+        """POST /switch_commit (reference api/index.py:419-451 +
+        git_utils.py:260-333, M7 replay).
+
+        With no explicit oplog/path, both are DERIVED: the current commit
+        from the side store, the direction by comparing commit dates, the
+        hop sequence from the stored commit chain, and the op-log from the
+        `{repo}_git` storage — exactly the reference's flow."""
+        from ..sources.git_history import derive_commit_path
+
+        if oplog is None or commit_path is None:
+            current = self._info.get(repo).get("commit")
+            if current is None:
+                raise ValueError(f"no recorded commit for {repo!r}")
+            if current == target_commit:
+                g = PropertyGraph.load(self.spark, self.root, repo)
+                n, e = g.counts()
+                return {"repo": repo, "commit": current, "nodes": n, "edges": e}
+            gg = PropertyGraph.load(self.spark, self.root, f"{repo}_git")
+            commit_path = derive_commit_path(gg, current, target_commit)
+            oplog = self._load_oplog(repo)
         g = PropertyGraph.load(self.spark, self.root, repo)
         g = oplog.replay_path(g, commit_path)
         g.save()
-        self._info.setdefault(repo, {})["commit"] = target_commit
+        self._info.set(repo, commit=target_commit)
         n, e = g.counts()
         return {"repo": repo, "commit": target_commit, "nodes": n, "edges": e}
 
     def delete_repo(self, repo: str) -> dict:
         g = PropertyGraph.load(self.spark, self.root, repo)
         g.drop()
-        self._info.pop(repo, None)
+        self._info.delete(repo)
         return {"deleted": repo}
+
+
+def _git_head(repo_path: str) -> str:
+    from ..sources.git_ingest import _git
+
+    return _git(repo_path, "rev-parse", "HEAD").strip()
 
 
 def to_json(obj) -> str:

@@ -28,14 +28,16 @@ def _git(repo: str, *args: str) -> str:
 
 def commits_df(spark: SparkSession, repo: str) -> DataFrame:
     """Commit nodes (hash, author, message, date:int epoch) — reference
-    git_graph.py:45-57; ordered chain follows `date` (O1)."""
+    git_graph.py:45-57; ordered chain follows `date` (O1). `ord` is the
+    topological `git log --reverse` position — it breaks date ties between
+    commits created in the same second."""
     out = _git(repo, "log", "--reverse", "--format=%H%x1f%an%x1f%s%x1f%ct")
     rows = [
         tuple(line.split("\x1f")) for line in out.splitlines() if line.strip()
     ]
-    rows = [(h, a, m, int(d)) for h, a, m, d in rows]
+    rows = [(h, a, m, int(d), i) for i, (h, a, m, d) in enumerate(rows)]
     return spark.createDataFrame(
-        rows, "hash string, author string, message string, date long"
+        rows, "hash string, author string, message string, date long, ord int"
     )
 
 
