@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .graph.tpch import SQL_EDGES, SQL_NODES
 from .registry import register
 
 CSHARP_FIXTURE = """\
@@ -159,4 +160,78 @@ def s2_cfamily_analyzer(spark, sf_dir):
             F.coalesce(F.col(f"{t.lower()}_out"), F.lit(0)).cast("int").alias(f"{t.lower()}_out")
             for t in ["DEFINES", "CALLS", "EXTENDS", "IMPLEMENTS", "RETURNS", "PARAMETERS"]
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# M8 — switch_commit with DERIVED direction + path (reference
+# git_utils.py:260-333): the hop sequence comes from commit dates on the
+# stored chain, not from the caller; replay then applies each hop's logged
+# ops in order. A wrong derivation (direction, endpoints, hop order) yields
+# different node/edge counts and fails the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "m8_switch_commit_derived",
+    f"""
+    WITH nodes AS ({SQL_NODES}), edges AS ({SQL_EDGES}),
+    after_nodes AS (
+        SELECT id, label FROM nodes WHERE id NOT BETWEEN 40000010 AND 40000024
+        UNION ALL SELECT 72000000 + i, 'Tag' FROM generate_series(0, 3) t(i)
+        UNION ALL SELECT 72000100 + i, 'Tag' FROM generate_series(0, 1) t(i)
+    ),
+    after_edges AS (
+        SELECT * FROM edges
+        WHERE NOT (src BETWEEN 40000010 AND 40000024 OR dst BETWEEN 40000010 AND 40000024)
+          AND NOT (src = 40000000 AND dst = 40000001 AND type = 'NEXT')
+    )
+    SELECT kind, n FROM (
+        SELECT label AS kind, CAST(COUNT(*) AS BIGINT) AS n
+        FROM after_nodes GROUP BY label
+        UNION ALL
+        SELECT '_edges', CAST(COUNT(*) AS BIGINT) FROM after_edges
+    ) t
+    """,
+)
+def m8_switch_commit_derived(spark, sf_dir):
+    from .graph.model import PropertyGraph
+    from .mutations.oplog import OpLog
+    from .registry import _graph, _label
+    from .sources.git_history import derive_commit_path
+
+    nodes, edges = _graph(spark, sf_dir)
+
+    # synthetic 5-commit chain h0..h4 (dates 100..500)
+    commit_nodes = spark.createDataFrame(
+        [
+            (1000 + i, ["Commit"], f"h{i}", "", None, None, None, None,
+             {"date": str(100 * (i + 1)), "seq": str(i)}, None)
+            for i in range(5)
+        ],
+        PropertyGraph(spark, "empty").nodes.schema,
+    )
+    gg = PropertyGraph(spark, "m8_git", commit_nodes, None)
+
+    log = OpLog()
+    log.record("h4", "h3", "merge_nodes", {"rows": [
+        {"id": 72000000 + i, "labels": ["Tag", "Searchable"], "name": f"tag-{i}"}
+        for i in range(4)
+    ]})
+    log.record("h3", "h2", "delete_cascade", {"ids": [40000010], "edge_type": "NEXT"})
+    log.record("h2", "h1", "delete_edges",
+               {"rows": [{"src": 40000000, "dst": 40000001, "type": "NEXT"}]})
+    log.record("h2", "h1", "merge_nodes", {"rows": [
+        {"id": 72000100 + i, "labels": ["Tag", "Searchable"], "name": f"late-{i}"}
+        for i in range(2)
+    ]})
+
+    path = derive_commit_path(gg, "h4", "h1")
+    assert path == ["h4", "h3", "h2", "h1"], path
+    g = log.replay_path(PropertyGraph(spark, "m8_tmp", nodes, edges), path)
+    return (
+        g.nodes.groupBy(_label("labels")).agg(F.count("*").alias("n"))
+        .select(F.col("label").alias("kind"), "n")
+        .unionByName(
+            g.edges.agg(F.count("*").alias("n")).select(F.lit("_edges").alias("kind"), "n")
+        )
     )
