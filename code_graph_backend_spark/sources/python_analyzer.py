@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     IntegerType,
     StringType,
@@ -273,22 +274,33 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         )
     )
 
-    # symbol edges: resolve target by name — entity definition wins, else
-    # the external node created above (J13 name-resolution join).
-    entity_targets = (
+    # symbol edges: resolve target by name — entity definitions win over
+    # the external nodes created above (J13 name-resolution join). Among
+    # same-named entity definitions the choice is QUALIFIED: same file as
+    # the reference site first, then same package (directory), then global
+    # smallest-id — approximating the reference's LSP def-site precision
+    # (api/analyzers/analyzer.py:49-54) without an LSP process.
+    entity_cands = (
         ids.filter(F.col("label") != "File")
         .filter(F.col("path") != "")
-        .groupBy("name")
-        .agg(F.min("id").alias("target_id"))
+        .select(
+            F.col("name").alias("tname"),
+            F.col("id").alias("target_id"),
+            F.col("path").alias("tpath"),
+            F.lit(False).alias("is_ext"),
+        )
     )
-    external_targets = (
+    external_cands = (
         ids.filter((F.col("label") != "File") & (F.col("path") == ""))
-        .join(entity_targets, "name", "left_anti")
-        .select("name", F.col("id").alias("target_id"))
+        .join(entity_cands.select(F.col("tname").alias("name")), "name", "left_anti")
+        .select(
+            F.col("name").alias("tname"),
+            F.col("id").alias("target_id"),
+            F.lit("").alias("tpath"),
+            F.lit(True).alias("is_ext"),
+        )
     )
-    target_lookup = entity_targets.unionByName(external_targets).withColumnRenamed(
-        "name", "tname"
-    )
+    target_cands = entity_cands.unionByName(external_cands)
 
     refs = parsed.filter(
         F.col("kind").isin(
@@ -310,40 +322,59 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         F.col("r.text").alias("text"),
     )
 
-    py_resolved = src_resolved.filter(F.col("rpath").endswith(".py")).join(
-        target_lookup, F.col("target") == F.col("tname")
-    ).select(
-        "src", F.col("target_id").alias("dst"), "kind", "line", "text",
-        F.lit(None).cast("string").alias("dst_label"),
+    _dir = lambda c: F.regexp_extract(c, r"^(.*)/[^/]*$", 1)  # noqa: E731
+    rank = (
+        F.when(F.col("is_ext"), 3)
+        .when(F.col("tpath") == F.col("rpath"), 0)
+        .when(_dir(F.col("tpath")) == _dir(F.col("rpath")), 1)
+        .otherwise(2)
+    )
+    pick = Window.partitionBy("src", "kind", "target", "line", "text").orderBy(
+        rank.asc(), F.col("target_id").asc()
+    )
+    py_resolved = (
+        src_resolved.filter(F.col("rpath").endswith(".py"))
+        .join(target_cands, F.col("target") == F.col("tname"))
+        .withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "src", F.col("target_id").alias("dst"), "kind", "line", "text",
+            F.lit(None).cast("string").alias("dst_label"),
+        )
     )
 
     # Java/C# resolution is TYPED, mirroring the reference's resolve_symbol
     # dispatch (java/analyzer.py:130-136): calls resolve only to callables,
     # type references only to type declarations; unresolved are dropped.
-    type_targets = (
+    # The same qualified (file → package → global) ranking applies.
+    type_cands = (
         ids.filter(F.col("label").isin("Class", "Interface", "Enum", "Struct"))
         .filter(F.col("path") != "")
-        .groupBy("name")
-        .agg(F.min(F.struct("id", "label")).alias("s"))
-        .select(F.col("name").alias("tname"), F.col("s.id").alias("target_id"),
-                F.col("s.label").alias("dst_label"))
+        .select(
+            F.col("name").alias("tname"), F.col("id").alias("target_id"),
+            F.col("path").alias("tpath"), F.lit(False).alias("is_ext"),
+            F.col("label").alias("dst_label"),
+        )
     )
-    callable_targets = (
+    callable_cands = (
         ids.filter(F.col("label").isin("Function", "Method", "Constructor"))
         .filter(F.col("path") != "")
-        .groupBy("name")
-        .agg(F.min("id").alias("target_id"))
-        .select(F.col("name").alias("tname"), "target_id",
-                F.lit(None).cast("string").alias("dst_label"))
+        .select(
+            F.col("name").alias("tname"), F.col("id").alias("target_id"),
+            F.col("path").alias("tpath"), F.lit(False).alias("is_ext"),
+            F.lit(None).cast("string").alias("dst_label"),
+        )
     )
     cf = src_resolved.filter(~F.col("rpath").endswith(".py"))
     cf_resolved = (
         cf.filter(F.col("kind") == "call")
-        .join(callable_targets, F.col("target") == F.col("tname"))
+        .join(callable_cands, F.col("target") == F.col("tname"))
         .unionByName(
             cf.filter(F.col("kind") != "call")
-            .join(type_targets, F.col("target") == F.col("tname"))
+            .join(type_cands, F.col("target") == F.col("tname"))
         )
+        .withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
         .select("src", F.col("target_id").alias("dst"), "kind", "line", "text",
                 "dst_label")
     )

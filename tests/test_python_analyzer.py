@@ -71,3 +71,47 @@ def test_param_return_edges(fixture_graph):
     assert ("abort", "float") in params
     assert ("abort", "Task") in returns  # resolved to the Class entity
     assert ("log", "None") in returns
+
+
+def test_qualified_resolution_prefers_local_definition(spark):
+    """Two same-named functions in different modules: a call site resolves
+    to the SAME-FILE definition first, then same-package, never just the
+    globally smallest id (approximates LSP def-site precision,
+    reference api/analyzers/analyzer.py:49-54)."""
+    from pyspark.sql import functions as F
+
+    from code_graph_backend_spark.sources.python_analyzer import (
+        graph_from_parsed,
+        parse_files,
+    )
+
+    files = {
+        "pkg_a/helper.py": "def helper():\n    return 'a'\n",
+        "pkg_a/caller.py": "def helper():\n    return 'local'\n\ndef use():\n    return helper()\n",
+        "pkg_b/helper.py": "def helper():\n    return 'b'\n",
+        "pkg_b/other.py": "def use_b():\n    return helper()\n",
+    }
+    df = spark.createDataFrame(
+        [(p, s.encode()) for p, s in files.items()], "path string, content binary"
+    )
+    nodes, edges = graph_from_parsed(spark, parse_files(df))
+    by_key = {
+        (r["name"], r["path"]): r["id"]
+        for r in nodes.filter(F.col("path") != "").collect()
+    }
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    # use() in pkg_a/caller.py → helper() in the SAME file
+    assert (by_key[("use", "pkg_a/caller.py")], by_key[("helper", "pkg_a/caller.py")]) in calls
+    # use_b() in pkg_b/other.py → helper() in the SAME PACKAGE (pkg_b)
+    assert (by_key[("use_b", "pkg_b/other.py")], by_key[("helper", "pkg_b/helper.py")]) in calls
+    # and no edge resolves across packages from those two call sites
+    srcs = {by_key[("use", "pkg_a/caller.py")], by_key[("use_b", "pkg_b/other.py")]}
+    wrong = {
+        (s, d) for (s, d) in calls
+        if s in srcs and d in (by_key[("helper", "pkg_b/helper.py")],
+                               by_key[("helper", "pkg_a/helper.py")])
+        and (s, d) not in {
+            (by_key[("use_b", "pkg_b/other.py")], by_key[("helper", "pkg_b/helper.py")]),
+        }
+    }
+    assert not wrong
