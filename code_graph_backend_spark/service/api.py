@@ -194,8 +194,21 @@ class CodeGraphService:
         from ..sources.python_analyzer import analyze_python_files
         from ..sources.source_scan import scan_source_tree
 
+        from ..sources.dependencies import add_dependency_sources
+
         name = name or path.rstrip("/").rsplit("/", 1)[-1]
-        files = scan_source_tree(self.spark, path, exts=(".py", ".java", ".cs"))
+        # S3: dependency sources (declared site-packages, extracted maven
+        # sources-jars) join the same scan; the main tree scan ignores the
+        # venv/temp_deps containers so only DECLARED deps are analyzed.
+        dep_roots = add_dependency_sources(path)
+        files = scan_source_tree(
+            self.spark, [path], exts=(".py", ".java", ".cs"),
+            ignore=("/venv/", "/temp_deps/"),
+        )
+        if dep_roots:
+            files = files.unionByName(
+                scan_source_tree(self.spark, dep_roots, exts=(".py", ".java", ".cs"))
+            )
         # binaryFile paths are file: URIs; store REPO-RELATIVE paths so the
         # graph matches git-diff paths (time travel deletes/re-adds by the
         # same key) and is portable across clones.

@@ -19,11 +19,15 @@ SUPPORTED_EXTS = (".py", ".java", ".cs")  # reference source_analyzer.py:24-29
 
 def scan_source_tree(
     spark: SparkSession,
-    root: str,
+    root: str | list[str],
     exts: tuple[str, ...] = SUPPORTED_EXTS,
     ignore: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Returns (path string, content binary, length long, ext string)."""
+    """Returns (path string, content binary, length long, ext string).
+
+    `root` may be a list — e.g. the repo tree plus S3 dependency roots
+    (sources/dependencies.py); all roots land in ONE scan node.
+    """
     df = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
