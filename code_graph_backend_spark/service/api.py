@@ -170,22 +170,98 @@ class CodeGraphService:
     def chat(self, repo: str, question: str) -> dict:
         """POST /chat (reference api/index.py:305-328): text → query.
 
-        The reference ships the ontology to an LLM that emits Cypher
-        (api/llm.py:237-267). Our deterministic stand-in compiles a small
-        set of question templates onto the same public operators — the
-        execution path (what this engine owns) is identical; swapping the
-        template matcher for an LLM is a driver-side concern.
-        """
-        q = question.lower()
-        if "how many" in q and "function" in q:
-            g = PropertyGraph.load(self.spark, self.root, repo)
-            n = lookups.by_label(g.nodes, "Function").count()
-            return {"answer": n, "query": "count(label=Function)"}
-        if "unreachable" in q or "never called" in q:
-            g = PropertyGraph.load(self.spark, self.root, repo)
-            rows = neighbors.unreachable(g.nodes, g.edges, edge_type="CALLS").collect()
-            return {"answer": [_encode_node(r) for r in rows], "query": "unreachable(CALLS)"}
-        return {"answer": None, "query": None, "error": "unsupported question template"}
+        The reference ships the ontology to an LLM that emits Cypher and
+        executes it (api/llm.py:237-267). Here the GENERATION step is the
+        deterministic compiler in service/chat.py (same ontology, a
+        ChatPlan instead of Cypher text); execution dispatches onto the
+        same public operators every endpoint uses. The returned `query` is
+        the Cypher-equivalent statement, mirroring the reference's
+        response shape."""
+        from .chat import compile_question
+
+        plan = compile_question(question)
+        if plan is None:
+            return {"answer": None, "query": None, "error": "could not compile question"}
+        g = PropertyGraph.load(self.spark, self.root, repo)
+        i, a = plan.intent, plan.args
+
+        if i == "count_label":
+            ans = lookups.by_label(g.nodes, a["label"]).count()
+        elif i == "count_nodes":
+            ans = g.nodes.count()
+        elif i == "count_edges":
+            ans = g.edges.count()
+        elif i == "count_commits":
+            gg = PropertyGraph.load(self.spark, self.root, f"{repo}_git")
+            ans = gg.nodes.filter(F.array_contains("labels", "Commit")).count()
+        elif i == "unreachable":
+            rows = neighbors.unreachable(
+                g.nodes, g.edges, edge_type="CALLS", label=a.get("label")
+            ).collect()
+            ans = [_encode_node(r) for r in rows]
+        elif i == "most_called":
+            rows = (
+                g.edges.filter(F.col("type") == "CALLS")
+                .groupBy("dst").agg(F.count("*").alias("usage_count"))
+                .join(g.nodes, F.col("dst") == g.nodes["id"])
+                .orderBy(F.desc("usage_count"), "name")
+                .limit(a["k"])
+                .select("name", "usage_count")
+                .collect()
+            )
+            ans = [{"name": r["name"], "usage_count": r["usage_count"]} for r in rows]
+        elif i == "paths":
+            ids = {r["name"]: r["id"] for r in g.nodes.filter(
+                F.col("name").isin([a["src"], a["dest"]])).collect()}
+            if a["src"] not in ids or a["dest"] not in ids:
+                return {"answer": [], "query": plan.query}
+            ans = self.find_paths(repo, ids[a["src"]], ids[a["dest"]])
+        elif i == "callers":
+            target = g.nodes.filter(F.col("name") == a["name"]).select("id")
+            rows = (
+                g.edges.filter(F.col("type") == "CALLS")
+                .join(target, g.edges["dst"] == target["id"]).drop(target["id"])
+                .join(g.nodes, F.col("src") == g.nodes["id"])
+                .collect()
+            )
+            ans = [_encode_node(r) for r in rows]
+        elif i == "callees":
+            src = g.nodes.filter(F.col("name") == a["name"]).select("id")
+            rows = (
+                g.edges.filter(F.col("type") == "CALLS")
+                .join(src, g.edges["src"] == src["id"]).drop(src["id"])
+                .join(g.nodes, F.col("dst") == g.nodes["id"])
+                .collect()
+            )
+            ans = [_encode_node(r) for r in rows]
+        elif i == "defined_in":
+            ent = g.nodes.filter(F.col("name") == a["name"]).select(F.col("id").alias("eid"))
+            rows = (
+                g.edges.filter(F.col("type") == "DEFINES")
+                .join(ent, F.col("dst") == F.col("eid"))
+                .join(g.nodes.filter(F.array_contains("labels", "File")),
+                      F.col("src") == g.nodes["id"])
+                .collect()
+            )
+            ans = [_encode_node(r) for r in rows]
+        elif i == "prefix_search":
+            ans = [_encode_node(r) for r in
+                   search.auto_complete(g.nodes, a["prefix"]).collect()]
+        elif i == "name_contains":
+            rows = (
+                lookups.by_label(g.nodes, a["label"])
+                .filter(F.col("name").contains(a["text"]))
+                .collect()
+            )
+            ans = [_encode_node(r) for r in rows]
+        elif i == "list_commits":
+            ans = self.list_commits(repo)
+        elif i == "list_label":
+            rows = lookups.by_label(g.nodes, a["label"]).limit(a["k"]).collect()
+            ans = [_encode_node(r) for r in rows]
+        else:  # pragma: no cover - compiler and dispatcher enumerate together
+            return {"answer": None, "query": plan.query, "error": "unknown intent"}
+        return {"answer": ans, "query": plan.query}
 
     # -- ingest endpoints ---------------------------------------------------
 
