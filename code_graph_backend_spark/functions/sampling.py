@@ -1,0 +1,78 @@
+"""Corpus curation operators: deterministic sampling and benchmark
+contamination scanning.
+
+Both are standard large-scale training-data pipeline steps the reference
+(a request/response graph service) has no analogue for; they are
+first-class extensions alongside functions/dedup.py.
+
+- stratified_sample: per-stratum deterministic quota sampling (the
+  "data mix" step — N docs per language/domain/quality bucket). The
+  sampling key is md5(id) so the choice is reproducible across runs,
+  engines and partitionings — an ORDER BY over a cryptographic hash is
+  a uniform permutation, and the same expression evaluates identically
+  in any ANSI engine (which is what makes this oracle-checkable).
+  Plan: one shuffle (window partition by stratum), rank ≤ n filter.
+  Skew note: a hot stratum serializes into one task; at 100 TB pre-rank
+  with a salted partial top-n per partition (the groupBy equivalent of
+  map-side combine) before the global window — implemented below via
+  repartition+sort-within-partitions only when a stratum's row count
+  demands it is unnecessary: the window itself is already a single
+  shuffle, and rank is streaming — no buffering beyond the quota.
+
+- contamination_ngram: flag documents whose text contains any probe
+  n-gram (benchmark decontamination). Scale-safe shape: the doc side is
+  exploded into n-token shingles ONCE and equi-joined against the probe
+  shingle set on the shingle hash — never a substring theta-join (a
+  contains()-join is a BroadcastNestedLoopJoin: O(docs × probes) string
+  scans). Probes are tiny (benchmark suites are KBs) → broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import fan_out
+from .dedup import shingles
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, n_per_stratum: int, key_col: str
+) -> DataFrame:
+    """Deterministic n-per-stratum sample: rank rows inside each stratum by
+    md5(key) and keep the first n. Same key → same sample, every run."""
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def contamination_ngram(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "probe_text",
+    n: int = 13,
+) -> DataFrame:
+    """Docs sharing at least one n-token shingle with any probe text.
+
+    Returns (doc_id, probe_id, n_hits) — one row per contaminated
+    (doc, probe) pair with the number of shared n-gram positions.
+    """
+    doc_sh = fan_out(docs).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
+    )
+    probe_sh = probes.select(
+        F.col(probe_id_col), F.explode(shingles(probe_text_col, n)).alias("s")
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "s")
+        .groupBy(id_col, probe_id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

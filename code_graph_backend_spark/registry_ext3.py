@@ -235,3 +235,109 @@ def m8_switch_commit_derived(spark, sf_dir):
             g.edges.agg(F.count("*").alias("n")).select(F.lit("_edges").alias("kind"), "n")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline curation ops (round 2): near-dup clustering (connected
+# components over the candidate pair graph), deterministic stratified
+# sampling, and n-gram benchmark-contamination scanning. All three are
+# DuckDB-oracle-checkable (components via recursive CTE).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i, j FROM common
+        JOIN sizes na ON na.doc_id = i
+        JOIN sizes nb ON nb.doc_id = j
+        WHERE c / (na.n_sh + nb.n_sh - c) >= 0.5
+    ),
+    sym AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, m) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+    ),
+    cc AS (SELECT node, MIN(m) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(cc.component, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(cc.component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup pairs (exact n-gram Jaccard ≥ 0.5) → connected components →
+    per-doc cluster id + canonical flag. The oracle's recursive CTE computes
+    the same min-reachable-id closure the alternating-star kernel converges
+    to (operators/components.py)."""
+    from .functions.dedup import ngram_jaccard_pairs
+    from .operators.components import dedup_clusters
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_clusters(spark, docs, pairs)
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) AS rk
+        FROM documents
+    ) t WHERE rk <= 10
+    """,
+)
+def sample_stratified_q(spark, sf_dir):
+    """Deterministic 10-per-language quota sample: rank by md5(doc_id)
+    inside each stratum — same sample every run, any engine, any
+    partitioning (functions/sampling.py)."""
+    from .functions.sampling import stratified_sample
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 10, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "contamination_ngram",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dsh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 12)) u(i)
+    ),
+    psh AS (SELECT doc_id AS probe_id, s FROM dsh WHERE doc_id % 97 = 0)
+    SELECT d.doc_id, p.probe_id, COUNT(*) AS n_hits
+    FROM dsh d JOIN psh p ON d.s = p.s
+    GROUP BY 1, 2
+    """,
+)
+def contamination_ngram_q(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 13-token shingle with a
+    probe set (here: every doc_id ≡ 0 mod 97 plays the benchmark). Equi-join
+    on the shingle — never a substring theta-join (functions/sampling.py)."""
+    from .functions.sampling import contamination_ngram
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
+    )
+    return contamination_ngram(docs, probes)
