@@ -56,41 +56,64 @@ def main() -> None:
         pass
 
     qs = e.queries()
+    # best-of-N against multi-minute external load waves (a single sample
+    # can read 5-50x high). Crucially the two base samples are taken in
+    # INTERLEAVED passes — all queries once, then all queries again — so a
+    # query's samples sit minutes apart and a load wave spanning one window
+    # inflates at most one of them (back-to-back samples both land inside
+    # the same wave and min() can't help). Pass 2 is also fully warm, which
+    # is the metric we want: query latency against the resident graph.
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    failed: set[str] = set()
+
+    def run_once(name, fn) -> None:
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+        except Exception as ex:  # a failed query is a 0-score, not a crash
+            print(f"bench: {name} failed: {ex}", file=sys.stderr)
+            failed.add(name)
+
+    def repin_graph() -> None:
+        # Drop the caches individual samples persisted (dedup/similarity/
+        # traversal intermediates accumulate across 69 queries × 2 passes),
+        # then re-materialize the resident graph so timed queries always see
+        # the same warm baseline. Runs outside any timed region.
+        try:
+            from code_graph_backend_spark.graph.tpch import build_graph
+
+            spark.catalog.clearCache()
+            g = build_graph(spark, sf_dir)
+            g.nodes.cache().count(), g.edges.cache().count()
+        except Exception:
+            pass
+
+    for _ in range(2):
+        for name, fn in qs.items():
+            if name not in failed:
+                run_once(name, fn)
+        repin_graph()
+    for name, fn in qs.items():
+        s = samples[name]
+        # discordant pair → one tie-breaker sample (only when the best
+        # sample is short enough to afford a third)
+        if (
+            name not in failed
+            and len(s) == 2
+            and max(s) / max(min(s), 1e-9) > 3
+            and min(s) <= 20.0
+        ):
+            run_once(name, fn)
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in qs.items():
-        # best-of-N: this box shows multi-minute external load waves; a
-        # single sample can read 5-50x high. Two samples always (skipped
-        # when the first is already long — bounded wall budget); a third
-        # when the first two disagree wildly, i.e. at least one sample was
-        # taken inside a load wave.
-        samples: list[float] = []
-        failed = False
-        while True:
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                df.count()
-                samples.append(time.perf_counter() - t0)
-            except Exception as ex:  # a failed query is a 0-score, not a crash
-                print(f"bench: {name} failed: {ex}", file=sys.stderr)
-                failed = True
-                break
-            if len(samples) < 2:
-                continue  # always at least 2 samples — slow queries too;
-                # a single sample taken inside a load wave reads 5-50x high
-            if (
-                len(samples) == 2
-                and max(samples) / max(min(samples), 1e-9) > 3
-                and min(samples) <= 20.0
-            ):
-                continue  # discordant: one more tie-breaker sample (only
-                # when the best sample is short enough to afford a third)
-            break
+    for name in qs:
+        s = samples[name]
         # An intermittently-failing query is a failure, not a timing — do
         # not report min() over the samples that happened to succeed.
-        dt = None if failed or not samples else min(samples)
         # None (JSON null) for failures — NaN is not valid JSON
+        dt = None if name in failed or not s else min(s)
         timings[name] = round(dt, 3) if dt is not None else None
         if dt is not None:
             total += dt

@@ -147,13 +147,16 @@ def s2_cfamily_analyzer(spark, sf_dir):
         F.col("src_start").cast("int").alias("src_start"),
         F.col("id").alias("_id"),
     )
-    for t in ["DEFINES", "CALLS", "EXTENDS", "IMPLEMENTS", "RETURNS", "PARAMETERS"]:
-        cnt = (
-            edges.filter(F.col("type") == t)
-            .groupBy("src")
-            .agg(F.count("*").alias(f"{t.lower()}_out"))
-        )
-        out = out.join(cnt, out["_id"] == cnt["src"], "left_outer").drop("src")
+    types = ["DEFINES", "CALLS", "EXTENDS", "IMPLEMENTS", "RETURNS", "PARAMETERS"]
+    # one pivot aggregate (single shuffle) instead of six join-aggregates
+    cnt = (
+        edges.filter(F.col("type").isin(types))
+        .groupBy("src")
+        .pivot("type", types)
+        .agg(F.count(F.lit(1)))
+        .select("src", *[F.col(t).alias(f"{t.lower()}_out") for t in types])
+    )
+    out = out.join(cnt, out["_id"] == cnt["src"], "left_outer").drop("src")
     return out.select(
         "label", "name", "path", "src_start",
         *[
