@@ -53,3 +53,23 @@ def test_point_lookup_filters_before_limit(spark, qs):
     assert "InMemoryTableScan" in plan
     scan = plan[plan.index("InMemoryTableScan"):]
     assert "array_contains" in scan.split("InMemoryRelation")[0]
+
+
+def test_contamination_broadcasts_probe_shingles(spark, qs):
+    """The probe side must broadcast and the match must be an equi-join on
+    the shingle — a substring theta-join (BroadcastNestedLoopJoin) is the
+    anti-pattern this operator exists to avoid."""
+    plan = _plan(qs["contamination_ngram"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_single_window_shuffle(spark, qs):
+    plan = _plan(qs["sample_stratified"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_dedup_clusters_corpus_join_no_nested_loop(spark, qs):
+    plan = _plan(qs["dedup_clusters"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
