@@ -23,8 +23,14 @@ documented.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# (edges DataFrame → {edge_type → materialized edge-set entry}); see
+# _typed_edges. Weak keys: an entry lives exactly as long as its graph.
+_EDGE_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
 
 # Rows per partition to aim for in iterative intermediates. Frontiers are
 # narrow (a few longs per row), so 100k rows ≈ a few MB — far below a
@@ -47,6 +53,39 @@ def _parts_for(n_rows: int, cap: int = 2000) -> int:
 # a 100 TB call graph never collects. This mirrors AQE's philosophy: pick
 # the physical strategy from measured sizes, not hopes.
 _LOCAL_EDGE_ROWS = 5_000_000
+
+
+def _typed_edges(edges: DataFrame, edge_type: str | None) -> dict:
+    """Memoized materialization of one type-filtered edge set.
+
+    The reference serves traversals from a graph resident in server memory;
+    our analogue is keeping each (edges-DataFrame, type) adjacency warm
+    across calls — the second `find_paths` over the same graph must not
+    re-filter, re-count and re-collect the same edge set. The memo is keyed
+    WEAKLY on the edges DataFrame object: mutations produce new DataFrames
+    (immutable lineage) so a stale hit is impossible, and entries die with
+    their graph. Entry: {"df": compact_df, "n": count, "pdf": pandas or
+    None (collected only for measured-small sets), "derived": {}} — callers
+    stash adjacency/CSR structures in "derived" so each shape is built once.
+
+    Consequence: the big-case cache is NOT unpersisted per call any more —
+    a resident typed-edge cache (bounded by the handful of edge types) is
+    the deliberate trade, matching the resident-graph serving model.
+    """
+    per = _EDGE_MEMO.setdefault(edges, {})
+    hit = per.get(edge_type)
+    if hit is not None:
+        return hit
+    e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
+    e, n = _stationary_edges(e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")))
+    entry = {
+        "df": e,
+        "n": n,
+        "pdf": e.toPandas() if n <= _LOCAL_EDGE_ROWS else None,
+        "derived": {},
+    }
+    per[edge_type] = entry
+    return entry
 
 
 def _stationary_edges(e: DataFrame) -> tuple[DataFrame, int]:
@@ -72,12 +111,16 @@ def _stationary_edges(e: DataFrame) -> tuple[DataFrame, int]:
     return e, n
 
 
-def _adjacency(e: DataFrame) -> dict[int, list[int]]:
-    """Collect a measured-small edge set into a driver-side adjacency map."""
-    pdf = e.toPandas()
-    adj: dict[int, list[int]] = {}
-    for s, d in zip(pdf["_s"], pdf["_d"]):
-        adj.setdefault(int(s), []).append(int(d))
+def _adjacency(entry: dict) -> dict[int, list[int]]:
+    """Driver-side adjacency map for a memoized small edge set (built once
+    per (graph, type); reused from entry["derived"] afterwards)."""
+    adj = entry["derived"].get("adj")
+    if adj is None:
+        pdf = entry["pdf"]
+        adj = {}
+        for s, d in zip(pdf["_s"], pdf["_d"]):
+            adj.setdefault(int(s), []).append(int(d))
+        entry["derived"]["adj"] = adj
     return adj
 
 
@@ -120,10 +163,10 @@ def find_paths(
     Returns one row per path: (path array<long> of node ids, depth int),
     ordered by (depth, path) for determinism.
     """
-    e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
-    e, n_e = _stationary_edges(e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")))
-    if n_e <= _LOCAL_EDGE_ROWS:
-        return _local_find_paths(spark, _adjacency(e), int(src_id), int(dst_id), max_depth)
+    ent = _typed_edges(edges, edge_type)
+    e, n_e = ent["df"], ent["n"]
+    if ent["pdf"] is not None:
+        return _local_find_paths(spark, _adjacency(ent), int(src_id), int(dst_id), max_depth)
 
     frontier = spark.createDataFrame(
         [(int(src_id), [int(src_id)])], "head long, path array<long>"
@@ -164,8 +207,8 @@ def find_paths(
         frontier = stepped.filter(F.col("head") != dst_id)
         n_frontier = n_stepped  # upper bound; exact value isn't worth a job
 
-    # every surviving row is checkpointed — the edge cache is loop-local
-    e.unpersist()
+    # every surviving row is checkpointed; the typed-edge cache stays
+    # resident for the next traversal over this graph (_typed_edges)
     if hits is None:
         hits = spark.createDataFrame([], "path array<long>, depth int")
     return hits.orderBy("depth", "path")
@@ -185,22 +228,26 @@ def reachable(
     each round joins only the *new* frontier against edges, so work is
     proportional to the closure, not depth × graph.
     """
-    e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
-    e, n_e = _stationary_edges(e.select(F.col("src").alias("_s"), F.col("dst").alias("_d")))
-    if n_e <= _LOCAL_EDGE_ROWS:
-        # vectorized CSR BFS: sort edges by src once, then each round is
-        # searchsorted + gather + setdiff — no per-edge Python objects
-        # (a dict-of-lists adjacency costs ~2 s/1M edges just to build)
+    ent = _typed_edges(edges, edge_type)
+    e, n_e = ent["df"], ent["n"]
+    if ent["pdf"] is not None:
+        # vectorized CSR BFS: sort edges by src once (memoized per graph),
+        # then each round is searchsorted + gather + setdiff — no per-edge
+        # Python objects (a dict-of-lists adjacency costs ~2 s/1M edges
+        # just to build)
         import numpy as np
         import pandas as pd
 
         if not seed_ids:
             return spark.createDataFrame([], "id long")
-        pdf = e.toPandas()
-        src = pdf["_s"].to_numpy(np.int64)
-        dst = pdf["_d"].to_numpy(np.int64)
-        order = np.argsort(src, kind="stable")
-        src_s, dst_s = src[order], dst[order]
+        csr = ent["derived"].get("csr")
+        if csr is None:
+            pdf = ent["pdf"]
+            src = pdf["_s"].to_numpy(np.int64)
+            dst = pdf["_d"].to_numpy(np.int64)
+            order = np.argsort(src, kind="stable")
+            csr = ent["derived"]["csr"] = (src[order], dst[order])
+        src_s, dst_s = csr
         visited = np.unique(np.asarray(list(seed_ids), dtype=np.int64))
         frontier = visited
         for _ in range(max_depth):
@@ -252,8 +299,7 @@ def reachable(
         if (depth + 1) % 8 == 0:
             visited = visited.localCheckpoint(eager=True)
         frontier = nxt
-    e.unpersist()
-    seeds.unpersist()
+    seeds.unpersist()  # typed-edge cache stays resident (_typed_edges)
     return visited
 
 
@@ -275,17 +321,18 @@ def chain_positions(
     1M-commit chain takes 20 rounds of n-row joins (n·log n total work) —
     the design that survives long histories, where frontier BFS is 1M jobs.
     """
-    e = edges if edge_type is None else edges.filter(F.col("type") == edge_type)
-    jump, n_jump = _stationary_edges(
-        e.select(F.col("src").alias("_s"), F.col("dst").alias("_d"), F.lit(1).alias("_len"))
-    )  # n_jump also sizes every squared table below (it only shrinks)
-    if n_jump <= _LOCAL_EDGE_ROWS:
+    ent = _typed_edges(edges, edge_type)
+    n_jump = ent["n"]  # n_jump also sizes every squared table below (it only shrinks)
+    jump = ent["df"].withColumn("_len", F.lit(1))
+    if ent["pdf"] is not None:
         # driver-side chain walk (out-degree ≤ 1 ⇒ the successor map is a
         # function); positions are exact, cycle-guarded by the visited check
-        succ = {}
-        pdf = jump.select("_s", "_d").toPandas()
-        for s, d in zip(pdf["_s"], pdf["_d"]):
-            succ[int(s)] = int(d)
+        succ = ent["derived"].get("succ")
+        if succ is None:
+            pdf = ent["pdf"]
+            succ = ent["derived"]["succ"] = {
+                int(s): int(d) for s, d in zip(pdf["_s"], pdf["_d"])
+            }
         pos_map, node, p = {int(src_id): 0}, int(src_id), 0
         while node != dst_id and p < max_depth:
             node = succ.get(node)
@@ -300,7 +347,6 @@ def chain_positions(
         )
 
     reach = spark.createDataFrame([(int(src_id), 0)], "node long, pos int")
-    jump0 = jump  # may be a cache (big case) — release it after the loop
     n_reach, found = 1, src_id == dst_id
     for _k in range(max(1, (max_depth).bit_length())):
         if found:
@@ -333,7 +379,6 @@ def chain_positions(
             (F.col("a._len") + F.col("b._len")).alias("_len"),
         )
         jump = j2.repartition(_parts_for(n_jump)).localCheckpoint(eager=True)
-    jump0.unpersist()
     if not found:
         return spark.createDataFrame([], "node long, pos int")
     dst_pos = reach.filter(F.col("node") == dst_id).agg(F.min("pos")).first()[0]
