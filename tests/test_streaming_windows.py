@@ -231,3 +231,64 @@ def test_streaming_oplog_apply_matches_batch_replay(spark, tmp_path):
     g_stream = state["graph"]
     assert sorted((r["id"], r["name"]) for r in g_stream.nodes.collect()) == expect_nodes
     assert sorted((r["src"], r["dst"], r["type"]) for r in g_stream.edges.collect()) == expect_edges
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode + watermark: a row arriving after the watermark passed
+    its window's end is DROPPED from the finalized result (late-data
+    semantics batch mode does not have — batch counts every row)."""
+    import datetime as dt
+
+    data_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+
+    def t(h, m):
+        return dt.datetime(2026, 1, 1, h, m, 0)
+
+    def append(rows):
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double, user_id long"
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    # window 9:00-10:00 gets two on-time rows
+    append([(t(9, 5), "click", 1.0, 1), (t(9, 40), "click", 1.0, 2)])
+
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        windows.tumbling(stream, "1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # advance event time to 10:30 → watermark 10:20 > 10:00 closes the
+    # 9:00 window at the next trigger
+    append([(t(10, 30), "click", 1.0, 3)])
+    q.processAllAvailable()
+    # LATE row for the already-closed 9:00 window: must be dropped
+    append([(t(9, 50), "click", 100.0, 4)])
+    q.processAllAvailable()
+    # advance further so every open window finalizes before we read
+    append([(t(12, 0), "click", 1.0, 5)])
+    q.processAllAvailable()
+    rows = {r["window_start"]: r for r in spark.sql("select * from late_test").collect()}
+    q.stop()
+
+    nine = rows[t(9, 0)]
+    assert nine["n_events"] == 2  # late 9:50 row excluded
+    assert float(nine["value_sum"]) == 2.0
+
+    # batch mode has no watermark: the same files count the late row
+    batch = {
+        r["window_start"]: r
+        for r in windows.tumbling(spark.read.parquet(data_dir), "1 hour").collect()
+    }
+    assert batch[t(9, 0)]["n_events"] == 3
