@@ -344,3 +344,70 @@ def contamination_ngram_q(spark, sf_dir):
         F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
     )
     return contamination_ngram(docs, probes)
+
+
+# ---------------------------------------------------------------------------
+# Corpus analytics: per-stratum distribution rollup (exact interpolated
+# percentiles) and a value histogram. Both pure JVM aggregates — at scale
+# `percentile` is one shuffle with map-side partial aggregation, and the
+# histogram is a two-level hash agg on a computed bin key. (For 100 TB
+# latency-critical paths swap `percentile` for `approx_percentile` — same
+# plan shape, sketch-merged instead of exact; the oracle pins the exact
+# variant.)
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 3) AS mean_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 3) AS p50_chars,
+           ROUND(quantile_cont(n_chars, 0.9), 3) AS p90_chars,
+           ROUND(quantile_cont(n_chars, 0.99), 3) AS p99_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_stats(spark, sf_dir):
+    """Per-language corpus distribution: doc count, mean and interpolated
+    p50/p90/p99 of document length. Spark's `percentile` and DuckDB's
+    `quantile_cont` share the linear-interpolation definition, so the
+    rollup is exactly oracle-checkable."""
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 3).alias("mean_chars"),
+            F.round(pct[0], 3).alias("p50_chars"),
+            F.round(pct[1], 3).alias("p90_chars"),
+            F.round(pct[2], 3).alias("p99_chars"),
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values (bin = floor(value/50)):
+    the canonical distribution profile, one hash aggregate."""
+    from .operators.aggregates import dec_sum
+    from .session import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("n"), dec_sum("value", 2).alias("value_sum"))
+    )
