@@ -59,6 +59,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Keep parquet scans prunable.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Bucketed-table storage (PropertyGraph.save_bucketed) lands in the
+        # warehouse dir; keep it out of the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         # The driver's events table stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert in read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -73,3 +73,27 @@ def test_stratified_sample_is_single_window_shuffle(spark, qs):
 def test_dedup_clusters_corpus_join_no_nested_loop(spark, qs):
     plan = _plan(qs["dedup_clusters"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_graph_join_has_no_exchange(spark):
+    """save_bucketed: a hop join over the bucketed layout must read both
+    sides bucket-aligned — no Exchange in the physical plan even with
+    broadcast disabled (the 100 TB case where nothing broadcasts)."""
+    from code_graph_backend_spark.graph.tpch import build_graph
+
+    g = build_graph(spark, SF)
+    nt, et = g.save_bucketed(n_buckets=4)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table(et)
+            .join(spark.table(nt), spark.table(et)["src"] == spark.table(nt)["id"])
+            .select("src", "dst", "type", "name")
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
