@@ -38,7 +38,7 @@ _PRIORITY = [
     "s2_cfamily_analyzer", "m8_switch_commit_derived",
     "f7_json_props", "w_tumbling_1h", "w_sliding_1h_30m", "w_session_30m",
     "dedup_clusters", "sample_stratified", "contamination_ngram",
-    "corpus_stats", "value_histogram",
+    "corpus_stats", "value_histogram", "text_char_entropy",
 ]
 
 

@@ -99,3 +99,46 @@ def rolling_fingerprint(text="text") -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * 31 + F.length(x), F.lit(2147483647)),
     )
+
+
+def char_entropy_kernel(id_col: str = "doc_id", text_col: str = "text"):
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the standard gibberish / encoding-damage / low-diversity
+    signal (natural prose ≈ 4 bits, repeated filler ≪ 2, random bytes ≈ 8).
+
+    Per-row math over the whole text ⇒ the scalable shape is a map-only
+    Arrow kernel (mapInPandas), not an explode of every character into a
+    corpus-wide shuffle: at 100 TB the exploded char table would be ~100×
+    the corpus. numpy does the histogram per batch; no state, no shuffle.
+
+    Returns a generator fn for `df.mapInPandas(fn, "<id> long,
+    entropy double")`; entropy is rounded to 6 dp so the driver's
+    value-hash comparison is stable against float formatting.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.zeros(len(pdf), dtype=np.float64)
+            for row, text in enumerate(pdf[text_col]):
+                s = text or ""
+                if not s:
+                    continue
+                _, counts = np.unique(np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32), return_counts=True)
+                p = counts / counts.sum()
+                out[row] = -(p * np.log2(p)).sum()
+            yield pd.DataFrame({id_col: pdf[id_col], "entropy": out.round(6)})
+
+    return kernel
+
+
+def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Apply the entropy kernel corpus-wide (see char_entropy_kernel)."""
+    from ..session import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
+        char_entropy_kernel(id_col, text_col), f"{id_col} long, entropy double"
+    )

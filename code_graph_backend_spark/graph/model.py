@@ -158,6 +158,15 @@ class PropertyGraph:
         a shared metastore on a real cluster).
         """
         nt, et = f"{self.name}_nodes_bkt", f"{self.name}_edges_bkt"
+        for t in (nt, et):
+            # an in-memory catalog forgets tables across sessions while the
+            # warehouse files survive; saveAsTable then refuses the location
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = os.path.join(
+                self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), t
+            )
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
         (
             self.nodes.write.mode("overwrite")
             .bucketBy(n_buckets, "id").sortBy("id")

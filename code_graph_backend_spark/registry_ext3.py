@@ -411,3 +411,29 @@ def value_histogram(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), dec_sum("value", 2).alias("value_sum"))
     )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    freq AS (SELECT doc_id, c, COUNT(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(n) AS t FROM freq GROUP BY 1),
+    e AS (
+        SELECT f.doc_id, -SUM((n / t) * log2(n / t)) AS ent
+        FROM freq f JOIN tot USING (doc_id) GROUP BY 1
+    )
+    SELECT d.doc_id, ROUND(COALESCE(e.ent, 0) + 0, 6) AS entropy
+    FROM documents d LEFT JOIN e USING (doc_id)
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-doc character-distribution Shannon entropy (quality signal):
+    map-only Arrow kernel — the oracle's explode-every-char shuffle is
+    exactly the plan we refuse at scale (functions/text.py)."""
+    from .functions.text import char_entropy
+    from .session import read_table
+
+    return char_entropy(read_table(spark, sf_dir, "documents"))

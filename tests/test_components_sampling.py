@@ -153,3 +153,18 @@ def test_contamination_ngram_multi_hit_counts_shared_shingles(spark):
     got = contamination_ngram(docs, probes).collect()
     assert len(got) == 1
     assert got[0]["n_hits"] == 3
+
+
+def test_char_entropy_known_values(spark):
+    from code_graph_backend_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aabb"), (2, ""), (3, "abcd"), (4, "aaaa"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["entropy"] for r in char_entropy(docs).collect()}
+    assert got[1] == 1.0   # two symbols, uniform
+    assert got[2] == 0.0
+    assert got[3] == 2.0   # four symbols, uniform
+    assert got[4] == 0.0   # single symbol
+    assert got[5] == 0.0
