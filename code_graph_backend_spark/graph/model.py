@@ -227,6 +227,17 @@ class PropertyGraph:
 
     # -- convenience -----------------------------------------------------
 
+    def register_views(self) -> tuple[str, str]:
+        """Expose the graph to raw Spark SQL as `<name>_nodes` /
+        `<name>_edges` temp views — the ANSI-SQL face of the engine (the
+        reference's users write Cypher templates; ours can write
+        `spark.sql("SELECT ... FROM g_nodes JOIN g_edges ON ...")` and get
+        the same Catalyst plans the typed operators produce)."""
+        nv, ev = f"{self.name}_nodes", f"{self.name}_edges"
+        self.nodes.createOrReplaceTempView(nv)
+        self.edges.createOrReplaceTempView(ev)
+        return nv, ev
+
     def with_label(self, label: str) -> DataFrame:
         return self.nodes.filter(F.array_contains("labels", label))
 

@@ -94,3 +94,22 @@ def test_edge_scan_partition_pruned(small_graph, spark, tmp_path):
     assert "PartitionFilters" in plan and "DEFINES" in plan, plan[:2000]
     # and the pruned scan returns exactly the DEFINES edges
     assert one_type.count() == small_graph.edges.filter(F.col("type") == "DEFINES").count()
+
+
+def test_register_views_sql_face(spark):
+    from code_graph_backend_spark.graph.model import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(1, ["Function"], "f", "a.py", None, None, None, None, None, None),
+         (2, ["Function"], "g", "a.py", None, None, None, None, None, None)],
+        PropertyGraph(spark, "x").nodes.schema,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, "CALLS", None)], PropertyGraph(spark, "x").edges.schema
+    )
+    g = PropertyGraph(spark, "viewtest", nodes, edges)
+    nv, ev = g.register_views()
+    rows = spark.sql(
+        f"SELECT n.name FROM {ev} e JOIN {nv} n ON n.id = e.dst WHERE e.type = 'CALLS'"
+    ).collect()
+    assert [r["name"] for r in rows] == ["g"]
