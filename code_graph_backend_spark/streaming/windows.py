@@ -58,6 +58,23 @@ def session(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce the event-time column to TIMESTAMP.
+
+    Parquet round-trips in this environment can surface `ts` as
+    TIMESTAMP_NTZ (isAdjustedToUTC=false) or as raw nanos (bigint);
+    `withWatermark` requires TIMESTAMP and raises
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise. Cheap cast, no-op when
+    already TIMESTAMP.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # epoch nanos
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype is not None and dtype != "timestamp":  # e.g. timestamp_ntz
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def streamify(spark, parquet_path: str, agg, watermark: str = "2 hours"):
     """Run one of the window aggs as a genuine Structured Streaming query
     over a file source; returns the DataStreamWriter (caller starts it).
@@ -66,10 +83,9 @@ def streamify(spark, parquet_path: str, agg, watermark: str = "2 hours"):
     produces, after the stream drains, the same rows as `agg(batch_df)`.
     """
     schema = spark.read.parquet(parquet_path).schema
-    stream = (
+    stream = normalize_event_time(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(parquet_path)
-        .withWatermark("ts", watermark)
-    )
+    ).withWatermark("ts", watermark)
     return agg(stream).writeStream.outputMode("append")

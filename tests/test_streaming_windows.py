@@ -63,23 +63,23 @@ def test_streaming_batch_parity(spark, tmp_path):
     """The same tumbling expression over readStream == over read (mode
     parity — the point of sharing the agg between both)."""
     src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    # events.ts may arrive as nanos-long in this container; normalize
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts may arrive as nanos-long or TIMESTAMP_NTZ; normalize
+    src = windows.normalize_event_time(src)
     data_dir = str(tmp_path / "ev")
     src.limit(500).write.parquet(data_dir)
 
-    batch = windows.tumbling(spark.read.parquet(data_dir), "1 hour").collect()
+    batch = windows.tumbling(
+        windows.normalize_event_time(spark.read.parquet(data_dir)), "1 hour"
+    ).collect()
 
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     schema = spark.read.parquet(data_dir).schema
-    stream = (
+    stream = windows.normalize_event_time(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(data_dir)
-        .withWatermark("ts", "10 hours")
-    )
+    ).withWatermark("ts", "10 hours")
     q = (
         windows.tumbling(stream, "1 hour")
         .writeStream.outputMode("complete")
