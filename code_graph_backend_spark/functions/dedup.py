@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_persist
 from ..session import fan_out
 
 
@@ -74,9 +75,9 @@ def ngram_jaccard_pairs(
     space (the standard stop-shingle semantics). Default None = off, exact
     Jaccard over all shingles.
     """
-    sh = fan_out(docs).select(
+    sh = scratch_persist(fan_out(docs).select(
         F.col(id_col).alias("i"), F.explode(shingles(text_col, n)).alias("s")
-    ).persist()  # the inverted index feeds both self-join sides AND the
+    ))  # the inverted index feeds both self-join sides AND the
     # per-doc sizes — materialize once (MEMORY_AND_DISK, spills at scale)
     # instead of re-exploding the corpus three times
     if max_df is not None:
@@ -87,7 +88,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("s")
         )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti").persist()
+        sh = scratch_persist(sh.join(F.broadcast(hot), "s", "left_anti"))
     sizes = sh.groupBy(F.col("i").alias("_id")).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -150,7 +151,8 @@ def minhash_lsh_candidates(
                 f"hash(slice(sig, b * {rows} + 1, {rows})) as bh))"
             )
         ).alias("e"),
-    ).select("i", "e.band", "e.bh").persist()
+    ).select("i", "e.band", "e.bh")
+    banded = scratch_persist(banded)
     # persist: both sides of the candidate self-join read the banded
     # signatures — without it the minhash agg runs twice
     a, b = banded.alias("a"), banded.alias("b")
@@ -260,7 +262,8 @@ def simhash_near_dup_pairs(
                 f"shiftright(sh, b * {band_bits}) & {(1 << band_bits) - 1} as bv))"
             )
         ).alias("e"),
-    ).select("i", "sh", "e.band", "e.bv").persist()
+    ).select("i", "sh", "e.band", "e.bv")
+    banded = scratch_persist(banded)
     # persist: the simhash agg is the expensive input to both join sides
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

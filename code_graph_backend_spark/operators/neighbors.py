@@ -70,19 +70,37 @@ def sub_graph(nodes: DataFrame, edges: DataFrame, limit: int = 500) -> DataFrame
     `LIMIT` without order is nondeterministic; we take the lowest-id sources
     first so repeated calls agree (contract-compatible: the reference only
     promises *some* ≤limit subgraph).
+
+    Join shape: every broadcast is REQUEST-sized. A naive
+    `seeds left-join edges left-join nodes` forces Spark to build the hash
+    side from the graph (left-outer preserves the left stream), i.e.
+    broadcast/shuffle ALL edges and ALL nodes for a ≤500-row request — at
+    100 TB that is the whole graph moving per call. Instead: inner-join
+    edges against the broadcast seed set (one pruned edge scan), semi-join
+    nodes down to the touched dst ids (one pruned node scan), and only
+    then run the left-outers between request-sized sets.
     """
-    src = nodes.orderBy("id").limit(limit).alias("s")
-    e = edges.alias("e")
-    d = nodes.alias("d")
+    src = nodes.orderBy("id").limit(limit).select("id", "name").alias("s")
+    hits = (
+        edges.join(F.broadcast(src.select(F.col("id").alias("_sid"))),
+                   edges.src == F.col("_sid"))
+        .select(F.col("src").alias("_es"), F.col("dst").alias("_ed"),
+                F.col("type").alias("_et"))
+    )
+    d = (
+        nodes.join(F.broadcast(hits.select(F.col("_ed").alias("id"))),
+                   "id", "semi")
+        .select(F.col("id").alias("_did"), F.col("name").alias("_dname"))
+    )
     return (
-        src.join(e, F.col("s.id") == F.col("e.src"), "left_outer")
-        .join(d, F.col("e.dst") == F.col("d.id"), "left_outer")
+        src.join(F.broadcast(hits), F.col("s.id") == F.col("_es"), "left_outer")
+        .join(F.broadcast(d), F.col("_ed") == F.col("_did"), "left_outer")
         .select(
             F.col("s.id").alias("src_id"),
             F.col("s.name").alias("src_name"),
-            F.col("e.type").alias("edge_type"),
-            F.col("d.id").alias("dst_id"),
-            F.col("d.name").alias("dst_name"),
+            F.col("_et").alias("edge_type"),
+            F.col("_did").alias("dst_id"),
+            F.col("_dname").alias("dst_name"),
         )
     )
 

@@ -45,6 +45,13 @@ def get_spark(
         # run interpreted (~8× slowdowns, measured). Reserve enough for the
         # whole query suite.
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # Spark's compiled-codegen-class cache defaults to 100 entries; a
+        # 70-query service session generates several classes per query, so
+        # by the time a query runs again its classes have been evicted and
+        # it pays full Janino+JIT recompilation (measured 3-7 s per query —
+        # the source of "previously fast queries got 4x slower" in long
+        # runs). Size the cache to hold the whole query surface.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # Determinism / oracle comparability
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: runtime shuffle-partition coalescing, skew-join

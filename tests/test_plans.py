@@ -75,6 +75,44 @@ def test_dedup_clusters_corpus_join_no_nested_loop(spark, qs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_subgraph_broadcasts_are_request_sized(spark, qs):
+    """J4: the left-outer chain must never build a hash side from the whole
+    graph. Every BroadcastExchange in the plan must sit over the seed set,
+    the seed-pruned edge hits, or the semi-joined dst nodes — i.e. a
+    subtree that is itself seed-filtered (contains a join back to the
+    seeds), never a bare full-relation scan."""
+    plan = _plan(qs["j4_subgraph_sample"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the full-edges/full-nodes broadcast of the old shape surfaced as a
+    # BroadcastExchange directly over an InMemoryTableScan with no join or
+    # limit below it
+    import re
+
+    for m in re.finditer(r"BroadcastExchange", plan):
+        subtree = plan[m.start():m.start() + 2500]
+        assert ("TakeOrderedAndProject" in subtree  # seeds
+                or "BroadcastHashJoin" in subtree   # seed-pruned hits / dsts
+                or "Join" in subtree), subtree[:600]
+
+
+def test_typed_edge_memo_is_bounded(spark):
+    """Resident typed-edge cache stays under its LRU cap and eviction
+    actually drops materialized state (verdict r2 item 4)."""
+    from code_graph_backend_spark.operators import traversal as tr
+
+    base = spark.range(0, 100).selectExpr(
+        "id as src", "id + 1 as dst", "'T' as type",
+        "cast(null as map<string,string>) as props")
+    dfs = [base.withColumn("tag", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(i))
+           for i in range(tr._EDGE_MEMO_CAP + 8)]
+    for df in dfs:
+        tr._typed_edges(df, "T")
+    assert tr._memo_entry_count() <= tr._EDGE_MEMO_CAP
+    # oldest entries were evicted and their state dropped
+    per_first = tr._EDGE_MEMO.get(dfs[0])
+    assert per_first is None or "T" not in per_first
+
+
 def test_bucketed_graph_join_has_no_exchange(spark):
     """save_bucketed: a hop join over the bucketed layout must read both
     sides bucket-aligned — no Exchange in the physical plan even with
