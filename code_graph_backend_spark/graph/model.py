@@ -179,6 +179,45 @@ class PropertyGraph:
         )
         return nt, et
 
+    def save_range_indexed(self, col: str = "name", n_files: int = 16) -> str:
+        """X4: range-index layout for point/range lookups on `col`
+        (reference git_graph.py:29-33, `create_node_range_index("Commit",
+        "hash")` — commit hashes are looked up point-wise on every
+        switch_commit / list_commits).
+
+        Spark analogue of a range index: write the node table
+        `repartitionByRange(col)` + `sortWithinPartitions(col)`, so each
+        parquet file covers a DISJOINT range of `col` and its footer
+        min/max statistics let a pushed `col = x` predicate skip every
+        file but one — the scan does file-count work O(1) in graph size,
+        not O(files). At 100 TB the same layout serves hash-prefix range
+        scans; re-written only when the graph is re-ingested (commit
+        history is append-mostly, so the sort cost amortizes).
+
+        Returns the directory; read back with the nodes schema.
+        """
+        d = os.path.join(self._dir, f"nodes_by_{col}")
+        tmp = d + "__tmp"
+        (
+            self.nodes.repartitionByRange(n_files, F.col(col))
+            .sortWithinPartitions(col)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.rename(tmp, d)
+        self.spark.catalog.refreshByPath(d)
+        return d
+
+    def range_indexed_nodes(self, col: str = "name") -> DataFrame:
+        """Read the `save_range_indexed` layout (falls back to the main
+        nodes table when the index was never written)."""
+        d = os.path.join(self._dir, f"nodes_by_{col}")
+        if not os.path.isdir(d):
+            return self.nodes
+        return self.spark.read.schema(NODES_SCHEMA).parquet(d)
+
     @classmethod
     def load(cls, spark: SparkSession, root: str, name: str) -> "PropertyGraph":
         d = os.path.join(root, name)

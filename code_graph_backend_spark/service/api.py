@@ -309,6 +309,10 @@ class CodeGraphService:
         gg, log = build_commit_graph(self.spark, repo_path, name)
         gg.root = self.root
         gg.save()
+        # X4: commit point-lookups (switch_commit) hit the hash-range
+        # layout — each parquet file covers a disjoint hash range, so the
+        # pushed hash predicate prunes to one file.
+        gg.save_range_indexed("name")
         self._save_oplog(name, log)
         head = _git_head(repo_path)
         self._info.set(name, commit=head, repo_url=repo_path,

@@ -113,6 +113,48 @@ def test_typed_edge_memo_is_bounded(spark):
     assert per_first is None or "T" not in per_first
 
 
+def test_commit_hash_range_index_prunes(spark, tmp_path):
+    """X4 (reference git_graph.py:29-33): the hash-range node layout must
+    give each parquet file a disjoint hash range (footer min/max => file
+    skipping) and push the hash equality into the scan."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from code_graph_backend_spark.graph.model import NODES_SCHEMA, PropertyGraph
+
+    hashes = [f"{i:040x}" for i in range(997, 0, -7)]  # unsorted-ish input
+    nodes = spark.createDataFrame(
+        [(hash(h) & 0x7FFFFFFF, ["Commit"], h, "", None, None, None, None, None, None)
+         for h in hashes],
+        NODES_SCHEMA,
+    )
+    g = PropertyGraph(spark, "xfour_git", nodes, None, root=str(tmp_path))
+    d = g.save_range_indexed("name", n_files=8)
+
+    import glob as globmod
+    ranges = []
+    for f in sorted(globmod.glob(d + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(i for i in range(len(md.schema))
+                       if md.schema.column(i).name == "name")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1  # actually split into multiple range files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint => skippable
+
+    target = hashes[3]
+    lookup = g.range_indexed_nodes("name").filter(F.col("name") == target)
+    plan = _plan(lookup)
+    assert "PushedFilters: [IsNotNull(name), EqualTo(name," in plan, plan[:1500]
+    assert lookup.count() == 1
+
+
 def test_bucketed_graph_join_has_no_exchange(spark):
     """save_bucketed: a hop join over the bucketed layout must read both
     sides bucket-aligned — no Exchange in the physical plan even with
