@@ -259,6 +259,40 @@ class CodeGraphService:
         elif i == "list_label":
             rows = lookups.by_label(g.nodes, a["label"]).limit(a["k"]).collect()
             ans = [_encode_node(r) for r in rows]
+        elif i in ("extends", "implements"):
+            et = "EXTENDS" if i == "extends" else "IMPLEMENTS"
+            target = g.nodes.filter(F.col("name") == a["name"]).select(
+                F.col("id").alias("tid"))
+            rows = (
+                g.edges.filter(F.col("type") == et)
+                .join(target, F.col("dst") == F.col("tid")).drop("tid")
+                .join(g.nodes, F.col("src") == g.nodes["id"])
+                .collect()
+            )
+            ans = [_encode_node(r) for r in rows]
+        elif i == "least_covered":
+            rows = (
+                g.nodes.filter(F.array_contains("labels", "File"))
+                .filter(F.col("coverage").isNotNull())
+                .orderBy(F.col("coverage").asc(), "name")
+                .limit(a.get("k", 10))
+                .select("name", "coverage")
+                .collect()
+            )
+            ans = [{"name": r["name"], "coverage": r["coverage"]} for r in rows]
+        elif i == "entities_in_file":
+            fnode = g.nodes.filter(
+                F.array_contains("labels", "File") & (F.col("name") == a["file"])
+            ).select(F.col("id").alias("fid"))
+            ents = g.nodes.filter(
+                F.array_contains("labels", a.get("label", "Function")))
+            rows = (
+                g.edges.filter(F.col("type") == "DEFINES")
+                .join(fnode, F.col("src") == F.col("fid")).drop("fid")
+                .join(ents, F.col("dst") == ents["id"])
+                .collect()
+            )
+            ans = [_encode_node(r) for r in rows]
         else:  # pragma: no cover - compiler and dispatcher enumerate together
             return {"answer": None, "query": plan.query, "error": "unknown intent"}
         return {"answer": ans, "query": plan.query}

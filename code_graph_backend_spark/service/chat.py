@@ -13,7 +13,10 @@ for transparency just as the reference returns its generated Cypher.
 
 from __future__ import annotations
 
+import json
+import os
 import re
+import subprocess
 from dataclasses import dataclass, field
 
 # ontology labels (reference api/llm.py ontology; SURVEY §1.2)
@@ -43,7 +46,7 @@ def _entity_name(q: str) -> str | None:
     m = re.search(r"['\"`]([\w.]+)['\"`]", q)
     if m:
         return m.group(1)
-    m = re.search(r"(?:of|calls|call|calling|does|is)\s+(?:the\s+)?([A-Za-z_]\w*)\s*(?:\(\s*\))?(?:\s|\?|$)", q)
+    m = re.search(r"(?:of|calls|call|calling|does|is|implements?|extends?|inherits? from)\s+(?:the\s+)?([A-Za-z_]\w*)\s*(?:\(\s*\))?(?:\s|\?|$)", q)
     if m and m.group(1).lower() not in _LABELS and m.group(1).lower() not in (
         "there", "many", "the", "a", "an", "it", "this", "defined",
     ):
@@ -58,12 +61,100 @@ def _label_in(q: str) -> str | None:
     return None
 
 
+# Intents the dispatcher (service/api.py `chat`) can execute; an external
+# LLM (see `_llm_compile`) may only emit these — anything else falls back
+# to the deterministic rules.
+VALID_INTENTS = frozenset({
+    "count_label", "count_nodes", "count_edges", "count_commits",
+    "unreachable", "most_called", "paths", "callers", "callees",
+    "defined_in", "prefix_search", "name_contains", "list_commits",
+    "list_label", "extends", "implements", "least_covered",
+    "entities_in_file",
+})
+
+# Ontology summary shipped to the external LLM (mirrors the reference's
+# ontology prompt, api/llm.py:25-235, compressed to the shapes our
+# dispatcher executes).
+LLM_PROMPT = (
+    "You translate questions about a code property graph into ONE JSON "
+    "object on the last line: {\"intent\": <intent>, \"args\": {...}}.\n"
+    "Node labels: File, Class, Function, Method, Interface, Enum, Struct, "
+    "Constructor, Commit. Edge types: DEFINES, CALLS, EXTENDS, IMPLEMENTS, "
+    "RETURNS, PARAMETERS, PARENT, CHILD.\n"
+    f"Valid intents: {sorted(VALID_INTENTS)}.\n"
+    "Args by intent: count_label{label}, unreachable{label}, "
+    "most_called{k}, paths{src,dest}, callers{name}, callees{name}, "
+    "defined_in{name}, prefix_search{prefix}, name_contains{label,text}, "
+    "list_label{label,k}, extends{name}, implements{name}, "
+    "least_covered{k}, entities_in_file{file,label}.\n"
+    "Question: "
+)
+
+
+def _llm_compile(question: str) -> ChatPlan | None:
+    """Optional LLM generation step (reference api/llm.py:237-267 ships the
+    ontology to a hosted model). Gated behind $CODE_GRAPH_LLM_CMD — a shell
+    command that reads the prompt on stdin and prints a JSON plan on its
+    last stdout line. Command-shaped (not URL-shaped) so any local runner
+    or API CLI plugs in without this engine assuming a vendor. Invalid or
+    missing output falls back to the deterministic compiler — the LLM can
+    only ever choose among the same executable intents."""
+    cmd = os.environ.get("CODE_GRAPH_LLM_CMD")
+    if not cmd:
+        return None
+    try:
+        out = subprocess.run(
+            cmd, shell=True, input=LLM_PROMPT + question,
+            capture_output=True, text=True, timeout=60,
+        ).stdout.strip()
+        d = json.loads(out.splitlines()[-1])
+        intent, args = d.get("intent"), d.get("args", {})
+        if intent in VALID_INTENTS and isinstance(args, dict):
+            return ChatPlan(intent, args, d.get("query", f"LLM:{intent}"))
+    except Exception:
+        pass
+    return None
+
+
 def compile_question(question: str) -> ChatPlan | None:
     """Question → ChatPlan, or None when no intent matches (the reference
     returns an empty completion then, api/prompts.py:57)."""
+    llm_plan = _llm_compile(question)
+    if llm_plan is not None:
+        return llm_plan
     q = question.lower().strip()
     name = _entity_name(question)
     label = _label_in(q)
+
+    if re.search(r"\bleast covered\b|\blowest coverage\b|\bworst coverage\b", q):
+        return ChatPlan(
+            "least_covered", {"k": 10},
+            "MATCH (f:File) WHERE f.coverage_precentage IS NOT NULL "
+            "RETURN f ORDER BY f.coverage_precentage LIMIT 10",
+        )
+
+    if re.search(r"\bimplements?\b|\bimplementations? of\b", q) and name:
+        return ChatPlan(
+            "implements", {"name": name},
+            f"MATCH (c)-[:IMPLEMENTS]->(i {{name:'{name}'}}) RETURN c",
+        )
+
+    if re.search(r"\bextends?\b|\bsubclass(?:es)? of\b|\binherits? from\b", q) and name:
+        return ChatPlan(
+            "extends", {"name": name},
+            f"MATCH (c)-[:EXTENDS]->(b {{name:'{name}'}}) RETURN c",
+        )
+
+    m = re.search(
+        r"\b(functions?|classes|methods?|interfaces?|enums?|structs?)\b\s+"
+        r"(?:defined\s+)?in\s+['\"`]?([\w./-]+\.\w+)['\"`]?", q)
+    if m:
+        lbl = _LABELS[m.group(1)] if m.group(1) in _LABELS else _LABELS.get(
+            m.group(1).rstrip("s"), "Function")
+        return ChatPlan(
+            "entities_in_file", {"file": m.group(2), "label": lbl},
+            f"MATCH (f:File {{name:'{m.group(2)}'}})-[:DEFINES]->(n:{lbl}) RETURN n",
+        )
 
     if re.search(r"\bhow many\b|\bcount\b|\bnumber of\b", q):
         if label == "Commit" or "commit" in q:

@@ -36,8 +36,50 @@ def test_compile_intents(question, intent):
     assert plan.query  # Cypher-equivalent text always present
 
 
+@pytest.mark.parametrize(
+    "question,intent,args",
+    [
+        ("what implements 'Logger'?", "implements", {"name": "Logger"}),
+        ("implementations of Logger", "implements", {"name": "Logger"}),
+        ("what extends Base?", "extends", {"name": "Base"}),
+        ("subclasses of 'Base'", "extends", {"name": "Base"}),
+        ("which classes inherit from Base", "extends", {"name": "Base"}),
+        ("what are the least covered files?", "least_covered", {"k": 10}),
+        ("functions defined in main.py", "entities_in_file",
+         {"file": "main.py", "label": "Function"}),
+        ("classes in util.py", "entities_in_file",
+         {"file": "util.py", "label": "Class"}),
+    ],
+)
+def test_compile_new_intents(question, intent, args):
+    plan = compile_question(question)
+    assert plan is not None and plan.intent == intent, (question, plan)
+    assert plan.args == args
+
+
 def test_compile_unknown_returns_none():
     assert compile_question("please order a pizza") is None
+
+
+def test_llm_hook_env_var(monkeypatch):
+    """$CODE_GRAPH_LLM_CMD overrides the deterministic compiler; invalid
+    output falls back to it (reference api/llm.py:237-267 contract)."""
+    monkeypatch.setenv(
+        "CODE_GRAPH_LLM_CMD",
+        """python -c 'import json; print(json.dumps({"intent": "callers", "args": {"name": "low"}}))'""",
+    )
+    plan = compile_question("anything at all")
+    assert plan.intent == "callers" and plan.args == {"name": "low"}
+    # invalid intent from the LLM -> deterministic fallback
+    monkeypatch.setenv(
+        "CODE_GRAPH_LLM_CMD",
+        """python -c 'print("{\\"intent\\": \\"drop_tables\\"}")'""",
+    )
+    plan = compile_question("how many edges are there?")
+    assert plan.intent == "count_edges"
+    # command failure -> fallback too
+    monkeypatch.setenv("CODE_GRAPH_LLM_CMD", "false")
+    assert compile_question("how many edges?").intent == "count_edges"
 
 
 def test_compile_extracts_names():
@@ -65,6 +107,12 @@ def top(x: int) -> int:
 class Helper:
     def run(self):
         return top(1)
+
+class Base:
+    pass
+
+class Child(Base):
+    pass
 '''
 
 
@@ -122,3 +170,22 @@ def test_chat_defined_in(chat_svc):
 def test_chat_unknown(chat_svc):
     out = chat_svc.chat("chatfix", "please order a pizza")
     assert out["answer"] is None and "error" in out
+
+
+def test_chat_extends(chat_svc):
+    out = chat_svc.chat("chatfix", "what extends Base?")
+    assert {n["name"] for n in out["answer"]} == {"Child"}
+    assert "EXTENDS" in out["query"]
+
+
+def test_chat_entities_in_file(chat_svc):
+    out = chat_svc.chat("chatfix", "functions defined in main.py")
+    assert {n["name"] for n in out["answer"]} >= {"low", "mid", "top"}
+    out = chat_svc.chat("chatfix", "classes in main.py")
+    assert {n["name"] for n in out["answer"]} == {"Helper", "Base", "Child"}
+
+
+def test_chat_least_covered(chat_svc):
+    # no lcov ingested: every coverage is null -> empty list, not an error
+    out = chat_svc.chat("chatfix", "what are the least covered files?")
+    assert out["answer"] == []
