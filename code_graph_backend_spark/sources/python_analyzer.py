@@ -40,7 +40,7 @@ from ..graph.model import node_id_expr
 
 PARSE_SCHEMA = StructType(
     [
-        StructField("kind", StringType(), False),  # entity|call|extends|returns|params
+        StructField("kind", StringType(), False),  # entity|call|extends|returns|params|import
         StructField("label", StringType(), True),  # entity: Class|Function
         StructField("name", StringType(), True),
         StructField("path", StringType(), False),
@@ -88,6 +88,46 @@ def parse_python_source(path: str, source: str) -> list[tuple]:
     except SyntaxError:
         return rows
     src_lines = source.splitlines()
+
+    def _module_suffix(level: int, module: str | None) -> str | None:
+        """Expected def-site path suffix for an imported module.
+
+        Absolute `a.b` → "a/b.py" (matched by endswith, so any repo-root
+        prefix works); relative `from ..m import f` resolves against this
+        file's directory, giving a concrete path.
+        """
+        modpart = (module or "").replace(".", "/")
+        if level == 0:
+            return modpart + ".py" if modpart else None
+        base = path.rsplit("/", 1)[0] if "/" in path else ""
+        for _ in range(level - 1):
+            base = base.rsplit("/", 1)[0] if "/" in base else ""
+        if not modpart:
+            return None
+        return (base + "/" if base else "") + modpart + ".py"
+
+    # import bindings (J13 second half: the reference's LSP follows import
+    # chains to the def-site, api/analyzers/analyzer.py:49-54; we record
+    # the binding and let the resolution join follow it). Row shape:
+    # name=local binding, target=original symbol (None for module
+    # imports), text=expected def-site path suffix.
+    for sub in ast.walk(tree):
+        if isinstance(sub, ast.ImportFrom):
+            suffix = _module_suffix(sub.level, sub.module)
+            for a in sub.names:
+                if a.name == "*":
+                    continue
+                rows.append(
+                    ("import", None, a.asname or a.name, path, None, None,
+                     None, None, None, a.name, None, suffix)
+                )
+        elif isinstance(sub, ast.Import):
+            for a in sub.names:
+                binding = a.asname or a.name.split(".")[0]
+                rows.append(
+                    ("import", None, binding, path, None, None, None,
+                     None, None, None, None, _module_suffix(0, a.name))
+                )
 
     def visit(node, parent_name: str | None, parent_start: int | None):
         for child in ast.iter_child_nodes(node):
@@ -182,6 +222,31 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     parsed = parsed.cache()
     ent = parsed.filter(F.col("kind") == "entity")
 
+    # Import-aware reference rewrite (J13): each file's import bindings
+    # (alias → original name + module path suffix) follow `import x as y` /
+    # `from m import f` chains, the cheap equivalent of the reference's
+    # LSP def-site resolution for the common cross-module case.
+    imports = parsed.filter(F.col("kind") == "import").select(
+        F.col("path").alias("ipath"), F.col("name").alias("alias"),
+        F.col("target").alias("iorig"), F.col("text").alias("isuffix"),
+    ).distinct()
+    _REF_KINDS = ("call", "extends", "returns", "params", "implements", "cs_base")
+    refs_eff = (
+        parsed.filter(F.col("kind").isin(*_REF_KINDS)).alias("r")
+        .join(
+            imports,
+            (F.col("r.path") == F.col("ipath"))
+            & (F.col("r.target") == F.col("alias")),
+            "left_outer",
+        )
+        .select(
+            "r.*",
+            # aliased binding: the def-site's real name, not the alias
+            F.coalesce(F.col("iorig"), F.col("r.target")).alias("eff_target"),
+            F.col("isuffix").alias("imp_suffix"),
+        )
+    )
+
     # entity nodes (labels + Searchable, reference api/graph.py:250,400)
     ent_nodes = ent.select(
         F.array(F.col("label"), F.lit("Searchable")).alias("labels"),
@@ -209,9 +274,9 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     # skip unresolved symbols entirely (source_analyzer.py:155-157).
     defs = ent.select("name").distinct()
     ext_nodes = (
-        parsed.filter(F.col("kind").isin("call", "extends", "returns", "params"))
+        refs_eff.filter(F.col("kind").isin("call", "extends", "returns", "params"))
         .filter(F.col("path").endswith(".py"))
-        .select(F.col("target").alias("name")).distinct()
+        .select(F.col("eff_target").alias("name")).distinct()
         .join(defs, "name", "left_anti")
         .select(
             F.array(F.lit("Function"), F.lit("Searchable")).alias("labels"),
@@ -302,12 +367,7 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     )
     target_cands = entity_cands.unionByName(external_cands)
 
-    refs = parsed.filter(
-        F.col("kind").isin(
-            "call", "extends", "returns", "params", "implements", "cs_base"
-        )
-    )
-    src_resolved = refs.alias("r").join(
+    src_resolved = refs_eff.alias("r").join(
         ids.alias("si"),
         (F.col("r.name") == F.col("si.name"))
         & (F.col("r.path") == F.col("si.path"))
@@ -317,14 +377,24 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         F.col("si.id").alias("src"),
         F.col("r.kind").alias("kind"),
         F.col("r.path").alias("rpath"),
-        F.col("r.target").alias("target"),
+        F.col("r.eff_target").alias("target"),
+        F.col("r.imp_suffix").alias("imp_suffix"),
         F.col("r.line").alias("line"),
         F.col("r.text").alias("text"),
     )
 
     _dir = lambda c: F.regexp_extract(c, r"^(.*)/[^/]*$", 1)  # noqa: E731
+    # an explicit import binding is the strongest evidence — the def in
+    # the imported module beats even a same-file candidate (LSP would
+    # follow the import too); then file → package → global → external.
+    imp_hit = F.col("imp_suffix").isNotNull() & (
+        F.col("tpath").endswith(F.col("imp_suffix"))
+        | F.col("tpath").endswith(
+            F.regexp_replace(F.col("imp_suffix"), r"\.py$", "/__init__.py"))
+    )
     rank = (
-        F.when(F.col("is_ext"), 3)
+        F.when(F.col("is_ext"), 4)
+        .when(imp_hit, -1)
         .when(F.col("tpath") == F.col("rpath"), 0)
         .when(_dir(F.col("tpath")) == _dir(F.col("rpath")), 1)
         .otherwise(2)

@@ -115,3 +115,90 @@ def test_qualified_resolution_prefers_local_definition(spark):
         }
     }
     assert not wrong
+
+
+def _build(spark, files: dict[str, str]):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from code_graph_backend_spark.sources.python_analyzer import (
+        graph_from_parsed,
+        parse_files,
+    )
+
+    df = spark.createDataFrame(
+        [(p, s.encode()) for p, s in files.items()], "path string, content binary"
+    )
+    return graph_from_parsed(spark, parse_files(df))
+
+
+def test_import_aware_resolution_follows_alias(spark):
+    """`from m import f as g` binds g to m.f: the call through the alias
+    resolves to the imported module's definition, beating a same-named
+    function in ANOTHER package, and no spurious external node for the
+    alias is created (reference LSP parity, api/analyzers/analyzer.py:49-54)."""
+    files = {
+        "pkg_a/util.py": "def calc():\n    return 'a'\n",
+        "pkg_b/util.py": "def calc():\n    return 'b'\n",
+        "app.py": (
+            "from pkg_a.util import calc as c\n\n"
+            "def run():\n    return c()\n"
+        ),
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("run", "app.py")], by_key[("calc", "pkg_a/util.py")]) in calls
+    assert (by_key[("run", "app.py")], by_key[("calc", "pkg_b/util.py")]) not in calls
+    # the alias itself must not materialize as an external node
+    assert ("c", "") not in by_key
+
+
+def test_import_beats_same_package_candidate(spark):
+    """An explicit `from pkg_b.util import calc` in pkg_a resolves to
+    pkg_b's def even though a same-package pkg_a/util.py candidate exists
+    (the same-named local in another module loses)."""
+    files = {
+        "pkg_a/util.py": "def calc():\n    return 'a'\n",
+        "pkg_a/app.py": (
+            "from pkg_b.util import calc\n\n"
+            "def run():\n    return calc()\n"
+        ),
+        "pkg_b/util.py": "def calc():\n    return 'b'\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("run", "pkg_a/app.py")], by_key[("calc", "pkg_b/util.py")]) in calls
+    assert (by_key[("run", "pkg_a/app.py")], by_key[("calc", "pkg_a/util.py")]) not in calls
+
+
+def test_relative_import_resolves_within_package(spark):
+    """`from .helpers import calc` in pkg/a.py resolves against pkg/ —
+    a same-named helpers module in a sibling package loses."""
+    files = {
+        "pkg/helpers.py": "def calc():\n    return 1\n",
+        "pkg/a.py": "from .helpers import calc\n\ndef run():\n    return calc()\n",
+        "other/helpers.py": "def calc():\n    return 2\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("run", "pkg/a.py")], by_key[("calc", "pkg/helpers.py")]) in calls
+    assert (by_key[("run", "pkg/a.py")], by_key[("calc", "other/helpers.py")]) not in calls
+
+
+def test_class_import_resolves_extends(spark):
+    """EXTENDS through an imported base class follows the import binding."""
+    files = {
+        "lib/base.py": "class Base:\n    pass\n",
+        "app/models.py": (
+            "from lib.base import Base\n\n"
+            "class Model(Base):\n    pass\n"
+        ),
+        "app/base.py": "class Base:\n    pass\n",  # same-package decoy
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    ext = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "EXTENDS").collect()}
+    assert (by_key[("Model", "app/models.py")], by_key[("Base", "lib/base.py")]) in ext
+    assert (by_key[("Model", "app/models.py")], by_key[("Base", "app/base.py")]) not in ext
