@@ -17,6 +17,7 @@ from code_graph_backend_spark import registry
 from code_graph_backend_spark import registry_ext  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext2  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext3  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext4  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,6 +40,8 @@ _PRIORITY = [
     "m4_propagate_coverage", "m7_oplog_replay", "mm_media_features",
     "text_fingerprint", "text_lang_pred", "text_quality_score",
     "text_token_stats", "x2_prefix_table",
+    # round-3 queries (never graded yet)
+    "pii_redact", "text_repetition", "sample_weighted",
 ]
 
 

@@ -51,6 +51,36 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum FRACTION sampling (the "data mix" knob:
+    keep 100% of wiki, 30% of web, 5% of logs). Quota per stratum =
+    ceil(weight × stratum size); rows ranked by md5(key) as in
+    `stratified_sample`, so the sample is reproducible across runs,
+    engines and partitionings.
+
+    One shuffle: both window functions (rank + stratum count) share the
+    same partitioning. Unknown strata get `default_weight`.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    w_rank = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    w_all = Window.partitionBy(strata_col)
+    mapping = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    weight = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default_weight)))
+    quota = F.ceil(weight * F.count("*").over(w_all))
+    return (
+        df.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_q", quota)
+        .filter(F.col("_rk") <= F.col("_q"))
+        .drop("_rk", "_q")
+    )
+
+
 def contamination_ngram(
     docs: DataFrame,
     probes: DataFrame,

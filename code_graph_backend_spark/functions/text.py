@@ -142,3 +142,54 @@ def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     return fan_out(docs.select(id_col, text_col)).mapInPandas(
         char_entropy_kernel(id_col, text_col), f"{id_col} long, entropy double"
     )
+
+
+def token_repetition_kernel(id_col: str = "doc_id", text_col: str = "text"):
+    """Token-repetition quality stats (the Gopher-style repetition rules,
+    adapted to token granularity): per doc — token count, distinct token
+    count, the highest single-token frequency, and the duplicate-bigram
+    ratio (1 − distinct bigrams / bigrams; ≈1 means the doc loops).
+
+    Same scale argument as char_entropy_kernel: per-row math over the
+    whole text ⇒ map-only Arrow kernel; the oracle's explode-every-token
+    corpus-wide shuffle is exactly the plan refused at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            n_tok = np.zeros(n, dtype=np.int64)
+            n_dis = np.zeros(n, dtype=np.int64)
+            top = np.zeros(n, dtype=np.int64)
+            dup_bg = np.zeros(n, dtype=np.float64)
+            for row, text in enumerate(pdf[text_col]):
+                toks = (text or "").split()
+                if not toks:
+                    continue
+                arr = np.array(toks)
+                _, counts = np.unique(arr, return_counts=True)
+                n_tok[row], n_dis[row], top[row] = len(arr), len(counts), counts.max()
+                if len(arr) > 1:
+                    bigrams = np.char.add(np.char.add(arr[:-1], " "), arr[1:])
+                    dup_bg[row] = 1.0 - len(np.unique(bigrams)) / len(bigrams)
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "n_tokens": n_tok, "n_distinct": n_dis,
+                "top_freq": top, "dup_bigram_ratio": dup_bg.round(6),
+            })
+
+    return kernel
+
+
+def token_repetition(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Apply the repetition kernel corpus-wide (see token_repetition_kernel)."""
+    from ..session import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
+        token_repetition_kernel(id_col, text_col),
+        f"{id_col} long, n_tokens long, n_distinct long, top_freq long, "
+        "dup_bigram_ratio double",
+    )

@@ -1,0 +1,130 @@
+"""Registry batch 5 (round 3): curation-pipeline operators — PII
+redaction, token-repetition quality stats, weighted data-mix sampling.
+All DuckDB-oracle-checkable; each docstring notes the 100 TB plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import read_table
+
+# The driver's synthetic documents carry no PII, so the query plants a
+# deterministic PII suffix per doc (same expression in Spark and SQL);
+# the operator then has real work to do and the oracle checks the exact
+# redacted string. The operator itself (functions/pii.py) is generic.
+_PII_SUFFIX_SQL = (
+    "' contact user' || doc_id || '@mail.example or +1 555 0' || "
+    "(doc_id % 10000) || ' at 192.168.' || (doc_id % 256) || '.7'"
+)
+
+
+@register(
+    "pii_redact",
+    f"""
+    WITH seeded AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    ),
+    redacted AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                       '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                   '\\+\\d{{1,3}} \\d{{3}} \\d{{4,8}}', '<PHONE>', 'g') AS clean_text,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+               len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+               len(regexp_extract_all(text, '\\+\\d{{1,3}} \\d{{3}} \\d{{4,8}}')) AS n_phone
+        FROM seeded
+    )
+    SELECT doc_id, clean_text,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_pii
+    FROM redacted
+    """,
+)
+def pii_redact_q(spark, sf_dir):
+    """PII redaction (functions/pii.py): JVM-side regexp_count/replace,
+    map-only — linear in corpus bytes, no shuffle, no Python worker; the
+    patterns are Java/RE2-identical so the redacted string oracle-matches
+    byte-for-byte."""
+    from .functions.pii import redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@mail.example or +1 555 0"), F.col("doc_id") % 10000,
+            F.lit(" at 192.168."), F.col("doc_id") % 256, F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded)
+
+
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    freq AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    s AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(n) AS BIGINT) AS top_freq
+        FROM freq GROUP BY 1
+    ),
+    bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+    ),
+    bgs AS (
+        SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS ndb FROM bg GROUP BY 1
+    )
+    SELECT s.doc_id, n_tokens, n_distinct, top_freq,
+           ROUND(COALESCE(1.0 - ndb / CAST(nb AS DOUBLE), 0.0), 6) AS dup_bigram_ratio
+    FROM s LEFT JOIN bgs USING (doc_id)
+    """,
+)
+def text_repetition_q(spark, sf_dir):
+    """Token-repetition quality stats (functions/text.py): map-only Arrow
+    kernel (numpy unique per doc); the oracle's explode-every-token
+    corpus-wide shuffle is exactly the plan refused at 100 TB."""
+    from .functions.text import token_repetition
+
+    return token_repetition(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_weighted",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM documents
+    ) t
+    WHERE rk <= CEIL(
+        (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 ELSE 0.1 END) * cnt)
+    """,
+)
+def sample_weighted_q(spark, sf_dir):
+    """Weighted data-mix sampling (functions/sampling.py weighted_sample):
+    keep 100%/50%/25%/10% per source, deterministically (md5 rank quota).
+    One shuffle — both windows share the stratum partitioning."""
+    from .functions.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id", default_weight=0.1,
+    ).select("doc_id", "source")

@@ -1,0 +1,73 @@
+"""Round-3 curation operators: PII redaction, token-repetition stats,
+weighted data-mix sampling (functions/pii.py, text.py, sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from code_graph_backend_spark.functions.pii import redact_pii
+from code_graph_backend_spark.functions.sampling import weighted_sample
+from code_graph_backend_spark.functions.text import token_repetition
+
+
+def test_redact_pii_patterns(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@corp.example.com now"),
+            (2, "server 10.0.255.1 and 192.168.0.7 up"),
+            (3, "call +44 555 123456 or +1 555 0199"),
+            (4, "nothing sensitive here"),
+            (5, "combo x@y.io at 8.8.8.8 +1 555 7777"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["clean_text"] == "mail <EMAIL> now"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_pii"] == 1
+    assert rows[2]["clean_text"] == "server <IP> and <IP> up"
+    assert rows[2]["n_ipv4"] == 2
+    assert rows[3]["clean_text"] == "call <PHONE> or <PHONE>"
+    assert rows[3]["n_phone"] == 2
+    assert rows[4]["clean_text"] == "nothing sensitive here" and rows[4]["n_pii"] == 0
+    assert rows[5]["clean_text"] == "combo <EMAIL> at <IP> <PHONE>"
+    assert rows[5]["n_pii"] == 3
+
+
+def test_token_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # all distinct, no dup bigrams
+            (2, "x x x x"),          # one token repeated
+            (3, "a b a b a b"),      # looping bigrams
+            (4, ""),                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_repetition(docs).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 4
+    assert rows[1]["top_freq"] == 1 and rows[1]["dup_bigram_ratio"] == 0.0
+    assert rows[2]["n_distinct"] == 1 and rows[2]["top_freq"] == 4
+    # "x x" appears 3 times -> 1 distinct of 3 bigrams
+    assert abs(rows[2]["dup_bigram_ratio"] - (1 - 1 / 3)) < 1e-6
+    # "a b","b a" alternate: 2 distinct of 5
+    assert abs(rows[3]["dup_bigram_ratio"] - (1 - 2 / 5)) < 1e-6
+    assert rows[4]["n_tokens"] == 0 and rows[4]["dup_bigram_ratio"] == 0.0
+
+
+def test_weighted_sample_quotas_and_determinism(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    weights = {"s0": 1.0, "s1": 0.5}
+    out = weighted_sample(df, "source", weights, "doc_id", default_weight=0.1)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["s0"] == 100          # keep all
+    assert per["s1"] == 50           # half
+    assert per["s2"] == 10           # default 10%
+    # deterministic: same input -> identical sample
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  weighted_sample(df, "source", weights, "doc_id", 0.1).collect())
+    assert ids1 == ids2
