@@ -45,9 +45,18 @@ _MODIFIERS = {
 _TYPE_DECL_RE = re.compile(r"\b(class|interface|enum|struct)\s+([A-Za-z_]\w*)")
 # `ReturnType name(`: two identifier-ish tokens (the first possibly generic/
 # array/dotted) separated by whitespace, immediately before an open paren.
+# The generic section allows ONE level of nesting (`Map<String,
+# List<Integer>>`) — deeper nesting in a RETURN type is vanishingly rare
+# and degrades to a missed method, not a wrong one. Bounded repetition
+# keeps the scan linear on adversarial input.
 _METHOD_RE = re.compile(
-    r"([A-Za-z_][\w.$]*(?:\s*<[^<>;{}]{0,160}>)?(?:\s*\[\s*\])*[?]?)\s+([A-Za-z_]\w*)\s*\("
+    r"([A-Za-z_][\w.$]*(?:\s*<(?:[^<>;{}]|<[^<>;{}]{0,80}>){0,80}>)?"
+    r"(?:\s*\[\s*\])*[?]?)\s+([A-Za-z_]\w*)\s*\("
 )
+
+# nested-aware `<...>` spans, for erasing generic parameter sections from
+# type-declaration headers before inheritance-clause matching
+_GENERIC_SPAN_RE = re.compile(r"<(?:[^<>]|<[^<>]*>)*>")
 _CTOR_RE = re.compile(r"(?<![\w.$>\]])([A-Za-z_]\w*)\s*\(")
 _CALL_RE = re.compile(r"(?<![\w.$])(?:[\w.$\[\]]+\s*\.\s*)?([A-Za-z_]\w*)\s*\(")
 
@@ -228,7 +237,12 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         type_rows[decl_off] = (kind, name, start)
 
         # ---- inheritance clause -------------------------------------------
-        header = cleaned[decl_off:open_off]
+        # Generic parameter sections are erased first: `class Box<T extends
+        # Number>` must not read its BOUND as an inheritance clause, and
+        # `extends Base<T>` must match on the erased name. C# `where`
+        # constraint clauses are cut for the same reason.
+        header = _GENERIC_SPAN_RE.sub("", cleaned[decl_off:open_off])
+        header = re.split(r"\bwhere\b", header)[0] if is_cs else header
         if is_cs:
             # `name : Base, IFoo` — first base of a CLASS is by convention the
             # base class; everything else implements (csharp/analyzer.py:76-95)

@@ -226,3 +226,65 @@ def test_mixed_corpus_python_unaffected(spark, fixture_graph):
     assert ext.count() == 1
     # while String (java, unresolved) is absent
     assert nodes.filter(F.col("name") == "String").count() == 0
+
+
+def test_java_generics_and_annotations(spark):
+    """The verdict-flagged precision gaps: nested-generic return types,
+    generic type-parameter bounds, and annotation-heavy declarations."""
+    src = """\
+import java.util.*;
+
+class Box<T extends Number> {
+    private T item;
+
+    @SuppressWarnings({"unchecked"})
+    public Map<String, List<Integer>> index(List<T> items) {
+        return build(items);
+    }
+
+    public <R> R identity(R x) {
+        return x;
+    }
+}
+
+class Sub<T> extends Box<T> implements Comparable<T> {
+    public int compareTo(Sub<T> other) {
+        return 0;
+    }
+}
+"""
+    nodes, edges = _ingest(spark, {"Box.java": src})
+    named = nodes.filter(F.col("path") != "")
+    methods = {r["name"] for r in named.filter(
+        F.array_contains("labels", "Method")).collect()}
+    # nested-generic return type must not hide the method
+    assert {"index", "identity", "compareTo"} <= methods
+    ids = {r["name"]: r["id"] for r in named.collect()}
+    rows = {(r["src"], r["type"], r["dst"]) for r in edges.collect()}
+    # generic bound `T extends Number` is NOT an inheritance clause
+    assert (ids["Box"], "EXTENDS", ids.get("Number")) not in rows
+    assert "Number" not in ids
+    # real clauses survive the generics
+    assert (ids["Sub"], "EXTENDS", ids["Box"]) in rows
+
+
+def test_csharp_where_constraints(spark):
+    """C# `where` clauses must not leak constraint targets into the base
+    list (a `U : IBar` fragment is not an IMPLEMENTS edge)."""
+    src = """\
+interface IFoo { }
+
+class Pair<T, U> : IFoo where T : IFoo, U : IFoo
+{
+    public void Swap() { }
+}
+"""
+    nodes, edges = _ingest(spark, {"Pair.cs": src})
+    named = nodes.filter(F.col("path") != "")
+    ids = {r["name"]: r["id"] for r in named.collect()}
+    assert "U" not in ids and "T" not in ids
+    rows = {(r["src"], r["type"], r["dst"]) for r in edges.collect()}
+    assert (ids["Pair"], "IMPLEMENTS", ids["IFoo"]) in rows
+    # exactly one inheritance-ish edge out of Pair
+    inh = [r for r in rows if r[0] == ids["Pair"] and r[1] in ("EXTENDS", "IMPLEMENTS")]
+    assert len(inh) == 1
