@@ -388,6 +388,14 @@ class CodeGraphService:
                 n, e = g.counts()
                 return {"repo": repo, "commit": current, "nodes": n, "edges": e}
             gg = PropertyGraph.load(self.spark, self.root, f"{repo}_git")
+            # X4 read path (reference git_graph.py:69-85 get_commit): point
+            # probe through the hash-range layout — the pushed equality
+            # prunes to one parquet file, so validation cost is O(1) in
+            # history length, not a full commit scan.
+            probe = gg.range_indexed_nodes("name").filter(
+                F.col("name") == target_commit)
+            if probe.limit(1).count() == 0:
+                raise ValueError(f"unknown commit {target_commit!r}")
             commit_path = derive_commit_path(gg, current, target_commit)
             oplog = self._load_oplog(repo)
         g = PropertyGraph.load(self.spark, self.root, repo)

@@ -147,3 +147,11 @@ def test_info_store_survives_service_restart(history_svc):
     fresh = CodeGraphService(svc.spark, svc.root)
     assert fresh.repo_info("hist")["commit"] == svc.repo_info("hist")["commit"]
     assert fresh.repo_info("hist")["repo_url"]
+
+
+def test_switch_commit_unknown_hash_rejected(history_svc):
+    """X4 read path: the hash-range point probe rejects unknown commits
+    before any replay work (reference git_graph.py:69-85)."""
+    svc, _ = history_svc
+    with pytest.raises(ValueError, match="unknown commit"):
+        svc.switch_commit("hist", "f" * 40)
