@@ -306,6 +306,163 @@ def ivf_topk(
     )
 
 
+def _kmeans_train(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int, iters: int, train_sample: int,
+):
+    """Deterministic Lloyd's k-means on a bounded, id-ordered sample
+    (shared by ivf_topk and the persisted-index builder)."""
+    import numpy as np
+
+    smp = (
+        corpus.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in smp], dtype=np.float64)
+    cent = X[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    return cent
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 5,
+    train_sample: int = 10_000,
+):
+    """Persist the IVF inverted lists as a cell-PARTITIONED table — the
+    100 TB layout `ivf_topk` only simulates in-flight.
+
+    Each cell becomes a storage partition (`partitionBy("cell")`), so a
+    probe join against the small query side prunes WHOLE DIRECTORIES via
+    dynamic partition pruning: a 4-of-64-cell probe reads ~1/16th of the
+    corpus bytes, not just 1/16th of the rows. Pays the assignment scan +
+    one shuffle-free partitioned write ONCE; every subsequent query-batch
+    probe is pruned I/O. This is the FAISS-IVF on-disk analogue with
+    Spark-native machinery (partition pruning instead of list files).
+
+    Returns (table_name, centroids ndarray). Re-creates the table if it
+    exists (an index rebuild).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cent = _kmeans_train(corpus, id_col, vec_col, n_centroids, iters, train_sample)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_kernel(batches):
+        C = bc.value
+        cc = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            cell = (cc[None, :] - 2.0 * (V @ C.T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {"cid": pdf["i"], "cv": pdf["v"], "cell": cell.astype(np.int32)}
+            )
+
+    vec_t = dict(corpus.dtypes)[vec_col]
+    assigned = fan_out(
+        corpus.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+    ).mapInPandas(assign_kernel, f"cid long, cv {vec_t}, cell int")
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    import os
+    import shutil
+
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table_name
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    assigned.write.mode("overwrite").partitionBy("cell").saveAsTable(table_name)
+    return table_name, cent
+
+
+def ivf_topk_indexed(
+    spark,
+    queries: DataFrame,
+    table_name: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index (see build_ivf_index): queries fan out
+    to their n_probe nearest cells, the cell equi-join against the
+    partitioned table prunes storage (DPP), exact GEMM re-rank picks the
+    top-k. No training, no corpus-wide assignment — query cost is
+    proportional to the probed fraction."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def probe_kernel(batches):
+        C = bc.value
+        cc = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            d = cc[None, :] - 2.0 * (V @ C.T)
+            probes = np.argsort(d, axis=1)[:, :n_probe]
+            idx = np.repeat(np.arange(len(pdf)), n_probe)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["i"].to_numpy()[idx],
+                    "qv": pdf["v"].to_numpy()[idx],
+                    "cell": probes.ravel().astype(np.int32),
+                }
+            )
+
+    vec_t = dict(queries.dtypes)[vec_col]
+    q_probes = queries.select(
+        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    ).mapInPandas(probe_kernel, f"qid long, qv {vec_t}, cell int")
+
+    cand = (
+        spark.table(table_name)
+        .join(F.broadcast(q_probes), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qv", "cid", "cv")
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qm = np.array(list(pdf["qv"]), dtype=np.float64)
+            Cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", Qm, Cm)
+            nrm = np.sqrt((Qm * Qm).sum(axis=1)) * np.sqrt((Cm * Cm).sum(axis=1))
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "cid": pdf["cid"], "sim": dots / nrm}
+            )
+
+    sims = cand.mapInPandas(rerank, "qid long, cid long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"))
+    )
+
+
 def hyperplane_sketch(vec_col="embedding", planes: int = 16, dim: int = 64, table: int = 0) -> Column:
     """Random-hyperplane sign sketch as an int bucket id.
 

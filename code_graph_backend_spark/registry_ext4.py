@@ -100,6 +100,24 @@ def text_repetition_q(spark, sf_dir):
     return token_repetition(read_table(spark, sf_dir, "documents"))
 
 
+@register("ann_ivf_indexed_topk")
+def ann_ivf_indexed_topk(spark, sf_dir):
+    """The persisted-IVF scale path: build the cell-PARTITIONED index once
+    (functions/similarity.build_ivf_index), then probe it — the cell
+    equi-join against the broadcast query probes prunes whole storage
+    partitions (dynamic partition pruning), so query I/O is the probed
+    fraction of the corpus, not a full scan. Approximate by design →
+    rows-only driver check; recall pinned in pytest
+    (tests/test_dedup_similarity.py)."""
+    from .functions import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    name, cent = similarity.build_ivf_index(emb, "ivf_bench_idx")
+    return similarity.ivf_topk_indexed(
+        spark, emb.filter(F.col("vec_id") < 5), name, cent, k=10
+    )
+
+
 @register(
     "sample_weighted",
     """

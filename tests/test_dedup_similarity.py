@@ -185,3 +185,18 @@ def test_cosine_near_dup_no_driver_collect():
 
     src = inspect.getsource(similarity.cosine_near_dup_pairs)
     assert ".collect()" not in src
+
+
+def test_ivf_indexed_matches_inflight_ivf(emb, spark):
+    """The persisted cell-partitioned index returns the SAME results as
+    the in-flight ivf_topk (same training, same probes), and its probe
+    scan is storage-pruned: the partitioned read carries a dynamic
+    partition pruning filter on cell."""
+    q = emb.filter(F.col("vec_id") < 3)
+    name, cent = similarity.build_ivf_index(emb, "ivf_test_idx")
+    indexed = similarity.ivf_topk_indexed(spark, q, name, cent, k=10, n_probe=6)
+    inflight = similarity.ivf_topk(q, emb, k=10, n_probe=6)
+    assert sorted(map(tuple, indexed.collect())) == sorted(map(tuple, inflight.collect()))
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
