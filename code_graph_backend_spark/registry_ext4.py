@@ -7,8 +7,32 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .graph.tpch import SQL_EDGES, SQL_NODES
 from .registry import register
 from .session import read_table
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration: one chained CTE per iteration — an EXACT
+    ANSI-SQL oracle for an iterative graph algorithm (recursive CTEs can't
+    aggregate per level; a fixed iteration count unrolls instead)."""
+    base = f"{1.0 - damping!r}/(SELECT COUNT(*) FROM nodes)"
+    ctes = [
+        f"WITH nodes AS ({SQL_NODES}),",
+        f"edges AS ({SQL_EDGES}),",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),",
+        "pr0 AS (SELECT id AS node, 1.0/(SELECT COUNT(*) FROM nodes) AS rank FROM nodes),",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"pr{t} AS (SELECT n.id AS node, "
+            f"{base} + {damping!r} * COALESCE(SUM(p.rank / dg.d), 0) AS rank "
+            f"FROM nodes n LEFT JOIN edges e ON e.dst = n.id "
+            f"LEFT JOIN pr{t - 1} p ON p.node = e.src "
+            f"LEFT JOIN deg dg ON dg.src = e.src GROUP BY n.id),"
+        )
+    body = "\n".join(ctes).rstrip(",")
+    return f"{body}\nSELECT node, ROUND(rank, 6) AS rank FROM pr{iters}"
 
 # The driver's synthetic documents carry no PII, so the query plants a
 # deterministic PII suffix per doc (same expression in Spark and SQL);
@@ -98,6 +122,19 @@ def text_repetition_q(spark, sf_dir):
     from .functions.text import token_repetition
 
     return token_repetition(read_table(spark, sf_dir, "documents"))
+
+
+@register("graph_pagerank", _pagerank_sql())
+def graph_pagerank_q(spark, sf_dir):
+    """5-iteration damped PageRank over the graph twin
+    (operators/pagerank.py): measured-size strategy — small edge sets run
+    numpy bincount in-process, large ones the per-iteration shuffle loop;
+    the oracle unrolls the same recurrence as chained SQL CTEs."""
+    from .graph.tpch import build_graph
+    from .operators.pagerank import pagerank
+
+    g = build_graph(spark, sf_dir)
+    return pagerank(spark, g.nodes, g.edges)
 
 
 @register("ann_ivf_indexed_topk")
