@@ -42,7 +42,7 @@ _PRIORITY = [
     "text_token_stats", "x2_prefix_table",
     # round-3 queries (never graded yet)
     "pii_redact", "text_repetition", "sample_weighted",
-    "ann_ivf_indexed_topk", "graph_pagerank",
+    "ann_ivf_indexed_topk", "graph_pagerank", "mm_frame_features",
 ]
 
 

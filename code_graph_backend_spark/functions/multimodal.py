@@ -108,6 +108,70 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("frame_hash", StringType(), True),
+    ]
+)
+
+
+def extract_frames(media: DataFrame, every_n: int = 30, fake: bool = False) -> DataFrame:
+    """Video frame sampling + per-frame decode, single map-only pass.
+
+    Scale shape: the frame fan-out is an in-flight `explode` BEFORE the
+    Arrow kernel — each video row becomes one row per sampled frame
+    without any shuffle (payload duplication happens inside the task, and
+    column pruning keeps non-video rows out of the scan entirely). The
+    alternative — a metadata plan joined back to payloads — shuffles
+    every payload once per sampled frame; at 100 TB of video that join IS
+    the job. Downstream, frames are independent rows: resize/caption/
+    embed kernels parallelize per frame, not per video.
+
+    The decode kernel is stubbed like extract_features: fake=True derives
+    the frame fingerprint as md5(payload ++ ':' ++ frame_idx) — real
+    ffmpeg frame extraction replaces one function body.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video decode libraries are not available in this container; "
+            "call with fake=True for the deterministic stand-in kernel"
+        )
+    n_frames = F.coalesce(
+        F.get_json_object("meta_json", "$.n_frames").cast("int"), F.lit(0)
+    )
+    fanned = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes = [
+                hashlib.md5((p or b"") + b":" + str(i).encode()).hexdigest()
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "frame_hash": hashes,
+                }
+            )
+
+    return fanned.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = repeated id bytes)."""
     rows = [

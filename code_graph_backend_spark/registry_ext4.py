@@ -137,6 +137,39 @@ def graph_pagerank_q(spark, sf_dir):
     return pagerank(spark, g.nodes, g.edges)
 
 
+@register(
+    "mm_frame_features",
+    """
+    WITH vids AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+               (n_chars % 90) + 30 AS n_frames
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text || ':' || CAST(u.i AS VARCHAR)) AS frame_hash
+    FROM vids, UNNEST(generate_series(0, n_frames - 1, 30)) u(i)
+    """,
+)
+def mm_frame_features(spark, sf_dir):
+    """Video frame sampling + per-frame decode plumbing
+    (functions/multimodal.extract_frames): in-flight explode fans each
+    video into frame rows BEFORE the Arrow kernel — map-only, no payload
+    shuffle; the fake decode (md5(payload:idx)) is SQL-expressible so the
+    oracle verifies the whole fan-out + kernel end-to-end."""
+    from .functions import multimodal
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.to_json(F.struct(((F.col("n_chars") % 90) + 30).alias("n_frames"))).alias("meta_json"),
+    )
+    return multimodal.extract_frames(media, every_n=30, fake=True)
+
+
 @register("ann_ivf_indexed_topk")
 def ann_ivf_indexed_topk(spark, sf_dir):
     """The persisted-IVF scale path: build the cell-PARTITIONED index once

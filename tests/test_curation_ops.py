@@ -71,3 +71,25 @@ def test_weighted_sample_quotas_and_determinism(spark):
     ids2 = sorted(r["doc_id"] for r in
                   weighted_sample(df, "source", weights, "doc_id", 0.1).collect())
     assert ids1 == ids2
+
+
+def test_extract_frames_fanout_and_stub(spark):
+    from code_graph_backend_spark.functions import multimodal
+
+    media = multimodal.synthetic_media(spark, 9)  # ids 2,5,8 are video
+    out = multimodal.extract_frames(media, every_n=30, fake=True).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # videos have n_frames = 30+i -> 1-2 sampled frames at stride 30
+    assert set(by_media) == {"m0002", "m0005", "m0008"}
+    assert by_media["m0008"] == [0, 30]  # n_frames=38 -> idx 0 and 30
+    # deterministic per-frame hash
+    import hashlib
+    r0 = next(r for r in out if r["media_id"] == "m0002" and r["frame_idx"] == 0)
+    payload = bytes([2]) * 102
+    assert r0["frame_hash"] == hashlib.md5(payload + b":0").hexdigest()
+    # real decode path stays honestly stubbed
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.extract_frames(media, fake=False)
