@@ -138,6 +138,44 @@ def graph_pagerank_q(spark, sf_dir):
 
 
 @register(
+    "cohort_retention",
+    """
+    WITH e AS (
+        SELECT user_id, ts,
+               MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    )
+    SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+           CAST(FLOOR((epoch(ts) - epoch(first_ts)) / 604800) AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week ×
+    activity-week offset. Plan: the first-seen timestamp comes from a
+    window MIN over user (ONE shuffle, reused by the grouping) — not a
+    groupBy + self-join, which would shuffle the events table twice. The
+    week arithmetic is epoch-seconds division, identical in any engine."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = F.min("ts").over(Window.partitionBy("user_id"))
+    return (
+        ev.withColumn("first_ts", first)
+        .select(
+            F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp("first_ts")) / 604800
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "mm_frame_features",
     """
     WITH vids AS (
