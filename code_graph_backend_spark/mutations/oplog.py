@@ -111,6 +111,31 @@ class OpLog:
             raise ValueError(f"unknown op {entry.op!r}")
         return graph
 
+    def _coalesced(self, entries: list[OpLogEntry]) -> list[OpLogEntry]:
+        """Merge CONSECUTIVE same-op merge_nodes/merge_edges entries into
+        one batched entry. Order across different ops is preserved exactly
+        (delete→merge sequences keep their position), so replay semantics
+        are unchanged — but a hop that logged N per-file merge batches now
+        costs one createDataFrame + one MERGE instead of N, which is what
+        keeps replay cost proportional to hops, not to files-per-commit."""
+        out: list[OpLogEntry] = []
+        for e in entries:
+            if (
+                out
+                and e.op in ("merge_nodes", "merge_edges")
+                and out[-1].op == e.op
+            ):
+                prev = json.loads(out[-1].params_json)
+                cur = json.loads(e.params_json)
+                prev["rows"] = prev["rows"] + cur["rows"]
+                out[-1] = OpLogEntry(
+                    e.commit_from, e.commit_to, out[-1].seq, e.op,
+                    json.dumps(prev, sort_keys=True),
+                )
+            else:
+                out.append(e)
+        return out
+
     def replay_path(
         self, graph: PropertyGraph, commit_path: list[str]
     ) -> PropertyGraph:
@@ -118,7 +143,7 @@ class OpLog:
         order — the Spark twin of switch_commit's PARENT*/CHILD* walk
         (reference api/git_utils/git_utils.py:260-333)."""
         for i, (a, b) in enumerate(zip(commit_path, commit_path[1:])):
-            for entry in self.transitions(a, b):
+            for entry in self._coalesced(self.transitions(a, b)):
                 graph = self.apply(graph, entry)
             # cut lineage every few hops: replay chains grow plans linearly
             # otherwise. Not every hop — each checkpoint materializes the

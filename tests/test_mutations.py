@@ -166,3 +166,20 @@ def test_merge_edges_null_pos_idempotent(spark):
     assert twice.count() == 2  # re-merge upserts, never duplicates
     props = {(r["src"], r["dst"]): r["props"] for r in twice.collect()}
     assert props[(1, 3)].get("x") == "1"
+
+
+def test_oplog_coalesces_consecutive_merges(spark):
+    """Consecutive same-op merge entries within a hop replay as ONE batch
+    (cost per hop, not per logged batch); interleaved deletes keep their
+    position so ordering semantics are unchanged."""
+    from code_graph_backend_spark.mutations.oplog import OpLog
+
+    log = OpLog()
+    log.record("a", "b", "merge_nodes", {"rows": [{"id": 1, "labels": ["X"]}]})
+    log.record("a", "b", "merge_nodes", {"rows": [{"id": 2, "labels": ["X"]}]})
+    log.record("a", "b", "delete_edges", {"rows": []})
+    log.record("a", "b", "merge_nodes", {"rows": [{"id": 3, "labels": ["X"]}]})
+    out = log._coalesced(log.transitions("a", "b"))
+    assert [e.op for e in out] == ["merge_nodes", "delete_edges", "merge_nodes"]
+    import json as _json
+    assert [r["id"] for r in _json.loads(out[0].params_json)["rows"]] == [1, 2]
