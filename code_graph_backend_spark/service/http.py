@@ -193,3 +193,23 @@ def create_app(service: CodeGraphService):
         return jsonify({"status": "success", "commits": commits}), 200
 
     return app
+
+
+def main(argv: list[str] | None = None) -> None:
+    """`python -m code_graph_backend_spark.service.http --root DIR` — run
+    the API server (the reference runs `flask run` on api/index.py)."""
+    import argparse
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(description="code-graph HTTP API")
+    p.add_argument("--root", required=True, help="graph storage root directory")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5000)
+    args = p.parse_args(argv)
+    app = create_app(CodeGraphService(get_spark(), args.root))
+    app.run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
