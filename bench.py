@@ -97,13 +97,16 @@ def main() -> None:
         repin_graph()
     for name, fn in qs.items():
         s = samples[name]
-        # discordant pair → one tie-breaker sample (only when the best
-        # sample is short enough to afford a third)
+        # discordant pair → one tie-breaker sample. The affordability cap
+        # is generous (60 s): when an external load wave slams BOTH base
+        # samples (observed: a 1.2 s query reading 29 s twice), the
+        # tie-breaker is the only path back to a truthful number, and a
+        # genuinely-slow query pays one extra sample at most.
         if (
             name not in failed
             and len(s) == 2
             and max(s) / max(min(s), 1e-9) > 3
-            and min(s) <= 20.0
+            and min(s) <= 60.0
         ):
             run_once(name, fn)
 
