@@ -123,3 +123,75 @@ def test_merge_nodes_idempotent(spark, batch):
     # every batched id present exactly once
     ids = [r[0] for r in got_once]
     assert len(ids) == len(set(ids))
+
+
+# -- round-3 curation operators ---------------------------------------------
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=120,
+)
+
+
+@given(st.lists(text_strategy, min_size=1, max_size=8))
+@SETTINGS
+def test_pii_redaction_idempotent(spark, texts):
+    """redact(redact(x)) == redact(x): replacement tokens never re-match
+    any PII pattern, so the operator is a projection."""
+    from code_graph_backend_spark.functions.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = redact_pii(docs).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    twice = redact_pii(once)
+    rows = {r["doc_id"]: r for r in twice.collect()}
+    first = {r["doc_id"]: r["text"] for r in once.collect()}
+    for i, r in rows.items():
+        assert r["clean_text"] == first[i]
+        assert r["n_pii"] == 0
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@SETTINGS
+def test_weighted_sample_quota_law(spark, strata, w):
+    """For every stratum: kept == min(size, ceil(w * size)), and kept rows
+    are a subset of the input."""
+    import math
+
+    from code_graph_backend_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strata)], "doc_id long, source string"
+    )
+    out = weighted_sample(df, "source", {"a": w, "b": w}, "doc_id",
+                          default_weight=w).collect()
+    sizes = {}
+    for s in strata:
+        sizes[s] = sizes.get(s, 0) + 1
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    for s, n in sizes.items():
+        assert kept.get(s, 0) == min(n, math.ceil(w * n) if w > 0 else 0)
+
+
+@given(st.lists(text_strategy, min_size=1, max_size=6))
+@SETTINGS
+def test_token_repetition_bounds(spark, texts):
+    """0 <= dup_bigram_ratio < 1; n_distinct <= n_tokens; top_freq <= n_tokens."""
+    from code_graph_backend_spark.functions.text import token_repetition
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for r in token_repetition(docs).collect():
+        assert 0.0 <= r["dup_bigram_ratio"] < 1.0 or (
+            r["dup_bigram_ratio"] == 0.0 and r["n_tokens"] <= 1
+        )
+        assert r["n_distinct"] <= r["n_tokens"]
+        assert r["top_freq"] <= r["n_tokens"]
