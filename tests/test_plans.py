@@ -113,6 +113,34 @@ def test_typed_edge_memo_is_bounded(spark):
     assert per_first is None or "T" not in per_first
 
 
+def test_pii_redact_is_jvm_map_only(spark, qs):
+    """PII redaction: zero shuffles, zero Python workers — pure
+    whole-stage-codegen regexp over the scan."""
+    plan = _plan(qs["pii_redact"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDF is the anti-pattern
+
+
+def test_weighted_sample_single_shuffle(spark, qs):
+    """Both window functions (rank + stratum count) share one exchange."""
+    plan = _plan(qs["sample_weighted"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_cohort_retention_two_shuffles(spark, qs):
+    """Window on user + rollup on (cohort, offset): two keys, exactly two
+    exchanges — the groupBy+self-join alternative would need three."""
+    plan = _plan(qs["cohort_retention"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+
+
+def test_token_repetition_map_only(spark, qs):
+    plan = _plan(qs["text_repetition"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "MapInPandas" in plan  # Arrow kernel, not an exploded shuffle
+
+
 def test_commit_hash_range_index_prunes(spark, tmp_path):
     """X4 (reference git_graph.py:29-33): the hash-range node layout must
     give each parquet file a disjoint hash range (footer min/max => file
