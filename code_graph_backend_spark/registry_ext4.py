@@ -138,6 +138,118 @@ def graph_pagerank_q(spark, sf_dir):
 
 
 @register(
+    "curation_pipeline",
+    """
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    -- near-dup clustering (3-gram Jaccard >= 0.5 -> connected components)
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i, j FROM common
+        JOIN sizes na ON na.doc_id = i
+        JOIN sizes nb ON nb.doc_id = j
+        WHERE c / (na.n_sh + nb.n_sh - c) >= 0.5
+    ),
+    sym AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, m) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+    ),
+    cc AS (SELECT node, MIN(m) AS component FROM reach GROUP BY node),
+    canon AS (
+        SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        WHERE d.doc_id = COALESCE(cc.component, d.doc_id)
+    ),
+    -- repetition/length quality gate
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    freq AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    st AS (SELECT doc_id, SUM(n) AS n_tokens FROM freq GROUP BY 1),
+    bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+    ),
+    bgs AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS ndb FROM bg GROUP BY 1),
+    quality AS (
+        SELECT st.doc_id FROM st LEFT JOIN bgs USING (doc_id)
+        WHERE st.n_tokens >= 30
+          AND ROUND(COALESCE(1.0 - ndb / CAST(nb AS DOUBLE), 0.0), 6) <= 0.05
+    ),
+    -- benchmark decontamination (13-gram overlap with the probe set)
+    dsh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 12)) u(i)
+    ),
+    psh AS (SELECT s FROM dsh WHERE doc_id % 97 = 0),
+    contam AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN psh p ON d.s = p.s),
+    surv AS (
+        SELECT d.doc_id, d.source FROM documents d
+        JOIN canon USING (doc_id)
+        JOIN quality USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+    )
+    -- weighted data-mix sample of the survivors
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM surv
+    ) t
+    WHERE rk <= CEIL(
+        (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.25 END) * cnt)
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """The end-to-end training-data curation DAG as ONE verified query:
+    near-dup clustering keeps cluster canonicals -> repetition/length
+    quality gate -> 13-gram benchmark decontamination -> deterministic
+    weighted data-mix sample. Every stage is the already-verified
+    operator (dedup_clusters, token_repetition, contamination_ngram,
+    weighted_sample) composed with semi/anti joins on doc_id — the whole
+    pipeline stays a single Catalyst plan (no driver materialization
+    between stages), which is how it would run over 100 TB: each gate is
+    a shuffle-bounded subplan, and the final sample is one window."""
+    from .functions.dedup import ngram_jaccard_pairs
+    from .functions.sampling import contamination_ngram, weighted_sample
+    from .functions.text import token_repetition
+    from .operators.components import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    canon = dedup_clusters(
+        spark, docs, ngram_jaccard_pairs(docs, threshold=0.5)
+    ).filter(F.col("is_canonical")).select("doc_id")
+    quality = (
+        token_repetition(docs)
+        .filter((F.col("n_tokens") >= 30) & (F.col("dup_bigram_ratio") <= 0.05))
+        .select("doc_id")
+    )
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
+    )
+    contam = contamination_ngram(docs, probes).select("doc_id").distinct()
+    surv = (
+        docs.select("doc_id", "source")
+        .join(canon, "doc_id")
+        .join(quality, "doc_id")
+        .join(contam, "doc_id", "left_anti")
+    )
+    return weighted_sample(
+        surv, "source", {"src0": 1.0, "src1": 0.5}, "doc_id", default_weight=0.25
+    ).select("doc_id", "source")
+
+
+@register(
     "cohort_retention",
     """
     WITH e AS (
