@@ -69,8 +69,13 @@ class RepoInfoStore:
 def _encode_node(row: Row) -> dict:
     d = row.asDict(recursive=True)
     labels = [l for l in (d.get("labels") or []) if l != "Searchable"]
-    return {"id": d.get("id"), "labels": labels,
-            **{k: v for k, v in d.items() if k not in ("id", "labels") and v is not None}}
+    out = {"id": d.get("id"), "labels": labels,
+           **{k: v for k, v in d.items() if k not in ("id", "labels") and v is not None}}
+    # wire-format parity: the reference exposes coverage under its
+    # (misspelled) property name (api/graph.py:470-476 coverage_precentage)
+    if "coverage" in out:
+        out["coverage_precentage"] = out.pop("coverage")
+    return out
 
 
 class CodeGraphService:

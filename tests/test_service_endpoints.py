@@ -130,3 +130,17 @@ def test_delete_repo(svc, spark, tmp_path):
     assert "doomed" in svc.list_repos()
     svc.delete_repo("doomed")
     assert "doomed" not in svc.list_repos()
+
+
+def test_encode_node_coverage_wire_name():
+    """Wire parity: coverage serializes under the reference's (misspelled)
+    property name coverage_precentage (api/graph.py:470-476)."""
+    from pyspark.sql import Row
+
+    from code_graph_backend_spark.service.api import _encode_node
+
+    out = _encode_node(Row(id=1, labels=["File", "Searchable"], name="a.py",
+                           coverage=0.5))
+    assert out["coverage_precentage"] == 0.5
+    assert "coverage" not in out
+    assert out["labels"] == ["File"]
