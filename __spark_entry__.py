@@ -43,7 +43,7 @@ _PRIORITY = [
     # round-3 queries (never graded yet)
     "pii_redact", "text_repetition", "sample_weighted",
     "ann_ivf_indexed_topk", "graph_pagerank", "mm_frame_features",
-    "cohort_retention", "curation_pipeline",
+    "cohort_retention", "curation_pipeline", "stream_click_attribution",
 ]
 
 

@@ -250,6 +250,31 @@ def curation_pipeline(spark, sf_dir):
 
 
 @register(
+    "stream_click_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_click_attribution(spark, sf_dir):
+    """Attribution join (streaming/joins.py): purchases matched to the
+    same user's clicks in the prior hour. Batch mode here (the oracle's
+    semantics); the identical expression runs as a watermarked
+    stream-stream join with bounded state — parity pinned in
+    tests/test_streaming_windows.py."""
+    from .streaming.joins import click_purchase_join
+
+    ev = read_table(spark, sf_dir, "events")
+    return click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
     "cohort_retention",
     """
     WITH e AS (

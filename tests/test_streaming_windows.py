@@ -292,3 +292,58 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         for r in windows.tumbling(spark.read.parquet(data_dir), "1 hour").collect()
     }
     assert batch[t(9, 0)]["n_events"] == 3
+
+
+def test_stream_stream_join_parity(spark, tmp_path):
+    """The attribution join over two readStream sides with watermarks ==
+    the batch join over the same files (streaming/joins.py). Stream-stream
+    inner join state is bounded by watermark + interval."""
+    from code_graph_backend_spark.streaming.joins import click_purchase_join
+
+    rows = []
+    eid = 0
+    for m in range(0, 240, 7):          # clicks every 7 min over 4h
+        rows.append((_t(m), 1 + m % 3, "click", float(m), eid)); eid += 1
+    for m in range(5, 240, 30):         # purchases every 30 min
+        rows.append((_t(m), 1 + m % 3, "purchase", float(m), eid)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double, event_id long"
+    )
+    src = str(tmp_path / "ev")
+    ev.repartition(4).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    expect = sorted(
+        map(tuple, click_purchase_join(
+            batch_df.filter(F.col("event_type") == "click"),
+            batch_df.filter(F.col("event_type") == "purchase"),
+        ).collect())
+    )
+    assert expect, "fixture must produce at least one attributed pair"
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # watermark covers the fixture's whole span: parquet files arrive in
+    # arbitrary order, so a tight watermark would drop genuinely-early
+    # rows as late (the same reason test_streaming_batch_parity uses 10h)
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark("ts", "10 hours")
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark("ts", "10 hours")
+    q = (
+        click_purchase_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("attrib_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM attrib_test").collect())
+    )
+    assert got == expect
