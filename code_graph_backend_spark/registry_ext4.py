@@ -352,6 +352,62 @@ def mm_frame_features(spark, sf_dir):
 _IVF_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
 
 
+def _sssp_sql(source: int = 1, hops: int = 4) -> str:
+    """Unrolled Bellman-Ford: one min-aggregating CTE per relaxation
+    round (same unroll trick as _pagerank_sql; integer min-plus => exact)."""
+    ctes = [
+        f"WITH edges0 AS ({SQL_EDGES}),",
+        "wedges AS (SELECT src, dst, CASE WHEN type = 'CONTAINS' THEN 2 ELSE 1 END AS w FROM edges0),",
+        f"d0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),",
+    ]
+    for t in range(1, hops + 1):
+        ctes.append(
+            f"d{t} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{t - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, p.dist + e.w AS dist "
+            f"FROM d{t - 1} p JOIN wedges e ON e.src = p.node"
+            f") u GROUP BY node),"
+        )
+    body = "\n".join(ctes).rstrip(",")
+    return f"{body}\nSELECT node, dist FROM d{hops}"
+
+
+@register("graph_sssp_bounded", _sssp_sql())
+def graph_sssp_bounded(spark, sf_dir):
+    """4-round weighted SSSP from customer 1 over the graph twin
+    (operators/sssp.py); CONTAINS edges weigh 2, everything else 1 —
+    min-plus relaxation, exact integer oracle via unrolled CTEs."""
+    from .graph.tpch import build_graph
+    from .operators.sssp import sssp_bounded
+
+    g = build_graph(spark, sf_dir)
+    w = F.when(F.col("type") == "CONTAINS", 2).otherwise(1)
+    return sssp_bounded(spark, g.edges, 1, weight=w, hops=4)
+
+
+@register(
+    "graph_degree_histogram",
+    f"""
+    WITH edges AS ({SQL_EDGES}),
+    deg AS (SELECT src, type, COUNT(*) AS d FROM edges GROUP BY 1, 2)
+    SELECT type, d AS out_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Out-degree distribution per edge type: two chained hash aggregates
+    (map-side partials on both), the standard graph-shape profile."""
+    from .graph.tpch import build_graph
+
+    g = build_graph(spark, sf_dir)
+    return (
+        g.edges.groupBy("src", "type").agg(F.count("*").alias("d"))
+        .groupBy("type", F.col("d").alias("out_degree"))
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
 @register("ann_ivf_indexed_topk")
 def ann_ivf_indexed_topk(spark, sf_dir):
     """The persisted-IVF scale path: build the cell-PARTITIONED index once

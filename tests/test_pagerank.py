@@ -39,3 +39,35 @@ def test_pagerank_distributed_path_matches_local(spark, monkeypatch):
     assert [n for n, _ in local] == [n for n, _ in dist]
     for (_, a), (_, b) in zip(local, dist):
         assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_sssp_semantics_and_distributed_parity(spark, monkeypatch):
+    """min-plus relaxation on a weighted diamond; distributed loop ==
+    local numpy scatter-min."""
+    from code_graph_backend_spark.operators.sssp import sssp_bounded
+
+    def edges_df():
+        #     1 -2-> 2 -1-> 4 ;  1 -1-> 3 -1-> 4 (cheaper);  4 -1-> 5
+        return spark.createDataFrame(
+            [(1, 2, 2), (2, 4, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1)],
+            "src long, dst long, w long",
+        ).select("src", "dst", F.lit("T").alias("type"),
+                 F.lit(None).cast("map<string,string>").alias("props"),
+                 "w")
+
+    e = edges_df()
+    local = {r["node"]: r["dist"] for r in
+             sssp_bounded(spark, e, 1, weight=F.col("w"), hops=4).collect()}
+    assert local == {1: 0, 2: 2, 3: 1, 4: 2, 5: 3}
+
+    import code_graph_backend_spark.operators.sssp as sssp_mod
+    import code_graph_backend_spark.operators.traversal as tr
+    monkeypatch.setattr(tr, "_LOCAL_EDGE_ROWS", 0)
+    # fresh DF => fresh memo entry; also force the distributed branch
+    e2 = edges_df()
+    orig = sssp_mod._typed_edges
+    monkeypatch.setattr(sssp_mod, "_typed_edges",
+                        lambda edges, t: {**orig(edges, t), "n": 10_000_001})
+    dist = {r["node"]: r["dist"] for r in
+            sssp_bounded(spark, e2, 1, weight=F.col("w"), hops=4).collect()}
+    assert dist == local
