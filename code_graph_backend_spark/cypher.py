@@ -1,0 +1,609 @@
+"""Cypher (read subset) → DataFrame compiler.
+
+The reference's entire query surface is ~35 parameterized Cypher templates
+(SURVEY §2; e.g. api/graph.py:269-276 point lookups, :197-241 neighbor
+hops, :173-194 optional-match subgraph, :612-628 anti-join, :547-591
+var-length paths, git_graph.py:64 ordered commit list). This module lets
+a reference user run those template strings verbatim against a
+PropertyGraph: a hand-rolled tokenizer + recursive-descent parser builds
+a tiny pattern AST, and the compiler lowers it onto the SAME public
+operators every typed endpoint uses — filters/joins for fixed-length
+patterns, `operators.traversal` for `*` patterns. No optimizer of our
+own: the lowered plan is plain DataFrame algebra, so Catalyst does
+pushdown/pruning/join selection exactly as for the typed API.
+
+Supported (the reference's read surface):
+  MATCH (v:Label {k: $p})  [-[e:TYPE]-> (w)] , chained hops, multiple
+  MATCH clauses, OPTIONAL MATCH (left-outer), path binding p=(a)-[:T*]->(b)
+  WHERE: ID(v)=$x / v.prop=$x / ID(v) IN $ids / v.prop IN $list /
+         v.prop CONTAINS $s / STARTS WITH / IS NOT NULL / NOT ()-[:T]->(v)
+         / AND-conjunctions
+  RETURN: vars, v.prop, ID(v), count(x), collect(x); ORDER BY / LIMIT /
+  DISTINCT.
+
+Mutating clauses (MERGE/SET/DELETE) are intentionally out of scope —
+writes go through the typed mutation layer (mutations/merge.py) which
+implements MERGE semantics with id-return; a text front-end for writes
+would only re-wrap it.
+
+Result shape: a DataFrame whose columns are `<var>_<field>` for whole-node
+returns, the expression alias otherwise — row-oriented encoding to the
+reference's dict shapes is `service.api._encode_node`'s job.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- tokenizer ---------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<kw>(?i:OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT|DISTINCT|AND|NOT|IN|IS|NULL|CONTAINS|STARTS\s+WITH|DESC|ASC|AS|WITH))(?![A-Za-z0-9_])"
+    r"|(?P<num>\d+)"
+    r"|(?P<param>\$[A-Za-z_]\w*)"
+    r"|(?P<str>'[^']*'|\"[^\"]*\")"
+    r"|(?P<name>[A-Za-z_]\w*)"
+    r"|(?P<sym><-\[|\]->|\]-|-\[|<-|->|[(){}:,.*=\[\]]))"
+)
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    q = q.strip()
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise CypherError(f"cannot tokenize at: {q[i:i+24]!r}")
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind == "kw":
+            text = re.sub(r"\s+", " ", text.upper())
+        out.append((kind, text))
+        i = m.end()
+    return out
+
+
+class CypherError(ValueError):
+    pass
+
+
+# -- AST ---------------------------------------------------------------------
+
+@dataclass
+class NodePat:
+    var: str | None
+    labels: list[str] = field(default_factory=list)
+    props: dict = field(default_factory=dict)  # {prop: param-or-literal}
+
+
+@dataclass
+class EdgePat:
+    var: str | None
+    etype: str | None
+    direction: str  # "out" | "in"
+    var_length: bool = False
+
+
+@dataclass
+class MatchChain:
+    elements: list  # NodePat, EdgePat, NodePat, ...
+    optional: bool = False
+    path_var: str | None = None
+
+
+@dataclass
+class Cond:
+    kind: str   # id_eq | prop_eq | id_in | prop_in | contains | starts | notnull | no_inbound
+    var: str | None = None
+    prop: str | None = None
+    value: object = None
+    etype: str | None = None
+
+
+@dataclass
+class RetItem:
+    kind: str            # var | prop | id | count | collect
+    var: str | None = None
+    prop: str | None = None
+    alias: str | None = None
+
+
+@dataclass
+class Query:
+    matches: list[MatchChain]
+    conds: list[Cond]
+    returns: list[RetItem]
+    distinct: bool = False
+    order_by: tuple[str, str | None, bool] | None = None  # (var, prop, desc)
+    limit: object = None  # int or $param
+
+
+# -- parser ------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else ("eof", "")
+
+    def take(self, kind=None, text=None):
+        t = self.peek()
+        if kind and t[0] != kind or text and t[1] != text:
+            raise CypherError(f"expected {text or kind}, got {t}")
+        self.i += 1
+        return t
+
+    def at(self, text):
+        return self.peek()[1] == text
+
+    def take_name(self) -> str:
+        """A label/edge-type position: plain identifiers, but also tokens
+        the tokenizer classified as keywords (an edge type like CONTAINS
+        collides with the operator keyword)."""
+        t = self.peek()
+        if t[0] in ("name", "kw") and re.fullmatch(r"[A-Za-z_]\w*", t[1]):
+            self.i += 1
+            return t[1]
+        raise CypherError(f"expected name, got {t}")
+
+    # MATCH p=(a)-[:T*]->(b) etc.
+    def parse(self) -> Query:
+        matches, conds = [], []
+        while True:
+            t = self.peek()
+            if t[1] in ("MATCH", "OPTIONAL MATCH"):
+                self.take()
+                matches.extend(self._match_clause(optional=t[1] != "MATCH"))
+            elif t[1] == "WHERE":
+                self.take()
+                conds.extend(self._where())
+            elif t[1] == "WITH":
+                # the reference's WITH only re-scopes vars (api/graph.py:564)
+                self.take()
+                while self.peek()[0] == "name" or self.at(","):
+                    self.take()
+            elif t[1] == "RETURN":
+                self.take()
+                return self._returns(matches, conds)
+            else:
+                raise CypherError(f"unexpected {t}")
+
+    def _match_clause(self, optional) -> list[MatchChain]:
+        chains = [self._chain(optional)]
+        while self.at(","):
+            self.take()
+            chains.append(self._chain(optional))
+        return chains
+
+    def _chain(self, optional) -> MatchChain:
+        path_var = None
+        if self.peek()[0] == "name" and self.peek(1)[1] == "=":
+            path_var = self.take()[1]
+            self.take(text="=")
+        elements = [self._node()]
+        while self.peek()[1] in ("-[", "<-["):
+            elements.append(self._edge())
+            elements.append(self._node())
+        return MatchChain(elements, optional=optional, path_var=path_var)
+
+    def _node(self) -> NodePat:
+        self.take(text="(")
+        var = None
+        labels: list[str] = []
+        props: dict = {}
+        if self.peek()[0] == "name":
+            var = self.take()[1]
+        while self.at(":"):
+            self.take()
+            labels.append(self.take_name())
+        if self.at("{"):
+            self.take()
+            while not self.at("}"):
+                k = self.take("name")[1]
+                self.take(text=":")
+                props[k] = self._value()
+                if self.at(","):
+                    self.take()
+            self.take(text="}")
+        self.take(text=")")
+        return NodePat(var, labels, props)
+
+    def _edge(self) -> EdgePat:
+        opener = self.take()[1]  # -[ or <-[
+        var = None
+        etype = None
+        var_len = False
+        if self.peek()[0] == "name":
+            var = self.take()[1]
+        if self.at(":"):
+            self.take()
+            etype = self.take_name()
+        if self.at("*"):
+            self.take()
+            var_len = True
+        closer = self.take()[1]  # ]-> or ]-
+        if opener == "-[" and closer == "]->":
+            direction = "out"
+        elif opener == "<-[" and closer == "]-":
+            direction = "in"
+        else:
+            raise CypherError(f"unsupported edge direction {opener}..{closer}")
+        return EdgePat(var, etype, direction, var_len)
+
+    def _value(self):
+        t = self.peek()
+        if t[0] == "param":
+            self.take()
+            return t[1]
+        if t[0] == "num":
+            self.take()
+            return int(t[1])
+        if t[0] == "str":
+            self.take()
+            return t[1][1:-1]
+        raise CypherError(f"unsupported value {t}")
+
+    def _where(self) -> list[Cond]:
+        conds = [self._cond()]
+        while self.at("AND"):
+            self.take()
+            conds.append(self._cond())
+        return conds
+
+    def _cond(self) -> Cond:
+        t = self.peek()
+        if t[1] == "NOT":  # NOT ()-[:T]->(v)
+            self.take()
+            self.take(text="(")
+            self.take(text=")")
+            e = self._edge()
+            n = self._node()
+            if e.direction != "out" or n.var is None:
+                raise CypherError("unsupported NOT pattern")
+            return Cond("no_inbound", var=n.var, etype=e.etype)
+        if t[0] == "name" and t[1].upper() == "ID":
+            self.take()
+            self.take(text="(")
+            var = self.take("name")[1]
+            self.take(text=")")
+            if self.at("="):
+                self.take()
+                return Cond("id_eq", var=var, value=self._value())
+            self.take(text="IN")
+            return Cond("id_in", var=var, value=self._value())
+        var = self.take("name")[1]
+        self.take(text=".")
+        prop = self.take("name")[1]
+        nxt = self.peek()
+        if nxt[1] == "=":
+            self.take()
+            return Cond("prop_eq", var=var, prop=prop, value=self._value())
+        if nxt[1] == "IN":
+            self.take()
+            return Cond("prop_in", var=var, prop=prop, value=self._value())
+        if nxt[1] == "CONTAINS":
+            self.take()
+            return Cond("contains", var=var, prop=prop, value=self._value())
+        if nxt[1] == "STARTS WITH":
+            self.take()
+            return Cond("starts", var=var, prop=prop, value=self._value())
+        if nxt[1] == "IS":
+            self.take()
+            if self.at("NOT"):
+                self.take()
+                self.take(text="NULL")
+                return Cond("notnull", var=var, prop=prop)
+            raise CypherError("IS NULL unsupported (reference never uses it)")
+        raise CypherError(f"unsupported condition after {var}.{prop}: {nxt}")
+
+    def _returns(self, matches, conds) -> Query:
+        distinct = False
+        if self.at("DISTINCT"):
+            self.take()
+            distinct = True
+        items = [self._ret_item()]
+        while self.at(","):
+            self.take()
+            items.append(self._ret_item())
+        order_by = None
+        limit = None
+        if self.at("ORDER BY"):
+            self.take()
+            var = self.take("name")[1]
+            prop = None
+            if self.at("."):
+                self.take()
+                prop = self.take("name")[1]
+            desc = False
+            if self.peek()[1] in ("ASC", "DESC"):
+                desc = self.take()[1] == "DESC"
+            order_by = (var, prop, desc)
+        if self.at("LIMIT"):
+            self.take()
+            limit = self._value()
+        if self.peek()[0] != "eof":
+            raise CypherError(f"trailing tokens: {self.peek()}")
+        return Query(matches, conds, items, distinct, order_by, limit)
+
+    def _ret_item(self) -> RetItem:
+        t = self.peek()
+        if t[0] == "name" and t[1].lower() in ("count", "collect") and self.peek(1)[1] == "(":
+            fn = self.take()[1].lower()
+            self.take(text="(")
+            var = self.take("name")[1] if not self.at("*") else (self.take()[1], None)[1]
+            self.take(text=")")
+            item = RetItem(fn, var=None if var == "*" else var)
+        elif t[0] == "name" and t[1].upper() == "ID" and self.peek(1)[1] == "(":
+            self.take()
+            self.take(text="(")
+            var = self.take("name")[1]
+            self.take(text=")")
+            item = RetItem("id", var=var)
+        else:
+            var = self.take("name")[1]
+            if self.at("."):
+                self.take()
+                prop = self.take("name")[1]
+                item = RetItem("prop", var=var, prop=prop)
+            else:
+                item = RetItem("var", var=var)
+        if self.at("AS"):
+            self.take()
+            item.alias = self.take("name")[1]
+        return item
+
+
+def parse_cypher(query: str) -> Query:
+    return _Parser(_tokenize(query)).parse()
+
+
+# -- compiler ----------------------------------------------------------------
+
+NODE_FIELDS = ["id", "labels", "name", "path", "ext", "src_start",
+               "src_end", "doc", "props", "coverage"]
+EDGE_FIELDS = ["src", "dst", "type", "props"]
+
+
+def _resolve(value, params: dict):
+    if isinstance(value, str) and value.startswith("$"):
+        if value[1:] not in params:
+            raise CypherError(f"missing parameter {value}")
+        return params[value[1:]]
+    return value
+
+
+def _node_df(graph, pat: NodePat, params) -> DataFrame:
+    df = graph.nodes
+    for lbl in pat.labels:
+        df = df.filter(F.array_contains("labels", lbl))
+    for k, v in pat.props.items():
+        df = df.filter(F.col(k) == F.lit(_resolve(v, params)))
+    return df
+
+
+def _prefix(df: DataFrame, var: str, fields) -> DataFrame:
+    return df.select(*[F.col(c).alias(f"{var}_{c}") for c in fields])
+
+
+class _Binder:
+    """Progressively-joined binding table: one column set per bound var."""
+
+    def __init__(self, graph, params):
+        self.graph = graph
+        self.params = params
+        self.df: DataFrame | None = None
+        self.vars: dict[str, str] = {}  # var -> "node" | "edge"
+        self._anon = 0
+
+    def gensym(self) -> str:
+        self._anon += 1
+        return f"_anon{self._anon}"
+
+    def col(self, var: str, f: str) -> Column:
+        return F.col(f"{var}_{f}")
+
+    def add_node(self, pat: NodePat, join_on: tuple[Column, str] | None,
+                 optional: bool) -> str:
+        var = pat.var or self.gensym()
+        if var in self.vars:
+            # re-reference of an already-bound var: apply extra filters
+            df = self.df
+            for lbl in pat.labels:
+                df = df.filter(F.array_contains(self.col(var, "labels"), lbl))
+            for k, v in pat.props.items():
+                df = df.filter(self.col(var, k) == F.lit(_resolve(v, self.params)))
+            self.df = df
+            return var
+        nd = _prefix(_node_df(self.graph, pat, self.params), var, NODE_FIELDS)
+        if self.df is None:
+            self.df = nd
+        elif join_on is None:
+            self.df = self.df.crossJoin(nd)
+        else:
+            left_col, right_field = join_on
+            self.df = self.df.join(
+                nd, left_col == F.col(f"{var}_{right_field}"),
+                "left_outer" if optional else "inner",
+            )
+        self.vars[var] = "node"
+        return var
+
+
+def run_cypher(graph, query: str, params: dict | None = None) -> DataFrame:
+    """Execute a read-only Cypher template against a PropertyGraph."""
+    params = params or {}
+    q = parse_cypher(query)
+    b = _Binder(graph, params)
+
+    var_length_chain = None
+    for chain in q.matches:
+        if any(isinstance(e, EdgePat) and e.var_length for e in chain.elements):
+            if var_length_chain is not None:
+                raise CypherError("only one var-length pattern supported")
+            var_length_chain = chain
+            continue
+        _compile_chain(b, chain, params)
+
+    # WHERE conditions that SEED a var-length pattern must bind before it
+    if b.df is not None:
+        for c in q.conds:
+            b.df = _apply_cond(b, c)
+
+    if var_length_chain is not None:
+        return _compile_var_length(b, var_length_chain, q, params)
+
+    return _project(b, q, params)
+
+
+def _compile_chain(b: _Binder, chain: MatchChain, params):
+    els = chain.elements
+    prev_var = b.add_node(els[0], None, optional=False)
+    i = 1
+    while i < len(els):
+        edge: EdgePat = els[i]
+        node: NodePat = els[i + 1]
+        evar = edge.var or b.gensym()
+        e = b.graph.edges
+        if edge.etype:
+            e = e.filter(F.col("type") == edge.etype)
+        ed = _prefix(e, evar, EDGE_FIELDS)
+        near, far = ("src", "dst") if edge.direction == "out" else ("dst", "src")
+        how = "left_outer" if chain.optional else "inner"
+        if b.df is None:
+            raise CypherError("edge before any node binding")
+        b.df = b.df.join(
+            ed, b.col(prev_var, "id") == F.col(f"{evar}_{near}"), how
+        )
+        b.vars[evar] = "edge"
+        prev_var = b.add_node(
+            node, (F.col(f"{evar}_{far}"), "id"), optional=chain.optional
+        )
+        i += 2
+
+
+def _apply_cond(b: _Binder, c: Cond) -> DataFrame:
+    df = b.df
+    if c.kind == "id_eq":
+        return df.filter(b.col(c.var, "id") == F.lit(_resolve(c.value, b.params)))
+    if c.kind == "id_in":
+        vals = [int(x) for x in _resolve(c.value, b.params)]
+        return df.filter(b.col(c.var, "id").isin(vals))
+    if c.kind == "prop_eq":
+        return df.filter(b.col(c.var, c.prop) == F.lit(_resolve(c.value, b.params)))
+    if c.kind == "prop_in":
+        return df.filter(b.col(c.var, c.prop).isin(list(_resolve(c.value, b.params))))
+    if c.kind == "contains":
+        return df.filter(b.col(c.var, c.prop).contains(_resolve(c.value, b.params)))
+    if c.kind == "starts":
+        return df.filter(b.col(c.var, c.prop).startswith(_resolve(c.value, b.params)))
+    if c.kind == "notnull":
+        return df.filter(b.col(c.var, c.prop).isNotNull())
+    if c.kind == "no_inbound":
+        e = b.graph.edges
+        if c.etype:
+            e = e.filter(F.col("type") == c.etype)
+        tgt = e.select(F.col("dst").alias(f"{c.var}_id"))
+        return df.join(tgt, f"{c.var}_id", "left_anti")
+    raise CypherError(f"unsupported condition {c.kind}")
+
+
+def _compile_var_length(b: _Binder, chain: MatchChain, q: Query, params):
+    """p=(src)-[:T*]->(dest): endpoints must already be bound to single
+    ids (the reference always anchors both, api/graph.py:564-569) — or the
+    pattern is a reachability/closure scan with one anchor (api/graph.py:
+    408-426)."""
+    from .operators.traversal import find_paths
+
+    a, e, c = chain.elements
+    if e.direction != "out":
+        raise CypherError("var-length only supported left-to-right")
+
+    def _single_id(var):
+        if b.df is None or var not in b.vars:
+            return None
+        rows = b.df.select(b.col(var, "id")).distinct().limit(2).collect()
+        return int(rows[0][0]) if len(rows) == 1 else None
+
+    src_id = _single_id(a.var) if a.var else None
+    dst_id = _single_id(c.var) if c.var else None
+    if src_id is None or dst_id is None:
+        raise CypherError("var-length pattern needs both endpoints bound to single ids")
+    paths = find_paths(b.graph.spark, b.graph.edges, src_id, dst_id,
+                       edge_type=e.etype, max_depth=12)
+    out = paths.select(F.col("path").alias(f"{chain.path_var or 'p'}_nodes"),
+                       F.col("depth").alias(f"{chain.path_var or 'p'}_depth"))
+    if q.limit is not None:
+        out = out.limit(int(_resolve(q.limit, params)))
+    return out
+
+
+def _project(b: _Binder, q: Query, params) -> DataFrame:
+    df = b.df
+    if df is None:
+        raise CypherError("nothing matched/bound")
+
+    aggs = [r for r in q.returns if r.kind in ("count", "collect")]
+    if aggs:
+        keys = [r for r in q.returns if r.kind not in ("count", "collect")]
+        exprs = []
+        for r in aggs:
+            if r.kind == "count":
+                if r.var is None:
+                    target = F.lit(1)
+                else:
+                    kind = b.vars.get(r.var, "node")
+                    target = b.col(r.var, "id" if kind == "node" else "src")
+                exprs.append(F.count(target).alias(r.alias or f"count_{r.var or 'all'}"))
+            else:
+                kind = b.vars.get(r.var, "node")
+                fields = NODE_FIELDS if kind == "node" else EDGE_FIELDS
+                exprs.append(
+                    F.collect_list(
+                        F.struct(*[b.col(r.var, f).alias(f) for f in fields])
+                    ).alias(r.alias or f"collect_{r.var}")
+                )
+        if keys:
+            kcols = []
+            for r in keys:
+                kcols.extend(_ret_cols(b, r))
+            df = df.groupBy(*kcols).agg(*exprs)
+        else:
+            df = df.agg(*exprs)
+    else:
+        cols = []
+        for r in q.returns:
+            cols.extend(_ret_cols(b, r))
+        df = df.select(*cols)
+        if q.distinct:
+            df = df.distinct()
+
+    if q.order_by is not None:
+        var, prop, desc = q.order_by
+        col = b.col(var, prop) if prop else F.col(var)
+        # ORDER BY over the reference's int-epoch props map (git_graph.py:64)
+        if prop == "date":
+            col = b.col(var, "props").getItem("date").cast("long")
+        df = df.orderBy(col.desc() if desc else col.asc())
+    if q.limit is not None:
+        df = df.limit(int(_resolve(q.limit, params)))
+    return df
+
+
+def _ret_cols(b: _Binder, r: RetItem) -> list[Column]:
+    if r.kind == "var":
+        kind = b.vars.get(r.var)
+        if kind is None:
+            raise CypherError(f"unbound return var {r.var}")
+        fields = NODE_FIELDS if kind == "node" else EDGE_FIELDS
+        return [b.col(r.var, f) for f in fields]
+    if r.kind == "prop":
+        return [b.col(r.var, r.prop).alias(r.alias or f"{r.var}_{r.prop}")]
+    if r.kind == "id":
+        return [b.col(r.var, "id").alias(r.alias or f"id_{r.var}")]
+    raise CypherError(f"unsupported return item {r.kind}")

@@ -277,6 +277,15 @@ class PropertyGraph:
         self.edges.createOrReplaceTempView(ev)
         return nv, ev
 
+    def cypher(self, query: str, params: dict | None = None) -> DataFrame:
+        """Run a read-only Cypher template against this graph — the
+        reference user's own template strings work verbatim (the ~35
+        templates in api/graph.py / git_graph.py; see cypher.py for the
+        supported grammar)."""
+        from ..cypher import run_cypher
+
+        return run_cypher(self, query, params)
+
     def with_label(self, label: str) -> DataFrame:
         return self.nodes.filter(F.array_contains("labels", label))
 

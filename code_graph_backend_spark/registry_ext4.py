@@ -352,6 +352,31 @@ def mm_frame_features(spark, sf_dir):
 _IVF_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
 
 
+@register(
+    "cypher_frontend_hop",
+    f"""
+    WITH nodes AS ({SQL_NODES}), edges AS ({SQL_EDGES})
+    SELECT e.src AS n_id, e.type AS e_type, n.id AS dest_id, n.name AS dest_name
+    FROM edges e JOIN nodes n ON e.dst = n.id
+    WHERE e.src IN (1, 2, 3) AND e.type = 'PLACED'
+    """,
+)
+def cypher_frontend_hop(spark, sf_dir):
+    """The Cypher front-end executing a verbatim reference template
+    (api/graph.py:197-241 get_neighbors) — parsed, compiled onto the same
+    operators, oracle-checked like every typed query."""
+    from .graph.tpch import build_graph
+
+    g = build_graph(spark, sf_dir)
+    return g.cypher(
+        "MATCH (n)-[e:PLACED]->(dest) WHERE ID(n) IN $node_ids RETURN e, dest",
+        {"node_ids": [1, 2, 3]},
+    ).select(
+        F.col("e_src").alias("n_id"), "e_type",
+        F.col("dest_id"), F.col("dest_name"),
+    )
+
+
 def _sssp_sql(source: int = 1, hops: int = 4) -> str:
     """Unrolled Bellman-Ford: one min-aggregating CTE per relaxation
     round (same unroll trick as _pagerank_sql; integer min-plus => exact)."""

@@ -1,0 +1,146 @@
+"""Cypher front-end: the reference's template SHAPES run verbatim against
+a PropertyGraph and agree with the typed operators (each test names the
+reference template it mirrors, file:line)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_graph_backend_spark.cypher import CypherError, run_cypher
+from code_graph_backend_spark.graph.tpch import build_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return build_graph(spark, SF)
+
+
+def test_point_lookup_by_prop(g):
+    # api/graph.py:269-276 — MATCH (c:Class) WHERE c.name = $name RETURN c LIMIT 1
+    out = run_cypher(
+        g, "MATCH (c:Nation) WHERE c.name = $name RETURN c LIMIT 1",
+        {"name": "NATION_3"},
+    ).collect()
+    assert len(out) == 1 and out[0]["c_name"] == "NATION_3"
+
+
+def test_point_lookup_by_id(g):
+    # api/graph.py:278-288 — WHERE ID(c) = $id
+    out = run_cypher(
+        g, "MATCH (c) WHERE ID(c) = $id RETURN c", {"id": 40000003}
+    ).collect()
+    assert len(out) == 1 and out[0]["c_id"] == 40000003
+
+
+def test_map_pattern_lookup(g):
+    # api/graph.py:428-466 — MATCH (f:File {path: $path, name: $name, ...})
+    out = run_cypher(
+        g, "MATCH (n:Nation {name: $name}) RETURN n", {"name": "NATION_7"}
+    ).collect()
+    assert len(out) == 1 and "Nation" in out[0]["n_labels"]
+
+
+def test_neighbors_in_list(g, spark):
+    # api/graph.py:197-241 — MATCH (n)-[e:R]->(dest) WHERE ID(n) IN $ids
+    out = run_cypher(
+        g,
+        "MATCH (n)-[e:PLACED]->(dest) WHERE ID(n) IN $node_ids RETURN e, dest",
+        {"node_ids": [1, 2, 3]},
+    )
+    rows = out.collect()
+    assert rows and all(r["e_type"] == "PLACED" for r in rows)
+    from code_graph_backend_spark.operators.neighbors import out_neighbors
+
+    typed = out_neighbors(spark, g.nodes, g.edges, [1, 2, 3], edge_type="PLACED")
+    assert sorted(r["dest_id"] for r in rows) == sorted(
+        r["id"] for r in typed.collect())
+
+
+def test_callers_reverse_hop(g):
+    # api/graph.py:382-390 — MATCH (caller)-[:CALLS]->(f) WHERE ID(f)=$id
+    target = 20000005
+    rows = run_cypher(
+        g,
+        "MATCH (caller)-[:SUPPLIES]->(f) WHERE ID(f) = $id RETURN caller",
+        {"id": target},
+    ).collect()
+    direct = {r["src"] for r in g.edges.filter(
+        (F.col("type") == "SUPPLIES") & (F.col("dst") == target)).collect()}
+    assert {r["caller_id"] for r in rows} == direct
+
+
+def test_optional_match_subgraph(g):
+    # api/graph.py:173-194 — MATCH (src) OPTIONAL MATCH (src)-[e]->(dest) LIMIT $l
+    rows = run_cypher(
+        g,
+        "MATCH (src) OPTIONAL MATCH (src)-[e]->(dest) RETURN src, e, dest LIMIT $limit",
+        {"limit": 50},
+    ).collect()
+    assert len(rows) == 50
+
+
+def test_counts(g):
+    # api/graph.py:603-607
+    n = run_cypher(g, "MATCH (n) RETURN count(n)").collect()[0][0]
+    e = run_cypher(g, "MATCH ()-[e]->() RETURN count(e)").collect()[0][0]
+    assert n == g.nodes.count() and e == g.edges.count()
+
+
+def test_anti_join_unreachable(g):
+    # api/graph.py:612-628 — MATCH (n:L) WHERE not ()-[:R]->(n) RETURN n
+    rows = run_cypher(
+        g, "MATCH (n:Part) WHERE NOT ()-[:CONTAINS]->(n) RETURN n"
+    ).collect()
+    from code_graph_backend_spark.operators.neighbors import unreachable
+
+    typed = unreachable(g.nodes, g.edges, label="Part", edge_type="CONTAINS")
+    assert sorted(r["n_id"] for r in rows) == sorted(r["id"] for r in typed.collect())
+
+
+def test_order_and_prefix(g):
+    # git_graph.py:64 ORDER BY; api/graph.py:339 prefix
+    rows = run_cypher(
+        g,
+        "MATCH (n:Region) WHERE n.name STARTS WITH $p RETURN n.name ORDER BY n.name",
+        {"p": "A"},
+    ).collect()
+    names = [r["n_name"] for r in rows]
+    assert names == sorted(names) and all(x.startswith("A") for x in names)
+    assert names  # AFRICA, AMERICA, ASIA
+
+
+def test_collect_group(g):
+    # api/graph.py:307-313 — (f)-[:DEFINES]->(func) RETURN collect(func)
+    rows = run_cypher(
+        g,
+        "MATCH (o)-[:IN_REGION]->(r:Region) RETURN r.name, collect(o)",
+    ).collect()
+    by_region = {r["r_name"]: len(r["collect_o"]) for r in rows}
+    assert sum(by_region.values()) == 25  # every nation collected once
+
+
+def test_find_paths_var_length(g, spark):
+    # api/graph.py:547-591 — MATCH (src),(dest) WHERE ID(src)=$a AND
+    # ID(dest)=$b WITH src, dest MATCH p=(src)-[:CALLS*]->(dest) RETURN p
+    out = run_cypher(
+        g,
+        "MATCH (src), (dest) WHERE ID(src) = $src AND ID(dest) = $dest "
+        "WITH src, dest MATCH p=(src)-[:NEXT*]->(dest) RETURN p",
+        {"src": 40000002, "dest": 40000009},
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["p_nodes"][0] == 40000002 and out[0]["p_nodes"][-1] == 40000009
+    assert out[0]["p_depth"] == 7
+
+
+def test_param_missing_raises(g):
+    with pytest.raises(CypherError, match="missing parameter"):
+        run_cypher(g, "MATCH (c) WHERE ID(c) = $id RETURN c").collect()
+
+
+def test_mutations_rejected(g):
+    with pytest.raises(CypherError):
+        run_cypher(g, "MERGE (n:File {path: 'x'}) RETURN n")
