@@ -369,6 +369,15 @@ NODE_FIELDS = ["id", "labels", "name", "path", "ext", "src_start",
                "src_end", "doc", "props", "coverage"]
 EDGE_FIELDS = ["src", "dst", "type", "props"]
 
+# Reference-property → storage-column mapping (SURVEY §1.2: the commit
+# node's `hash` IS our `name`; `coverage_precentage` [sic] is `coverage`).
+# Lets git templates like `(c:Commit {hash: $h})` run verbatim.
+PROP_ALIASES = {"hash": "name", "coverage_precentage": "coverage"}
+
+
+def _prop_col(prop: str) -> str:
+    return PROP_ALIASES.get(prop, prop)
+
 
 def _resolve(value, params: dict):
     if isinstance(value, str) and value.startswith("$"):
@@ -383,7 +392,7 @@ def _node_df(graph, pat: NodePat, params) -> DataFrame:
     for lbl in pat.labels:
         df = df.filter(F.array_contains("labels", lbl))
     for k, v in pat.props.items():
-        df = df.filter(F.col(k) == F.lit(_resolve(v, params)))
+        df = df.filter(F.col(_prop_col(k)) == F.lit(_resolve(v, params)))
     return df
 
 
@@ -417,7 +426,8 @@ class _Binder:
             for lbl in pat.labels:
                 df = df.filter(F.array_contains(self.col(var, "labels"), lbl))
             for k, v in pat.props.items():
-                df = df.filter(self.col(var, k) == F.lit(_resolve(v, self.params)))
+                df = df.filter(
+                    self.col(var, _prop_col(k)) == F.lit(_resolve(v, self.params)))
             self.df = df
             return var
         nd = _prefix(_node_df(self.graph, pat, self.params), var, NODE_FIELDS)
@@ -495,15 +505,19 @@ def _apply_cond(b: _Binder, c: Cond) -> DataFrame:
         vals = [int(x) for x in _resolve(c.value, b.params)]
         return df.filter(b.col(c.var, "id").isin(vals))
     if c.kind == "prop_eq":
-        return df.filter(b.col(c.var, c.prop) == F.lit(_resolve(c.value, b.params)))
+        return df.filter(
+            b.col(c.var, _prop_col(c.prop)) == F.lit(_resolve(c.value, b.params)))
     if c.kind == "prop_in":
-        return df.filter(b.col(c.var, c.prop).isin(list(_resolve(c.value, b.params))))
+        return df.filter(
+            b.col(c.var, _prop_col(c.prop)).isin(list(_resolve(c.value, b.params))))
     if c.kind == "contains":
-        return df.filter(b.col(c.var, c.prop).contains(_resolve(c.value, b.params)))
+        return df.filter(
+            b.col(c.var, _prop_col(c.prop)).contains(_resolve(c.value, b.params)))
     if c.kind == "starts":
-        return df.filter(b.col(c.var, c.prop).startswith(_resolve(c.value, b.params)))
+        return df.filter(
+            b.col(c.var, _prop_col(c.prop)).startswith(_resolve(c.value, b.params)))
     if c.kind == "notnull":
-        return df.filter(b.col(c.var, c.prop).isNotNull())
+        return df.filter(b.col(c.var, _prop_col(c.prop)).isNotNull())
     if c.kind == "no_inbound":
         e = b.graph.edges
         if c.etype:
@@ -603,7 +617,7 @@ def _ret_cols(b: _Binder, r: RetItem) -> list[Column]:
         fields = NODE_FIELDS if kind == "node" else EDGE_FIELDS
         return [b.col(r.var, f) for f in fields]
     if r.kind == "prop":
-        return [b.col(r.var, r.prop).alias(r.alias or f"{r.var}_{r.prop}")]
+        return [b.col(r.var, _prop_col(r.prop)).alias(r.alias or f"{r.var}_{r.prop}")]
     if r.kind == "id":
         return [b.col(r.var, "id").alias(r.alias or f"id_{r.var}")]
     raise CypherError(f"unsupported return item {r.kind}")

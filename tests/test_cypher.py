@@ -144,3 +144,32 @@ def test_param_missing_raises(g):
 def test_mutations_rejected(g):
     with pytest.raises(CypherError):
         run_cypher(g, "MERGE (n:File {path: 'x'}) RETURN n")
+
+
+def test_commit_hash_alias(spark):
+    # git_graph.py:87-97 — MATCH (c:Commit {hash: $hash})-[:CHILD]->(child)
+    # SURVEY §1.2 maps Commit.hash onto our `name` column; the front-end
+    # applies that alias so git templates run verbatim.
+    from code_graph_backend_spark.graph.model import (
+        EDGES_SCHEMA, NODES_SCHEMA, PropertyGraph,
+    )
+
+    nodes = spark.createDataFrame(
+        [(i, ["Commit"], f"h{i}", "", None, None, None, None, None, None)
+         for i in range(3)],
+        NODES_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, "CHILD", None), (1, 2, "CHILD", None)], EDGES_SCHEMA
+    )
+    gg = PropertyGraph(spark, "cygit", nodes, edges)
+    out = gg.cypher(
+        "MATCH (c:Commit {hash: $hash})-[:CHILD]->(child) RETURN child",
+        {"hash": "h1"},
+    ).collect()
+    assert len(out) == 1 and out[0]["child_name"] == "h2"
+    # and in WHERE position too
+    out = gg.cypher(
+        "MATCH (c:Commit) WHERE c.hash = $hash RETURN ID(c)", {"hash": "h0"}
+    ).collect()
+    assert out[0][0] == 0
