@@ -184,6 +184,21 @@ class CodeGraphService:
         response shape."""
         from .chat import compile_question
 
+        # Raw Cypher passes straight through the read front-end — the
+        # reference's chat ultimately executes generated Cypher, so a user
+        # pasting a template gets it run verbatim (cypher.py subset).
+        stripped = question.strip()
+        if stripped.upper().startswith(("MATCH", "OPTIONAL MATCH")):
+            from ..cypher import CypherError
+
+            g = PropertyGraph.load(self.spark, self.root, repo)
+            try:
+                rows = [r.asDict(recursive=True) for r in
+                        g.cypher(stripped).limit(500).collect()]
+                return {"answer": rows, "query": stripped}
+            except CypherError as ex:
+                return {"answer": None, "query": stripped, "error": str(ex)}
+
         plan = compile_question(question)
         if plan is None:
             return {"answer": None, "query": None, "error": "could not compile question"}

@@ -189,3 +189,14 @@ def test_chat_least_covered(chat_svc):
     # no lcov ingested: every coverage is null -> empty list, not an error
     out = chat_svc.chat("chatfix", "what are the least covered files?")
     assert out["answer"] == []
+
+
+def test_chat_raw_cypher_passthrough(chat_svc):
+    """A pasted Cypher template executes through the read front-end
+    (the reference's chat executes its generated Cypher the same way)."""
+    out = chat_svc.chat(
+        "chatfix", "MATCH (n:Class) WHERE n.name STARTS WITH 'Help' RETURN n.name")
+    assert [r["n_name"] for r in out["answer"]] == ["Helper"]
+    # unsupported Cypher degrades to an error, not a crash
+    bad = chat_svc.chat("chatfix", "MATCH (n) DELETE n RETURN n")
+    assert bad["answer"] is None and "error" in bad
