@@ -173,3 +173,18 @@ def test_commit_hash_alias(spark):
         "MATCH (c:Commit) WHERE c.hash = $hash RETURN ID(c)", {"hash": "h0"}
     ).collect()
     assert out[0][0] == 0
+
+
+def test_reverse_direction_edge(g):
+    # (child)<-[:IN_REGION]-(n): same rows as the forward form
+    fwd = run_cypher(g, "MATCH (n)-[:IN_REGION]->(r:Region) RETURN ID(n), ID(r)")
+    rev = run_cypher(g, "MATCH (r:Region)<-[:IN_REGION]-(n) RETURN ID(n), ID(r)")
+    assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
+
+
+def test_return_distinct(g):
+    rows = run_cypher(
+        g, "MATCH (n)-[:IN_NATION]->(m) RETURN DISTINCT m.name"
+    ).collect()
+    names = [r["m_name"] for r in rows]
+    assert len(names) == len(set(names)) == 25
