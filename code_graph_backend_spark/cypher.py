@@ -599,10 +599,16 @@ def _project(b: _Binder, q: Query, params) -> DataFrame:
 
     if q.order_by is not None:
         var, prop, desc = q.order_by
-        col = b.col(var, prop) if prop else F.col(var)
+        cname = f"{var}_{_prop_col(prop)}" if prop else var
         # ORDER BY over the reference's int-epoch props map (git_graph.py:64)
-        if prop == "date":
+        if prop == "date" and f"{var}_props" in df.columns:
             col = b.col(var, "props").getItem("date").cast("long")
+        elif cname in df.columns:
+            col = F.col(cname)
+        else:
+            # the sort key must survive projection/aggregation (RETURN
+            # count(n) ORDER BY n.name is invalid in Cypher too)
+            raise CypherError(f"ORDER BY {var}.{prop or ''} not in RETURN scope")
         df = df.orderBy(col.desc() if desc else col.asc())
     if q.limit is not None:
         df = df.limit(int(_resolve(q.limit, params)))

@@ -188,3 +188,30 @@ def test_return_distinct(g):
     ).collect()
     names = [r["m_name"] for r in rows]
     assert len(names) == len(set(names)) == 25
+
+
+def test_parser_never_crashes_on_grammar_samples(g):
+    """Generated template variations either compile or raise CypherError —
+    never an unhandled exception (the front-end faces user input via
+    /chat passthrough)."""
+    import itertools
+
+    labels = ["", ":Nation", ":Region:Searchable"]
+    props = ["", " {name: 'X'}", " {name: $p}"]
+    edges = ["", "-[:IN_REGION]->(m)", "<-[e:IN_NATION]-(m)", "-[e]->(m)"]
+    wheres = ["", " WHERE ID(n) = 1", " WHERE n.name STARTS WITH 'A' AND ID(n) IN $ids",
+              " WHERE NOT ()-[:PLACED]->(n)"]
+    rets = ["n", "count(n)", "DISTINCT n.name", "ID(n)"]
+    tails = ["", " ORDER BY n.name DESC", " LIMIT 3", " ORDER BY n.name LIMIT 2"]
+    params = {"p": "X", "ids": [1, 2]}
+    n_ok = 0
+    for lbl, pr, ed, wh, re_, tl in itertools.islice(
+        itertools.product(labels, props, edges, wheres, rets, tails), 0, None, 19
+    ):
+        q = f"MATCH (n{lbl}{pr}){ed}{wh} RETURN {re_}{tl}"
+        try:
+            run_cypher(g, q, params).limit(1).collect()
+            n_ok += 1
+        except CypherError:
+            pass
+    assert n_ok >= 25  # most combinations are valid and execute

@@ -8,6 +8,7 @@ Usage: python tools/check_correctness.py [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -15,7 +16,9 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override to cross-check at another scale (catches constants that only
+# exist at one sf): CHECK_SF_DIR=/root/testdata/sf0.001 python tools/...
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
