@@ -45,6 +45,7 @@ _PRIORITY = [
     "ann_ivf_indexed_topk", "graph_pagerank", "mm_frame_features",
     "cohort_retention", "curation_pipeline", "stream_click_attribution",
     "graph_sssp_bounded", "graph_degree_histogram", "cypher_frontend_hop",
+    "text_unigram_logprob",
 ]
 
 

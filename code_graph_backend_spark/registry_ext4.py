@@ -250,6 +250,53 @@ def curation_pipeline(spark, sf_dir):
 
 
 @register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    vocab AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    total AS (SELECT SUM(n) AS tot FROM vocab),
+    scored AS (
+        SELECT tok.doc_id,
+               -log2(vocab.n / (SELECT tot FROM total)) AS nll
+        FROM tok JOIN vocab USING (tok)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(nll), 6) AS avg_nll_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: each doc's mean negative log2
+    probability of its tokens under the CORPUS unigram distribution —
+    the classic cheap stand-in for an LM perplexity filter (outlier docs
+    score high). Plan: explode -> hash-agg builds the unigram model (one
+    shuffle, map-side combined) -> broadcast the model back onto the
+    token stream -> per-doc agg. The model is vocabulary-sized; with an
+    open-web vocabulary too big to broadcast the same plan runs as a
+    shuffle join on token — identical semantics, one more exchange."""
+    from .session import fan_out
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("tot"))
+    model = F.broadcast(vocab.crossJoin(F.broadcast(total)))
+    return (
+        tok.join(model, "tok")
+        .select("doc_id", (-F.log2(F.col("n") / F.col("tot"))).alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll_bits"),
+        )
+    )
+
+
+@register(
     "stream_click_attribution",
     """
     SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
