@@ -28,24 +28,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # Grading-order rotation (the driver caps correctness rows per round):
 # list FIRST whatever rode on the oldest row last round, so the union of
 # any two consecutive rounds covers every query with no row older than one
-# round. Round 3: the 22 entries whose last official row is round 1,
-# followed by round 3's new queries; the remainder keeps registration
-# order (they all have fresh round-2 rows).
+# round. Round 4: the 35 entries whose freshest official row is round 2,
+# followed by round 4's new queries; the remainder keeps registration
+# order (they all have fresh round-3 rows).
 _PRIORITY = [
-    "a4_ordered_collect", "a5_a6_coverage_ratio", "ann_cosine_topk",
-    "ann_lsh_topk", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "f4_unwind_indexed", "j11_edge_endpoint_validation",
-    "j13_symbol_resolution", "j9_chain_successor", "m3_bulk_props",
-    "m4_propagate_coverage", "m7_oplog_replay", "mm_media_features",
-    "text_fingerprint", "text_lang_pred", "text_quality_score",
-    "text_token_stats", "x2_prefix_table",
-    # round-3 queries (never graded yet)
-    "pii_redact", "text_repetition", "sample_weighted",
-    "ann_ivf_indexed_topk", "graph_pagerank", "mm_frame_features",
-    "cohort_retention", "curation_pipeline", "stream_click_attribution",
-    "graph_sssp_bounded", "graph_degree_histogram", "cypher_frontend_hop",
-    "text_unigram_logprob",
+    "a7_usage_count", "ann_ivf_topk", "asof_prior_click",
+    "contamination_ngram", "corpus_stats", "dedup_clusters",
+    "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
+    "f7_json_props", "j3_callees", "j8_chain_payloads", "m1_merge_upsert",
+    "m2_merge_edges", "m5_cascade_delete", "m6_edge_prop_update",
+    "m8_switch_commit_derived", "o1_commit_list_ordering", "o4_topk_orders",
+    "p5_null_predicate", "p6_dynamic_filters", "p7_fixed_projection",
+    "p8_ext_ignore_filters", "s2_cfamily_analyzer", "sample_stratified",
+    "skew_salted_agg", "text_bpe_tokens", "text_char_entropy",
+    "text_rolling_fingerprint", "text_tfidf_topterms", "value_histogram",
+    "w_session_30m", "w_sliding_1h_30m", "w_tumbling_1h",
+    "x3_auto_complete",
+    # round-4 queries (never graded yet) are appended below as they land
+    "ann_lsh_recall", "ann_ivf_recall", "dedup_minhash_recall",
+    "mm_wav_features",
 ]
 
 
