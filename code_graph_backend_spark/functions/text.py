@@ -167,7 +167,12 @@ def token_repetition_kernel(id_col: str = "doc_id", text_col: str = "text"):
             top = np.zeros(n, dtype=np.int64)
             dup_bg = np.zeros(n, dtype=np.float64)
             for row, text in enumerate(pdf[text_col]):
-                toks = (text or "").split()
+                # literal single-space split, empties kept — pinned to the
+                # oracle's string_split(text, ' ') and to F.split(text, ' ')
+                # in text_unigram_logprob, so all three tokenizations agree
+                # on tabs/newlines/consecutive spaces, not just on the
+                # single-spaced synthetic corpus.
+                toks = (text or "").split(" ")
                 if not toks:
                     continue
                 arr = np.array(toks)

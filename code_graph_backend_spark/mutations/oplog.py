@@ -111,13 +111,46 @@ class OpLog:
             raise ValueError(f"unknown op {entry.op!r}")
         return graph
 
+    @staticmethod
+    def _dedup_rows(op: str, rows: list[dict]) -> list[dict]:
+        """Collapse duplicate-key rows exactly as sequential replay would:
+        merge_nodes' full_outer join emits one output row PER batch row with
+        a given key, so coalescing two batches that both touch a key must
+        first fold those rows into one. Folding mirrors the MERGE column
+        rules (merge.py:80-89): later non-null field wins, `props` maps are
+        dict-merged with later keys winning. First-occurrence position is
+        kept so relative order stays stable."""
+        key = (
+            (lambda r: r["id"])
+            if op == "merge_nodes"
+            else (lambda r: (r["src"], r["dst"], r["type"]))
+        )
+        folded: dict = {}
+        for r in rows:
+            k = key(r)
+            if k not in folded:
+                folded[k] = dict(r)
+                continue
+            acc = folded[k]
+            for f, v in r.items():
+                if f == "props":
+                    if v:
+                        acc["props"] = {**(acc.get("props") or {}), **v}
+                elif v is not None:
+                    acc[f] = v
+        return list(folded.values())
+
     def _coalesced(self, entries: list[OpLogEntry]) -> list[OpLogEntry]:
         """Merge CONSECUTIVE same-op merge_nodes/merge_edges entries into
         one batched entry. Order across different ops is preserved exactly
-        (delete→merge sequences keep their position), so replay semantics
-        are unchanged — but a hop that logged N per-file merge batches now
-        costs one createDataFrame + one MERGE instead of N, which is what
-        keeps replay cost proportional to hops, not to files-per-commit."""
+        (delete→merge sequences keep their position) and duplicate merge
+        keys across the coalesced batches are folded by `_dedup_rows` (last
+        write wins per field, props merged) so replay semantics are
+        unchanged even when two per-file batches touch the same node (e.g.
+        a shared external-symbol node) — but a hop that logged N per-file
+        merge batches now costs one createDataFrame + one MERGE instead of
+        N, which is what keeps replay cost proportional to hops, not to
+        files-per-commit."""
         out: list[OpLogEntry] = []
         for e in entries:
             if (
@@ -127,7 +160,7 @@ class OpLog:
             ):
                 prev = json.loads(out[-1].params_json)
                 cur = json.loads(e.params_json)
-                prev["rows"] = prev["rows"] + cur["rows"]
+                prev["rows"] = self._dedup_rows(e.op, prev["rows"] + cur["rows"])
                 out[-1] = OpLogEntry(
                     e.commit_from, e.commit_to, out[-1].seq, e.op,
                     json.dumps(prev, sort_keys=True),

@@ -71,14 +71,18 @@ def sub_graph(nodes: DataFrame, edges: DataFrame, limit: int = 500) -> DataFrame
     first so repeated calls agree (contract-compatible: the reference only
     promises *some* ≤limit subgraph).
 
-    Join shape: every broadcast is REQUEST-sized. A naive
-    `seeds left-join edges left-join nodes` forces Spark to build the hash
-    side from the graph (left-outer preserves the left stream), i.e.
-    broadcast/shuffle ALL edges and ALL nodes for a ≤500-row request — at
-    100 TB that is the whole graph moving per call. Instead: inner-join
-    edges against the broadcast seed set (one pruned edge scan), semi-join
-    nodes down to the touched dst ids (one pruned node scan), and only
-    then run the left-outers between request-sized sets.
+    Join shape: the only HINTED broadcast is the seed set, which is bounded
+    by `limit`. A naive `seeds left-join edges left-join nodes` forces
+    Spark to build the hash side from the graph (left-outer preserves the
+    left stream), i.e. broadcast/shuffle ALL edges and ALL nodes for a
+    ≤500-row request — at 100 TB that is the whole graph moving per call.
+    Instead: inner-join edges against the broadcast seed set (one pruned
+    edge scan), semi-join nodes down to the touched dst ids (one pruned
+    node scan), then run the left-outers between the resulting sets. The
+    hit/dst sets are usually request-sized but NOT bounded — a hub seed can
+    fan out arbitrarily — so they carry no broadcast hint: AQE broadcasts
+    them when their measured size allows and falls back to a shuffle join
+    when it doesn't, instead of dying on a broadcast-size limit.
     """
     src = nodes.orderBy("id").limit(limit).select("id", "name").alias("s")
     hits = (
@@ -88,13 +92,12 @@ def sub_graph(nodes: DataFrame, edges: DataFrame, limit: int = 500) -> DataFrame
                 F.col("type").alias("_et"))
     )
     d = (
-        nodes.join(F.broadcast(hits.select(F.col("_ed").alias("id"))),
-                   "id", "semi")
+        nodes.join(hits.select(F.col("_ed").alias("id")), "id", "semi")
         .select(F.col("id").alias("_did"), F.col("name").alias("_dname"))
     )
     return (
-        src.join(F.broadcast(hits), F.col("s.id") == F.col("_es"), "left_outer")
-        .join(F.broadcast(d), F.col("_ed") == F.col("_did"), "left_outer")
+        src.join(hits, F.col("s.id") == F.col("_es"), "left_outer")
+        .join(d, F.col("_ed") == F.col("_did"), "left_outer")
         .select(
             F.col("s.id").alias("src_id"),
             F.col("s.name").alias("src_name"),

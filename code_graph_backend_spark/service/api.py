@@ -196,8 +196,13 @@ class CodeGraphService:
                 rows = [r.asDict(recursive=True) for r in
                         g.cypher(stripped).limit(500).collect()]
                 return {"answer": rows, "query": stripped}
-            except CypherError as ex:
-                return {"answer": None, "query": stripped, "error": str(ex)}
+            except CypherError:
+                # Not (subset-)valid Cypher after all — e.g. a natural-
+                # language question that happens to start with "match
+                # functions defined in ...". Fall through to the
+                # deterministic compiler instead of surfacing a parse
+                # error for what was never meant as Cypher.
+                pass
 
         plan = compile_question(question)
         if plan is None:
@@ -319,8 +324,14 @@ class CodeGraphService:
 
     # -- ingest endpoints ---------------------------------------------------
 
-    def analyze_folder(self, path: str, name: str | None = None) -> dict:
-        """POST /analyze_folder (reference api/index.py:330-381, §3.1 pass 1-2)."""
+    def analyze_folder(
+        self, path: str, name: str | None = None, ignore: tuple | list = ()
+    ) -> dict:
+        """POST /analyze_folder (reference api/index.py:330-381, §3.1 pass 1-2).
+
+        `ignore` is the caller's exclude list (reference
+        analyzer.analyze_local_folder(path, g, ignore)) — path substrings
+        filtered out of the scan alongside the built-in dep containers."""
         from ..sources.python_analyzer import analyze_python_files
         from ..sources.source_scan import scan_source_tree
 
@@ -333,7 +344,7 @@ class CodeGraphService:
         dep_roots = add_dependency_sources(path)
         files = scan_source_tree(
             self.spark, [path], exts=(".py", ".java", ".cs"),
-            ignore=("/venv/", "/temp_deps/"),
+            ignore=("/venv/", "/temp_deps/", *ignore),
         )
         if dep_roots:
             files = files.unionByName(

@@ -154,7 +154,7 @@ def create_app(service: CodeGraphService):
             return jsonify({"status": "Invalid path: must be an existing directory"}), 400
         if not isinstance(ignore, list):
             return jsonify({"status": "'ignore' must be a list of paths"}), 400
-        result = service.analyze_folder(path)
+        result = service.analyze_folder(path, ignore=ignore)
         return jsonify({"status": "success", "project": result["repo"]}), 200
 
     @app.route("/analyze_repo", methods=["POST"])

@@ -200,3 +200,13 @@ def test_chat_raw_cypher_passthrough(chat_svc):
     # unsupported Cypher degrades to an error, not a crash
     bad = chat_svc.chat("chatfix", "MATCH (n) DELETE n RETURN n")
     assert bad["answer"] is None and "error" in bad
+
+
+def test_chat_match_prefixed_natural_language_falls_back(chat_svc):
+    """A natural-language question that happens to start with 'match' is
+    not valid Cypher; instead of surfacing a parse error the service falls
+    back to the deterministic compiler (ADVICE r3)."""
+    out = chat_svc.chat("chatfix", "match functions defined in main.py")
+    assert out.get("error") is None
+    assert isinstance(out["answer"], list) and len(out["answer"]) >= 3
+    assert {r["name"] for r in out["answer"]} >= {"low", "mid", "top"}

@@ -156,3 +156,23 @@ def test_public_gate(ctx, monkeypatch):
     client, _, _ = ctx
     monkeypatch.setenv("CODE_GRAPH_PUBLIC", "0")
     assert client.post("/list_commits", json={"repo": "httpfix"}).status_code == 401
+
+
+def test_analyze_folder_threads_ignore(ctx, tmp_path):
+    """/analyze_folder must pass the caller's ignore list through to the
+    scan (reference analyzer.analyze_local_folder(path, g, ignore)) —
+    previously validated but dropped (ADVICE r3)."""
+    client, svc, _ = ctx
+    d = tmp_path / "ign"
+    (d / "keep").mkdir(parents=True)
+    (d / "skipme").mkdir()
+    (d / "keep" / "a.py").write_text("def kept():\n    return 1\n")
+    (d / "skipme" / "b.py").write_text("def dropped():\n    return 2\n")
+    r = client.post("/analyze_folder",
+                    json={"path": str(d), "ignore": ["/skipme/"]})
+    assert r.status_code == 200
+    g = PropertyGraph.load(svc.spark, svc.root, "ign")
+    paths = {row["path"] for row in
+             g.nodes.filter(F.array_contains("labels", "File")).collect()}
+    assert any("a.py" in p for p in paths)
+    assert not any("b.py" in p for p in paths)

@@ -183,3 +183,59 @@ def test_oplog_coalesces_consecutive_merges(spark):
     assert [e.op for e in out] == ["merge_nodes", "delete_edges", "merge_nodes"]
     import json as _json
     assert [r["id"] for r in _json.loads(out[0].params_json)["rows"]] == [1, 2]
+
+
+def test_oplog_coalesce_dedups_shared_keys(spark):
+    """Two coalesced per-file batches touching the SAME node id (e.g. a
+    shared external-symbol node) must fold into one row per key with
+    sequential-replay semantics: later non-null field wins, props maps
+    merge with later keys winning (ADVICE r3: the full_outer MERGE emits
+    one output row per duplicate batch key, so un-deduped coalescing
+    duplicates nodes and loses last-write-wins)."""
+    import json as _json
+
+    from code_graph_backend_spark.mutations.oplog import OpLog
+
+    log = OpLog()
+    log.record("a", "b", "merge_nodes",
+               {"rows": [{"id": 1, "labels": ["X"], "name": "old",
+                          "props": {"k": "1", "keep": "y"}},
+                         {"id": 2, "labels": ["X"], "name": "two"}]})
+    log.record("a", "b", "merge_nodes",
+               {"rows": [{"id": 1, "labels": ["X"], "name": "new",
+                          "props": {"k": "2"}}]})
+    out = log._coalesced(log.transitions("a", "b"))
+    assert len(out) == 1
+    rows = {r["id"]: r for r in _json.loads(out[0].params_json)["rows"]}
+    assert set(rows) == {1, 2}
+    assert rows[1]["name"] == "new"                      # last write wins
+    assert rows[1]["props"] == {"k": "2", "keep": "y"}   # map-merged
+    # end-to-end: replaying the coalesced batch yields ONE node row for id 1
+    from code_graph_backend_spark.graph.model import NODES_SCHEMA, PropertyGraph
+
+    g = PropertyGraph(spark, "repo")
+    g.nodes = spark.createDataFrame([], NODES_SCHEMA)
+    g = log.replay_path(g, ["a", "b"])
+    got = g.nodes.filter("id = 1").collect()
+    assert len(got) == 1
+    assert got[0]["name"] == "new"
+
+
+def test_oplog_coalesce_dedups_edge_keys(spark):
+    """Edge coalescing folds duplicate (src, dst, type) keys the same way."""
+    import json as _json
+
+    from code_graph_backend_spark.mutations.oplog import OpLog
+
+    log = OpLog()
+    log.record("a", "b", "merge_edges",
+               {"rows": [{"src": 1, "dst": 2, "type": "CALLS", "props": {"pos": "3"}}]})
+    log.record("a", "b", "merge_edges",
+               {"rows": [{"src": 1, "dst": 2, "type": "CALLS", "props": {"pos": "9"}},
+                         {"src": 1, "dst": 3, "type": "CALLS", "props": None}]})
+    out = log._coalesced(log.transitions("a", "b"))
+    assert len(out) == 1
+    rows = _json.loads(out[0].params_json)["rows"]
+    keyed = {(r["src"], r["dst"], r["type"]): r for r in rows}
+    assert len(rows) == 2
+    assert keyed[(1, 2, "CALLS")]["props"] == {"pos": "9"}
