@@ -71,3 +71,21 @@ def test_sssp_semantics_and_distributed_parity(spark, monkeypatch):
     dist = {r["node"]: r["dist"] for r in
             sssp_bounded(spark, e2, 1, weight=F.col("w"), hops=4).collect()}
     assert dist == local
+
+
+def test_pagerank_many_nodes_few_edges_goes_distributed(spark, monkeypatch):
+    """Few edges but a node count above the local cap must take the
+    distributed loop — the local path collects EVERY node id, so its gate
+    is the node count, not just the edge count (r3 verdict #3)."""
+    import code_graph_backend_spark.operators.pagerank as pr
+
+    nodes, edges = _star_graph(spark)
+    monkeypatch.setattr(pr, "_LOCAL_NODE_ROWS", 3)  # 5 nodes > cap: the
+    # local branch requires n_total <= cap, so it cannot run; parity with
+    # the un-capped run proves the distributed loop computes the same ranks.
+    got = {row["node"]: row["rank"] for row in pagerank(spark, nodes, edges).collect()}
+    nodes2, edges2 = _star_graph(spark)
+    ref = {row["node"]: row["rank"] for row in pagerank(spark, nodes2, edges2).collect()}
+    assert set(got) == set(ref) == {1, 2, 3, 4, 5}
+    for k in got:
+        assert got[k] == pytest.approx(ref[k], abs=1e-6)
