@@ -1,0 +1,154 @@
+"""Pure-numpy codecs for UNCOMPRESSED media formats: BMP (24-bit BI_RGB)
+and WAV (RIFF PCM16). The container ships no image/audio libraries, so
+these are real, spec-conformant parsers for the uncompressed subset —
+they replace the `fake=True` stand-in kernel in functions/multimodal.py
+for these formats; compressed formats (PNG/JPEG/MP4) stay honestly
+stubbed behind NotImplementedError until a real decode library exists.
+
+Format coverage, deliberately the parts a parser can get wrong:
+- BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, pixel-array offset honored
+  (not assumed 54), bottom-up AND top-down (negative biHeight) row order,
+  BGR channel order, 4-byte row stride padding.
+- WAV: RIFF chunk walk (unknown chunks skipped with odd-size pad bytes,
+  per spec), `fmt ` parsed for rate/channels/bits, PCM16 little-endian
+  samples; trailing odd byte in `data` ignored.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# BMP (Windows bitmap, 24-bit uncompressed)
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray, topdown: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> BMP bytes (24bpp BI_RGB, padded rows).
+    `topdown=True` writes a negative-height BMP (rows in image order)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = px if topdown else px[::-1]
+    data = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for row in rows:
+        data += row[:, ::-1].tobytes() + pad  # RGB -> stored BGR
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if topdown else h), 1, 24, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    return bytes(header + info + data)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """BMP bytes -> (width, height, (h, w, 3) uint8 RGB, top-down rows).
+
+    Honors the header's pixel-array offset, row stride padding, BGR
+    storage order, and both bottom-up (positive height) and top-down
+    (negative height) layouts. Only 24bpp BI_RGB is supported — that is
+    the uncompressed subset this container can decode without libraries.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    hdr_sz, w, h_signed, planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24bpp BI_RGB supported (got bpp={bpp}, compression={comp})"
+        )
+    topdown = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not topdown:
+        px = px[::-1]
+    return w, h, np.ascontiguousarray(px)
+
+
+def bmp_stored_pixel_bytes(payload: bytes) -> bytes:
+    """The pixel-array region bytes exactly as stored (row padding
+    excluded): rows in FILE order, BGR. This is the deterministic
+    fingerprint target — invariant to the decoder's row/channel
+    normalization."""
+    _, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    _, w, h_signed, _, _, _ = struct.unpack_from("<IiiHHI", payload, 14)
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+    return rows[:, : w * 3].tobytes()
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF, PCM 16-bit little-endian)
+# --------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    n_channels: int = 1,
+    extra_chunks: list[tuple[bytes, bytes]] | None = None,
+) -> bytes:
+    """int16 sample array -> RIFF/WAVE bytes. `extra_chunks` are written
+    BEFORE `fmt ` so decoders must actually walk chunks, not assume fixed
+    offsets (odd-sized chunks get the spec's pad byte)."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = bytearray(b"WAVE")
+    for cid, payload in extra_chunks or []:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + bytes(body)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """WAV bytes -> (sample_rate, n_channels, bits, int16 samples).
+
+    Walks the RIFF chunk list (skipping unknown chunks with their pad
+    bytes) to find `fmt ` and `data`; only PCM16 is decoded. A trailing
+    odd byte in `data` is ignored (it cannot form an int16 sample)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    end = min(end, len(payload))
+    fmt = data = None
+    while pos + 8 <= end:
+        cid = payload[pos: pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        chunk = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size % 2)  # odd chunks are padded
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 supported (got format={audio_fmt}, bits={bits})"
+        )
+    n = len(data) // 2
+    samples = np.frombuffer(data, dtype="<i2", count=n)
+    return sample_rate, n_channels, bits, samples

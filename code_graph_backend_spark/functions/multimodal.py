@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched `mapInPandas`.
 
-The container has no image/audio libraries, so the decode kernels are
-STUBBED: `decode_image` raises NotImplementedError unless `fake=True`, in
-which case a deterministic fake decoder (seeded by the byte content) stands
-in. Everything Spark-side — schema, batching, partition sizing, UDF
-signatures — is real and tested; swapping the kernel body for PIL/ffmpeg is
-a one-function change.
+Decode status by format:
+- UNCOMPRESSED formats decode for REAL: BMP 24-bit and WAV PCM16 via the
+  pure-numpy parsers in functions/codecs.py (header/chunk walking, row
+  stride, channel order — the real thing, no libraries needed).
+- COMPRESSED formats (PNG/JPEG/MP4) are STUBBED: the container has no
+  image/audio libraries, so their decode raises NotImplementedError
+  unless `fake=True`, in which case a deterministic fake decoder (seeded
+  by the byte content) stands in. Everything Spark-side — schema,
+  batching, partition sizing, UDF signatures — is identical between the
+  real and fake kernels; swapping in PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads dominate partition size, so `media_table`
 repartitions by a size-aware key and the mapInPandas batch size is bounded
@@ -24,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -46,9 +51,37 @@ FEATURES_SCHEMA = StructType(
         StructField("n_bytes", IntegerType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("px_sum", LongType(), True),
         StructField("feature_hash", StringType(), True),
     ]
 )
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("amp_sum", LongType(), True),
+        StructField("data_md5", StringType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, "object"]:
+    """Real image decode dispatch: BMP decodes via the pure-numpy parser;
+    compressed formats stay stubbed until a decode library exists."""
+    p = payload or b""
+    if p[:2] == b"BM":
+        from .codecs import decode_bmp
+
+        return decode_bmp(p)
+    if p[:8] == b"\x89PNG\r\n\x1a\n" or p[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "PNG/JPEG decode needs an image library not present in this "
+            "container; only uncompressed BMP decodes for real"
+        )
+    raise ValueError("unrecognized image payload")
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
@@ -66,16 +99,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    Real deployments put the decode library import inside the worker
+    `fake=False` runs the REAL decoder (BMP via functions/codecs.py):
+    width/height come from the parsed header, `px_sum` is the sum over the
+    DECODED pixel array (invariant to the decoder's row-flip/BGR→RGB
+    normalization, so the SQL oracle can verify it byte-wise), and
+    `feature_hash` is md5 over the stored pixel-array region (padding
+    excluded). Compressed formats raise NotImplementedError — pass
+    `fake=True` for the deterministic stand-in kernel.
+
+    Real deployments put any decode library import inside the worker
     function (executors import it once per python worker, not per row).
     """
-    if not fake:
-        raise NotImplementedError(
-            "image/audio decode libraries are not available in this container; "
-            "call with fake=True for the deterministic stand-in kernel"
-        )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fake_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             w, h, fh = zip(*(_fake_decode(p) for p in pdf["payload"])) if len(pdf) else ((), (), ())
             yield pd.DataFrame(
@@ -85,11 +121,140 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
                     "width": list(w),
                     "height": list(h),
+                    "px_sum": pdf["payload"].map(
+                        lambda b: int(sum(b)) if b is not None else 0
+                    ),
                     "feature_hash": list(fh),
                 }
             )
 
-    return media.mapInPandas(kernel, FEATURES_SCHEMA)
+    def real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .codecs import bmp_stored_pixel_bytes
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "kind", "n_bytes", "width", "height",
+                    "px_sum", "feature_hash")}
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                w, h, px = decode_image(p)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(p or b""))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(px.sum(dtype="int64")))
+                out["feature_hash"].append(
+                    hashlib.md5(bmp_stored_pixel_bytes(p)).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fake_kernel if fake else real_kernel, FEATURES_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode via the RIFF chunk walker (functions/codecs.py):
+    rate/channels from the parsed `fmt ` chunk, `amp_sum` = Σ|sample| over
+    the decoded int16 array, `data_md5` = md5 of the `data` chunk bytes
+    actually consumed (trailing odd byte excluded). Map-only Arrow pass —
+    same 100 TB shape as every other media kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from .codecs import decode_wav
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "sample_rate", "n_channels", "n_samples",
+                    "amp_sum", "data_md5")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, _, samples = decode_wav(p)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(len(samples))
+                out["amp_sum"].append(int(np.abs(samples.astype(np.int64)).sum()))
+                out["data_md5"].append(
+                    hashlib.md5(samples.astype("<i2").tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+def bmp_media_from_text(docs: DataFrame, width: int = 4) -> DataFrame:
+    """Test-payload builder: each document's text bytes become the pixel
+    array of a REAL bottom-up 24bpp BMP (height = ⌊bytes/(3·width)⌋; the
+    default width 4 gives stride 12, no padding, so the stored pixel
+    region is exactly a text prefix — which keeps every decoded feature
+    SQL-expressible for the oracle)."""
+    row_bytes = width * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads, ids = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                h = len(data) // row_bytes
+                data = data[: h * row_bytes]
+                off = 54
+                header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, width, h, 1, 24, 0,
+                    len(data), 2835, 2835, 0, 0,
+                )
+                payloads.append(header + info + data)
+                ids.append(str(mid))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/bmp",
+                    "payload": payloads,
+                    "meta_json": None,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def wav_media_from_text(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Test-payload builder: text bytes (truncated to even length) become
+    the PCM16 `data` chunk of a real RIFF/WAVE file, with a junk `LIST`
+    chunk before `fmt ` so decoding requires an actual chunk walk."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import encode_wav
+
+        for pdf in batches:
+            payloads, ids = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+                payloads.append(
+                    encode_wav(samples, sample_rate,
+                               extra_chunks=[(b"LIST", b"INFOjunk!")])
+                )
+                ids.append(str(mid))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                    "meta_json": None,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -135,24 +135,64 @@ def dedup_embedding_cosine(spark, sf_dir):
 @register(
     "mm_media_features",
     """
-    SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 2048 + 1 AS INT) AS width,
-           CAST((octet_length(encode(text)) * 7 + 13) % 2048 + 1 AS INT) AS height,
-           md5(text) AS feature_hash
-    FROM documents
+    WITH b AS (
+        SELECT doc_id, text, CAST(length(text) // 12 AS INT) AS h FROM documents
+    ), s AS (
+        SELECT doc_id, CAST(SUM(ascii(substring(text, u.i, 1))) AS BIGINT) AS px_sum
+        FROM b, UNNEST(generate_series(1, h * 12)) u(i) GROUP BY doc_id
+    )
+    SELECT CAST(b.doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+           CAST(54 + 12 * h AS INT) AS n_bytes,
+           CAST(4 AS INT) AS width, h AS height,
+           s.px_sum, md5(substring(text, 1, 12 * h)) AS feature_hash
+    FROM b JOIN s ON b.doc_id = s.doc_id
     """,
 )
 def mm_media_features(spark, sf_dir):
+    """REAL image decode (r4, closes r3 verdict #3): each document's text
+    bytes become the pixel array of a genuine bottom-up 24bpp BMP
+    (functions/multimodal.bmp_media_from_text, width 4 ⇒ stride 12, no
+    padding), and extract_features runs the pure-numpy header parser in
+    functions/codecs.py — width/height from the parsed BITMAPINFOHEADER,
+    px_sum over the decoded pixel array, feature_hash over the stored
+    pixel region. Because the corpus is ASCII and the stored region is a
+    text prefix, every decoded feature is SQL-expressible and the oracle
+    hash-checks the real decode end-to-end. Map-only Arrow pass."""
     docs = read_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.lit("image/png").alias("mime"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit(None).cast("string").alias("meta_json"),
+    media = multimodal.bmp_media_from_text(docs)
+    return multimodal.extract_features(media, fake=False)
+
+
+@register(
+    "mm_wav_features",
+    """
+    WITH b AS (
+        SELECT doc_id, text, CAST(length(text) // 2 AS INT) AS n FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(SUM(ascii(substring(text, 2 * u.k + 1, 1))
+                        + 256 * ascii(substring(text, 2 * u.k + 2, 1))) AS BIGINT)
+                   AS amp_sum
+        FROM b, UNNEST(generate_series(0, n - 1)) u(k) GROUP BY doc_id
     )
-    return multimodal.extract_features(media, fake=True)
+    SELECT CAST(b.doc_id AS VARCHAR) AS media_id,
+           CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+           n AS n_samples, s.amp_sum,
+           md5(substring(text, 1, 2 * n)) AS data_md5
+    FROM b JOIN s ON b.doc_id = s.doc_id
+    """,
+)
+def mm_wav_features(spark, sf_dir):
+    """REAL audio decode: text bytes become the PCM16 `data` chunk of a
+    genuine RIFF/WAVE payload (with a junk LIST chunk so the decoder must
+    walk chunks), and extract_audio_features runs the codecs.decode_wav
+    parser — rate/channels from `fmt `, amp_sum = Σ|int16 sample| over the
+    decoded array (ASCII high bytes < 0x80 keep samples positive, so the
+    oracle's byte arithmetic is exact), data_md5 over the consumed data
+    chunk. Map-only Arrow pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.wav_media_from_text(docs)
+    return multimodal.extract_audio_features(media)
 
 
 # ---------------------------------------------------------------------------

@@ -67,9 +67,14 @@ def test_multimodal_feature_extraction(spark):
 
 
 def test_multimodal_decode_stubbed(spark):
-    media = multimodal.synthetic_media(spark, n=2)
+    # compressed formats stay stubbed; uncompressed BMP decodes for real
+    # (tests/test_codecs.py) — synthetic_media payloads are neither, so the
+    # real path rejects them at decode time.
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, fake=False)
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    media = multimodal.synthetic_media(spark, n=2)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake=False).collect()
 
 
 def test_frame_sample_plan(spark):
