@@ -18,6 +18,7 @@ from code_graph_backend_spark import registry_ext  # noqa: F401  (registers on i
 from code_graph_backend_spark import registry_ext2  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext3  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext4  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext5  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,9 +45,9 @@ _PRIORITY = [
     "text_rolling_fingerprint", "text_tfidf_topterms", "value_histogram",
     "w_session_30m", "w_sliding_1h_30m", "w_tumbling_1h",
     "x3_auto_complete",
-    # round-4 queries (never graded yet) are appended below as they land
-    "ann_lsh_recall", "ann_ivf_recall", "dedup_minhash_recall",
-    "mm_wav_features",
+    # round-4 queries (never graded yet)
+    "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
+    "ann_lsh_exact",
 ]
 
 

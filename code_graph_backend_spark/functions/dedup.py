@@ -283,3 +283,86 @@ def simhash_near_dup_pairs(
     )
     hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
     return pairs.withColumn("hamming", hamming.cast("int")).select("i", "j", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Exact-twin companions (r4): the SAME banded-LSH pipelines with an
+# md5-based hash family, chosen because DuckDB can replicate md5 exactly —
+# so the approximate families' MACHINERY (signature agg, banding, candidate
+# join, majority vote) gets a true hash-checked oracle row. The production
+# variants above keep their faster hash families (xxhash64 / blake2b);
+# recall properties stay pytest-asserted (tests/test_dedup_similarity.py).
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_candidates_exact(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact twin of `minhash_lsh_candidates`: identical explode → one
+    hash-agg k-mins → banded equi-join plan, but hash = md5(seed ':' s)
+    compared as hex strings and band key = md5 of the '|'-joined band
+    slice — every step replicable in ANSI SQL. Output (i, j) pairs."""
+    rows = k // bands
+    sh = fan_out(docs).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
+    )
+    sig = sh.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("s"))))
+                for seed in range(k)
+            ]
+        ).alias("sig")
+    )
+    banded = sig.select(
+        F.col(id_col).alias("i"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
+                f"md5(concat_ws('|', slice(sig, b * {rows} + 1, {rows}))) as bh))"
+            )
+        ).alias("e"),
+    ).select("i", "e.band", "e.bh")
+    banded = scratch_persist(banded)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .distinct()
+    )
+
+
+def simhash_signatures_exact(
+    docs: DataFrame, id_col="doc_id", text_col="text", n: int = 3
+) -> DataFrame:
+    """Exact twin of `simhash_signatures` (32-bit, md5 hash family): the
+    same per-bit majority vote, computed as explode → ONE hash-agg with 32
+    packed bit-sum aggregates (this is the shape the production kernel
+    deliberately avoids at scale — acceptable here because the twin is a
+    correctness companion, not the 100 TB path). Output (doc_id, sig)."""
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    sh = fan_out(docs).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
+    ).withColumn("h", h)
+    aggs = [F.count("*").alias("cnt")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(32)
+    ]
+    voted = sh.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(32):
+        term = F.when(
+            F.col(f"b{b}") * 2 > F.col("cnt"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return voted.select(F.col(id_col), sig.alias("sig"))

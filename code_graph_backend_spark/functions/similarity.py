@@ -582,3 +582,60 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", F.round("sim", 6).alias("sim"))
     )
+
+
+def hyperplane_buckets_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+) -> DataFrame:
+    """Exact twin of the hyperplane-LSH bucketing inside `lsh_topk`: sign
+    bits of per-plane dot products, but with (a) plane weights derived from
+    md5(plane ':' dim) — a hash family DuckDB replicates exactly — and
+    (b) embeddings quantized to integers (round(x·1000)) so the dot product
+    is exact integer arithmetic, order-independent across engines (a float
+    sum's result depends on summation order; an int sum's does not).
+    Output (vec_id, bucket) with bucket the plane-ordered sign-bit string.
+    """
+    d = (
+        emb.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .select(
+            id_col,
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("x").cast("double") * 1000).cast("long").alias("q"),
+        )
+        .select(
+            id_col, "dim", "q",
+            F.explode(F.expr(f"sequence(0, {planes - 1})")).alias("p"),
+        )
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("p").cast("string"), F.col("dim").cast("string")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        - F.lit(2147483648)
+    )
+    bits = (
+        d.withColumn("w", w)
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("q") * F.col("w")).alias("dot"))
+        .withColumn("bit", F.when(F.col("dot") >= 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    return bits.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "bit"))),
+                lambda s: s["bit"],
+            ),
+        ).alias("bucket")
+    )

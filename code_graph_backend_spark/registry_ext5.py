@@ -1,0 +1,114 @@
+"""Round-4 extension queries: exact-twin oracle companions for the
+approximate dedup/ANN families (r3 verdict item 4).
+
+The approximate families (minhash-LSH, simhash, hyperplane-LSH, IVF) are
+rows-only in the driver because their production hash families
+(xxhash64/blake2b) and sampled k-means have no DuckDB equivalent. These
+twins run the SAME pipelines with an md5 hash family and integer-quantized
+dot products, both exactly replicable in SQL — so the banding, signature
+aggregation, majority vote, and candidate-join MACHINERY each get a true
+hash-checked oracle row. Recall quality remains pytest-asserted
+(tests/test_dedup_similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import dedup, similarity
+from .registry import register
+from .session import read_table
+
+
+@register(
+    "dedup_minhash_exact",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    m AS (
+        SELECT doc_id, u.seed,
+               MIN(md5(CAST(u.seed AS VARCHAR) || ':' || s)) AS mh
+        FROM sh, UNNEST(generate_series(0, 15)) u(seed)
+        GROUP BY doc_id, u.seed
+    ),
+    b AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+        FROM m GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+    FROM b a JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+    """,
+)
+def dedup_minhash_exact(spark, sf_dir):
+    """Exact-twin of dedup_minhash_lsh (functions/dedup.py
+    minhash_lsh_candidates_exact): identical explode → one-agg k-mins →
+    banded equi-join plan, md5 hash family so the oracle replays every
+    hash. k=16 minhashes, 4 bands of 4."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates_exact(docs, k=16, bands=4)
+
+
+@register(
+    "dedup_simhash_exact",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    h AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h
+        FROM sh
+    ),
+    v AS (
+        SELECT doc_id, u.b, SUM((h >> u.b) & 1) AS s, COUNT(*) AS c
+        FROM h, UNNEST(generate_series(0, 31)) u(b)
+        GROUP BY doc_id, u.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN 2 * s > c THEN (CAST(1 AS BIGINT) << b)
+                         ELSE 0 END) AS BIGINT) AS sig
+    FROM v GROUP BY doc_id
+    """,
+)
+def dedup_simhash_exact(spark, sf_dir):
+    """Exact-twin of dedup_simhash's per-bit majority vote
+    (functions/dedup.py simhash_signatures_exact): 32-bit md5 family, one
+    hash-agg with packed bit sums."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures_exact(docs)
+
+
+@register(
+    "ann_lsh_exact",
+    """
+    WITH d AS (
+        SELECT vec_id, u.dim,
+               CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(dim)
+    ),
+    pd AS (
+        SELECT vec_id, p.p, dim, q,
+               CAST(('0x' || substring(md5(CAST(p.p AS VARCHAR) || ':'
+                    || CAST(dim AS VARCHAR)), 1, 8)) AS BIGINT)
+                   - 2147483648 AS w
+        FROM d, UNNEST(generate_series(0, 7)) p(p)
+    ),
+    b AS (
+        SELECT vec_id, p, CASE WHEN SUM(q * w) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM pd GROUP BY vec_id, p
+    )
+    SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+    FROM b GROUP BY vec_id
+    """,
+)
+def ann_lsh_exact(spark, sf_dir):
+    """Exact-twin of the hyperplane-LSH bucketing inside ann_lsh_topk
+    (functions/similarity.py hyperplane_buckets_exact): md5-derived plane
+    weights + integer-quantized dot products make the sign-bit bucket
+    assignment engine-independent and hash-checkable."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_buckets_exact(emb, planes=8)

@@ -200,3 +200,54 @@ def test_ivf_indexed_matches_inflight_ivf(emb, spark):
 
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_minhash_exact_twin_recall(docs):
+    """The md5-family exact twin (driver-oracled, functions/dedup.py
+    minhash_lsh_candidates_exact) must behave like a real minhash LSH:
+    high recall on planted near-dups, i.e. the twin verifies the SAME
+    machinery the production xxhash64 variant runs."""
+    exact = {
+        (r["i"], r["j"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    if not exact:
+        pytest.skip("no planted near-dups at this sf")
+    cand = {
+        (r["i"], r["j"])
+        for r in dedup.minhash_lsh_candidates_exact(docs).collect()
+    }
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"twin recall {recall} on {len(exact)} true pairs"
+
+
+def test_simhash_exact_twin_separates_near_dups(docs):
+    """Near-dup doc pairs must land closer in twin-signature Hamming space
+    than random pairs, on average — the majority-vote semantics are the
+    same as the production 64-bit kernel."""
+    near = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
+    if near.count() == 0:
+        pytest.skip("no planted near-dups at this sf")
+    sig = {r["doc_id"]: r["sig"] for r in
+           dedup.simhash_signatures_exact(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    near_pairs = [(r["i"], r["j"]) for r in near.collect()
+                  if r["i"] in sig and r["j"] in sig]
+    ids = sorted(sig)
+    rand_pairs = list(zip(ids[: len(near_pairs) * 2: 2],
+                          ids[1: len(near_pairs) * 2: 2]))
+    near_h = sum(ham(sig[i], sig[j]) for i, j in near_pairs) / len(near_pairs)
+    rand_h = sum(ham(sig[i], sig[j]) for i, j in rand_pairs) / len(rand_pairs)
+    assert near_h < rand_h, (near_h, rand_h)
+
+
+def test_hyperplane_buckets_exact_group_similars(emb):
+    """Identical vectors must share a bucket; the bucket distribution must
+    actually split the corpus (not all-one-bucket)."""
+    buckets = {r["vec_id"]: r["bucket"] for r in
+               similarity.hyperplane_buckets_exact(emb).collect()}
+    assert len(set(buckets.values())) > 4  # 8 planes split 500 vectors
+    assert all(len(b) == 8 for b in buckets.values())
