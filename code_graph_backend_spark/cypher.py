@@ -15,9 +15,10 @@ pushdown/pruning/join selection exactly as for the typed API.
 Supported (the reference's read surface):
   MATCH (v:Label {k: $p})  [-[e:TYPE]-> (w)] , chained hops, multiple
   MATCH clauses, OPTIONAL MATCH (left-outer), path binding p=(a)-[:T*]->(b)
-  WHERE: ID(v)=$x / v.prop=$x / ID(v) IN $ids / v.prop IN $list /
-         v.prop CONTAINS $s / STARTS WITH / IS NOT NULL / NOT ()-[:T]->(v)
-         / AND-conjunctions
+  WHERE: ID(v)=$x / v.prop=$x / v.prop <> < > <= >= $x / ID(v) IN $ids /
+         v.prop IN $list / v.prop CONTAINS $s / STARTS WITH / IS NOT NULL /
+         NOT ()-[:T]->(v) / AND and OR (AND binds tighter; the anti-join
+         NOT-pattern cannot appear under OR)
   RETURN: vars, v.prop, ID(v), count(x), collect(x); ORDER BY / LIMIT /
   DISTINCT.
 
@@ -42,12 +43,12 @@ from pyspark.sql import functions as F
 # -- tokenizer ---------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<kw>(?i:OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT|DISTINCT|AND|NOT|IN|IS|NULL|CONTAINS|STARTS\s+WITH|DESC|ASC|AS|WITH))(?![A-Za-z0-9_])"
+    r"\s*(?:(?P<kw>(?i:OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT|DISTINCT|AND|OR|NOT|IN|IS|NULL|CONTAINS|STARTS\s+WITH|DESC|ASC|AS|WITH))(?![A-Za-z0-9_])"
     r"|(?P<num>\d+)"
     r"|(?P<param>\$[A-Za-z_]\w*)"
     r"|(?P<str>'[^']*'|\"[^\"]*\")"
     r"|(?P<name>[A-Za-z_]\w*)"
-    r"|(?P<sym><-\[|\]->|\]-|-\[|<-|->|[(){}:,.*=\[\]]))"
+    r"|(?P<sym><-\[|\]->|\]-|-\[|<-|->|<>|<=|>=|[<>(){}:,.*=\[\]]))"
 )
 
 
@@ -97,11 +98,13 @@ class MatchChain:
 
 @dataclass
 class Cond:
-    kind: str   # id_eq | prop_eq | id_in | prop_in | contains | starts | notnull | no_inbound
+    kind: str   # id_eq | prop_eq | prop_cmp | id_in | prop_in | contains |
+    #             starts | notnull | no_inbound | or
     var: str | None = None
     prop: str | None = None
-    value: object = None
+    value: object = None   # for kind == "or": the list of OR'd Conds
     etype: str | None = None
+    op: str | None = None  # prop_cmp: one of <> < > <= >=
 
 
 @dataclass
@@ -250,6 +253,23 @@ class _Parser:
         raise CypherError(f"unsupported value {t}")
 
     def _where(self) -> list[Cond]:
+        """Cypher precedence: AND binds tighter than OR —
+        `a AND b OR c` is `(a AND b) OR c`. The returned list is the
+        top-level AND conjunction the executor chains as filters; an OR
+        anywhere collapses the whole WHERE into one `or` node whose
+        alternatives are the AND groups."""
+        groups = [self._and_group()]
+        while self.at("OR"):
+            self.take()
+            groups.append(self._and_group())
+        if len(groups) == 1:
+            return groups[0]
+        alts = [
+            g[0] if len(g) == 1 else Cond("and", value=g) for g in groups
+        ]
+        return [Cond("or", value=alts)]
+
+    def _and_group(self) -> list[Cond]:
         conds = [self._cond()]
         while self.at("AND"):
             self.take()
@@ -284,6 +304,11 @@ class _Parser:
         if nxt[1] == "=":
             self.take()
             return Cond("prop_eq", var=var, prop=prop, value=self._value())
+        if nxt[1] in ("<>", "<", ">", "<=", ">="):
+            self.take()
+            return Cond(
+                "prop_cmp", var=var, prop=prop, value=self._value(), op=nxt[1]
+            )
         if nxt[1] == "IN":
             self.take()
             return Cond("prop_in", var=var, prop=prop, value=self._value())
@@ -417,6 +442,16 @@ class _Binder:
     def col(self, var: str, f: str) -> Column:
         return F.col(f"{var}_{f}")
 
+    def prop(self, var: str, prop: str) -> Column:
+        """A property access: direct column when the field exists on the
+        entity, `props[key]` map access otherwise (FalkorDB stores ad-hoc
+        properties exactly so — e.g. the CALLS/CONTAINS `pos`)."""
+        f = _prop_col(prop)
+        fields = EDGE_FIELDS if self.vars.get(var) == "edge" else NODE_FIELDS
+        if f in fields:
+            return self.col(var, f)
+        return self.col(var, "props").getItem(f)
+
     def add_node(self, pat: NodePat, join_on: tuple[Column, str] | None,
                  optional: bool) -> str:
         var = pat.var or self.gensym()
@@ -427,7 +462,7 @@ class _Binder:
                 df = df.filter(F.array_contains(self.col(var, "labels"), lbl))
             for k, v in pat.props.items():
                 df = df.filter(
-                    self.col(var, _prop_col(k)) == F.lit(_resolve(v, self.params)))
+                    self.prop(var, k) == F.lit(_resolve(v, self.params)))
             self.df = df
             return var
         nd = _prefix(_node_df(self.graph, pat, self.params), var, NODE_FIELDS)
@@ -497,34 +532,66 @@ def _compile_chain(b: _Binder, chain: MatchChain, params):
         i += 2
 
 
-def _apply_cond(b: _Binder, c: Cond) -> DataFrame:
-    df = b.df
+def _cond_column(b: _Binder, c: Cond) -> Column:
+    """A condition as a boolean Column — for every kind except the
+    anti-join-shaped `no_inbound`, which has no Column form."""
     if c.kind == "id_eq":
-        return df.filter(b.col(c.var, "id") == F.lit(_resolve(c.value, b.params)))
+        return b.col(c.var, "id") == F.lit(_resolve(c.value, b.params))
     if c.kind == "id_in":
         vals = [int(x) for x in _resolve(c.value, b.params)]
-        return df.filter(b.col(c.var, "id").isin(vals))
+        return b.col(c.var, "id").isin(vals)
     if c.kind == "prop_eq":
-        return df.filter(
-            b.col(c.var, _prop_col(c.prop)) == F.lit(_resolve(c.value, b.params)))
+        return b.prop(c.var, c.prop) == F.lit(_resolve(c.value, b.params))
+    if c.kind == "prop_cmp":
+        v = _resolve(c.value, b.params)
+        col = b.prop(c.var, c.prop)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            # numeric comparison regardless of storage type (props-map
+            # values are strings); Cypher compares numerically when the
+            # literal is a number
+            col = col.cast("double")
+        ops = {
+            "<>": col != F.lit(v), "<": col < F.lit(v), ">": col > F.lit(v),
+            "<=": col <= F.lit(v), ">=": col >= F.lit(v),
+        }
+        return ops[c.op]
     if c.kind == "prop_in":
-        return df.filter(
-            b.col(c.var, _prop_col(c.prop)).isin(list(_resolve(c.value, b.params))))
+        return b.prop(c.var, c.prop).isin(list(_resolve(c.value, b.params)))
     if c.kind == "contains":
-        return df.filter(
-            b.col(c.var, _prop_col(c.prop)).contains(_resolve(c.value, b.params)))
+        return b.prop(c.var, c.prop).contains(_resolve(c.value, b.params))
     if c.kind == "starts":
-        return df.filter(
-            b.col(c.var, _prop_col(c.prop)).startswith(_resolve(c.value, b.params)))
+        return b.prop(c.var, c.prop).startswith(_resolve(c.value, b.params))
     if c.kind == "notnull":
-        return df.filter(b.col(c.var, _prop_col(c.prop)).isNotNull())
+        return b.prop(c.var, c.prop).isNotNull()
+    if c.kind == "and":
+        out = None
+        for alt in c.value:
+            col = _cond_column(b, alt)
+            out = col if out is None else (out & col)
+        return out
+    if c.kind == "or":
+        out = None
+        for alt in c.value:
+            col = _cond_column(b, alt)
+            out = col if out is None else (out | col)
+        return out
+    if c.kind == "no_inbound":
+        raise CypherError(
+            "NOT ()-[:T]->(v) cannot appear inside OR (it compiles to an "
+            "anti-join, not a row predicate)"
+        )
+    raise CypherError(f"unsupported condition {c.kind}")
+
+
+def _apply_cond(b: _Binder, c: Cond) -> DataFrame:
+    df = b.df
     if c.kind == "no_inbound":
         e = b.graph.edges
         if c.etype:
             e = e.filter(F.col("type") == c.etype)
         tgt = e.select(F.col("dst").alias(f"{c.var}_id"))
         return df.join(tgt, f"{c.var}_id", "left_anti")
-    raise CypherError(f"unsupported condition {c.kind}")
+    return df.filter(_cond_column(b, c))
 
 
 def _compile_var_length(b: _Binder, chain: MatchChain, q: Query, params):

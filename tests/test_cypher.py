@@ -215,3 +215,64 @@ def test_parser_never_crashes_on_grammar_samples(g):
         except CypherError:
             pass
     assert n_ok >= 25  # most combinations are valid and execute
+
+
+def test_or_predicate(g):
+    out = run_cypher(
+        g,
+        "MATCH (n:Nation) WHERE n.name = $a OR n.name = $b RETURN n.name"
+        " ORDER BY n.name",
+        {"a": "NATION_3", "b": "NATION_7"},
+    ).collect()
+    assert [r[0] for r in out] == ["NATION_3", "NATION_7"]
+
+
+def test_and_binds_tighter_than_or(g):
+    # (name=N3 AND name=N7) OR name=N5  ->  just N5; the wrong grouping
+    # N3 AND (N7 OR N5) would return nothing
+    out = run_cypher(
+        g,
+        "MATCH (n:Nation) WHERE n.name = 'NATION_3' AND n.name = 'NATION_7'"
+        " OR n.name = 'NATION_5' RETURN n.name",
+    ).collect()
+    assert [r[0] for r in out] == ["NATION_5"]
+
+
+def test_comparison_predicates(g):
+    ne = run_cypher(
+        g, "MATCH (n:Region) WHERE n.name <> 'REGION_0' RETURN n.name"
+    ).collect()
+    assert "REGION_0" not in {r[0] for r in ne} and len(ne) >= 4
+    lt = run_cypher(
+        g, "MATCH (n:Nation) WHERE ID(n) IN $ids AND n.name < 'NATION_2'"
+           " RETURN n.name ORDER BY n.name",
+        {"ids": [40000000 + i for i in range(10)]},
+    ).collect()
+    assert all(r[0] < "NATION_2" for r in lt) and lt
+
+
+def test_numeric_comparison_on_edge_prop(g):
+    # ad-hoc props live in the props map as strings (CONTAINS pos, the
+    # reference's call-site position); a numeric literal forces numeric
+    # comparison — '10' < 2 must be false numerically, true as strings
+    lo = run_cypher(
+        g, "MATCH (o:Order)-[e:CONTAINS]->(p) WHERE e.pos < 3"
+           " RETURN count(e) AS n"
+    ).collect()[0]["n"]
+    hi = run_cypher(
+        g, "MATCH (o:Order)-[e:CONTAINS]->(p) WHERE e.pos >= 3"
+           " RETURN count(e) AS n"
+    ).collect()[0]["n"]
+    both = run_cypher(
+        g, "MATCH (o:Order)-[e:CONTAINS]->(p) RETURN count(e) AS n"
+    ).collect()[0]["n"]
+    assert lo > 0 and hi > 0 and lo + hi == both
+
+
+def test_not_pattern_inside_or_rejected(g):
+    with pytest.raises(CypherError):
+        run_cypher(
+            g,
+            "MATCH (n:Part) WHERE NOT ()-[:CONTAINS]->(n) OR n.name = 'x'"
+            " RETURN n",
+        )
