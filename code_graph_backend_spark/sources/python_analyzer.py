@@ -70,13 +70,17 @@ def _annotation_name(node) -> str | None:
     return None
 
 
-def _call_name(node: ast.Call) -> str | None:
+def _call_name(node: ast.Call) -> tuple[str | None, str | None]:
+    """(callee, receiver): `f()` → (f, None); `x.f()` → (f, x) when the
+    receiver is a plain name — the receiver lets resolution follow module
+    bindings (`from . import x; x.f()` resolves f into x's module)."""
     f = node.func
     if isinstance(f, ast.Name):
-        return f.id
+        return f.id, None
     if isinstance(f, ast.Attribute):
-        return f.attr
-    return None
+        recv = f.value.id if isinstance(f.value, ast.Name) else None
+        return f.attr, recv
+    return None, None
 
 
 def parse_python_source(path: str, source: str) -> list[tuple]:
@@ -104,7 +108,12 @@ def parse_python_source(path: str, source: str) -> list[tuple]:
             base = base.rsplit("/", 1)[0] if "/" in base else ""
         if not modpart:
             return None
-        return (base + "/" if base else "") + modpart + ".py"
+        # leading "/" marks the suffix as ANCHORED: a relative import
+        # resolves against this file's directory, so the result is a
+        # concrete repo-relative path that must match exactly — an
+        # endswith match would let any same-named module in a deeper
+        # package shadow it
+        return "/" + (base + "/" if base else "") + modpart + ".py"
 
     # import bindings (J13 second half: the reference's LSP follows import
     # chains to the def-site, api/analyzers/analyzer.py:49-54; we record
@@ -116,6 +125,20 @@ def parse_python_source(path: str, source: str) -> list[tuple]:
             suffix = _module_suffix(sub.level, sub.module)
             for a in sub.names:
                 if a.name == "*":
+                    continue
+                if sub.level >= 1 and sub.module is None:
+                    # `from . import x` / `from .. import y`: each name is
+                    # a sibling MODULE of the resolved package dir — a
+                    # module binding (target None), like plain `import x`,
+                    # with a concrete relative path
+                    base = path.rsplit("/", 1)[0] if "/" in path else ""
+                    for _ in range(sub.level - 1):
+                        base = base.rsplit("/", 1)[0] if "/" in base else ""
+                    mod_suffix = "/" + (base + "/" if base else "") + a.name + ".py"
+                    rows.append(
+                        ("import", None, a.asname or a.name, path, None,
+                         None, None, None, None, None, None, mod_suffix)
+                    )
                     continue
                 rows.append(
                     ("import", None, a.asname or a.name, path, None, None,
@@ -164,7 +187,7 @@ def parse_python_source(path: str, source: str) -> list[tuple]:
                     # calls within this function body (not nested defs)
                     for sub in ast.walk(child):
                         if isinstance(sub, ast.Call):
-                            callee = _call_name(sub)
+                            callee, receiver = _call_name(sub)
                             if callee:
                                 line = sub.lineno - 1
                                 text = (
@@ -172,9 +195,13 @@ def parse_python_source(path: str, source: str) -> list[tuple]:
                                     if 0 <= line < len(src_lines)
                                     else None
                                 )
+                                # call rows repurpose parent_name for the
+                                # attribute RECEIVER (x in x.f()) — the
+                                # resolution join matches it against
+                                # module import bindings
                                 rows.append(
                                     ("call", None, child.name, path, start, end, None,
-                                     None, None, callee, line, text)
+                                     receiver, None, callee, line, text)
                                 )
                 visit(child, child.name, start)
             else:
@@ -231,7 +258,7 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         F.col("target").alias("iorig"), F.col("text").alias("isuffix"),
     ).distinct()
     _REF_KINDS = ("call", "extends", "returns", "params", "implements", "cs_base")
-    refs_eff = (
+    refs_sym = (
         parsed.filter(F.col("kind").isin(*_REF_KINDS)).alias("r")
         .join(
             imports,
@@ -243,7 +270,60 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
             "r.*",
             # aliased binding: the def-site's real name, not the alias
             F.coalesce(F.col("iorig"), F.col("r.target")).alias("eff_target"),
-            F.col("isuffix").alias("imp_suffix"),
+            F.col("isuffix").alias("sym_suffix"),
+        )
+    )
+    # Receiver bindings: `x.f()` where x is an import binding — call rows
+    # carry the attribute receiver in parent_name (parse_python_source).
+    # A module binding (`import m` / `from . import m`) points f's def-site
+    # at the module file itself; a symbol binding used as a receiver
+    # (`from pkg import m; m.f()` with m a submodule) points one level
+    # deeper: <pkg>/<m>.py.
+    recv = imports.select(
+        F.col("ipath").alias("ipath2"), F.col("alias").alias("alias2"),
+        F.col("iorig").alias("iorig2"), F.col("isuffix").alias("isuffix2"),
+    )
+    recv_suffix = F.when(F.col("iorig2").isNull(), F.col("isuffix2")).otherwise(
+        F.concat(
+            F.regexp_replace(F.col("isuffix2"), r"\.py$", ""),
+            F.lit("/"), F.col("alias2"), F.lit(".py"),
+        )
+    )
+    refs_recv = (
+        refs_sym.join(
+            recv,
+            (F.col("path") == F.col("ipath2"))
+            & (F.col("parent_name") == F.col("alias2"))
+            & (F.col("kind") == "call"),
+            "left_outer",
+        )
+        .withColumn("imp_suffix1", F.coalesce(F.col("sym_suffix"), recv_suffix))
+        .drop("ipath2", "alias2", "iorig2", "isuffix2", "sym_suffix")
+    )
+    # One-hop __init__ re-export chain: `from pkg import f` landing on
+    # pkg/__init__.py which itself does `from .a import f` — follow that
+    # file's import row to the true def-site (the reference's LSP resolves
+    # the chain natively, analyzer.py:49-54; one hop covers the standard
+    # package-facade idiom, deeper chains fall back to ranked resolution).
+    hop = imports.select(
+        F.col("ipath").alias("ipath3"), F.col("alias").alias("alias3"),
+        F.col("iorig").alias("iorig3"), F.col("isuffix").alias("isuffix3"),
+    )
+    refs_eff = (
+        refs_recv.join(
+            hop,
+            (F.col("ipath3")
+             == F.regexp_replace(
+                 F.regexp_replace(F.col("imp_suffix1"), r"^/", ""),
+                 r"\.py$", "/__init__.py"))
+            & (F.col("alias3") == F.col("eff_target")),
+            "left_outer",
+        )
+        .select(
+            *[c for c in refs_recv.columns
+              if c not in ("eff_target", "imp_suffix1")],
+            F.coalesce(F.col("iorig3"), F.col("eff_target")).alias("eff_target"),
+            F.coalesce(F.col("isuffix3"), F.col("imp_suffix1")).alias("imp_suffix"),
         )
     )
 
@@ -387,10 +467,24 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     # an explicit import binding is the strongest evidence — the def in
     # the imported module beats even a same-file candidate (LSP would
     # follow the import too); then file → package → global → external.
+    def _suffix_hit(sfx):
+        # ANCHORED suffixes (leading "/", from relative imports) are
+        # concrete repo-relative paths: exact match only. Unanchored
+        # (absolute imports, matched by module-path suffix) match at path
+        # component boundaries — "top.py" must not hit "pkg/top.py".
+        slashed = F.concat(F.lit("/"), F.col("tpath"))
+        return F.when(sfx.startswith("/"), slashed == sfx).otherwise(
+            slashed.endswith(F.concat(F.lit("/"), sfx))
+        )
+
     imp_hit = F.col("imp_suffix").isNotNull() & (
-        F.col("tpath").endswith(F.col("imp_suffix"))
-        | F.col("tpath").endswith(
+        _suffix_hit(F.col("imp_suffix"))
+        | _suffix_hit(
             F.regexp_replace(F.col("imp_suffix"), r"\.py$", "/__init__.py"))
+        # `from . import x` with x defined IN the package __init__ (not a
+        # sibling module): accept the package's own __init__.py as def-site
+        | _suffix_hit(
+            F.regexp_replace(F.col("imp_suffix"), r"[^/]+\.py$", "__init__.py"))
     )
     rank = (
         F.when(F.col("is_ext"), 4)

@@ -202,3 +202,78 @@ def test_class_import_resolves_extends(spark):
     ext = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "EXTENDS").collect()}
     assert (by_key[("Model", "app/models.py")], by_key[("Base", "lib/base.py")]) in ext
     assert (by_key[("Model", "app/models.py")], by_key[("Base", "app/base.py")]) not in ext
+
+
+def test_from_dot_import_module_receiver(spark):
+    """`from . import sibling; sibling.calc()` resolves calc into the
+    sibling MODULE of the same package — a same-named def in another
+    package loses (r3 verdict item 6: relative-import residual)."""
+    files = {
+        "pkg/sibling.py": "def calc():\n    return 1\n",
+        "pkg/user.py": (
+            "from . import sibling\n\n"
+            "def run():\n    return sibling.calc()\n"
+        ),
+        "other/noise.py": "def calc():\n    return 2\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("run", "pkg/user.py")], by_key[("calc", "pkg/sibling.py")]) in calls
+    assert (by_key[("run", "pkg/user.py")], by_key[("calc", "other/noise.py")]) not in calls
+
+
+def test_from_dotdot_import_module_receiver(spark):
+    """`from .. import top` climbs one package level."""
+    files = {
+        "top.py": "def calc():\n    return 1\n",
+        "pkg/inner.py": (
+            "from .. import top\n\n"
+            "def run():\n    return top.calc()\n"
+        ),
+        "pkg/top.py": "def calc():\n    return 2\n",  # same-package decoy
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("run", "pkg/inner.py")], by_key[("calc", "top.py")]) in calls
+    assert (by_key[("run", "pkg/inner.py")], by_key[("calc", "pkg/top.py")]) not in calls
+
+
+def test_init_reexport_chain(spark):
+    """`from pkg import helper` where pkg/__init__.py re-exports helper
+    from pkg/a.py: the one-hop chain lands on the true def-site, beating
+    a root-level decoy (the reference's LSP follows the chain natively)."""
+    files = {
+        "pkg/__init__.py": "from .a import helper\n",
+        "pkg/a.py": "def helper():\n    return 1\n",
+        "user.py": (
+            "from pkg import helper\n\n"
+            "def use():\n    return helper()\n"
+        ),
+        "decoy.py": "def helper():\n    return 2\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("use", "user.py")], by_key[("helper", "pkg/a.py")]) in calls
+    assert (by_key[("use", "user.py")], by_key[("helper", "decoy.py")]) not in calls
+
+
+def test_from_dot_import_symbol_in_init(spark):
+    """`from . import cfg` where cfg is defined in the package __init__
+    itself (no sibling module): the package __init__ is accepted as the
+    def-site."""
+    files = {
+        "pkg/__init__.py": "def cfg():\n    return 1\n",
+        "pkg/user.py": (
+            "from . import cfg\n\n"
+            "def run():\n    return cfg()\n"
+        ),
+        "elsewhere/cfg.py": "def cfg():\n    return 2\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("run", "pkg/user.py")], by_key[("cfg", "pkg/__init__.py")]) in calls
+    assert (by_key[("run", "pkg/user.py")], by_key[("cfg", "elsewhere/cfg.py")]) not in calls
