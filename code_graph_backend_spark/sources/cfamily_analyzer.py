@@ -42,7 +42,14 @@ _MODIFIERS = {
     "default", "transient", "volatile", "new", "const",
 }
 
-_TYPE_DECL_RE = re.compile(r"\b(class|interface|enum|struct)\s+([A-Za-z_]\w*)")
+_TYPE_DECL_RE = re.compile(
+    r"\b(class|interface|enum|struct|record)\s+([A-Za-z_]\w*)"
+)
+# annotation with optional argument list (one nesting level inside the
+# parens — enough after string literals are blanked)
+_ANNOT_RE = re.compile(r"@[A-Za-z_][\w.]*(?:\s*\((?:[^()]|\([^()]*\))*\))?")
+# C# attribute group(s) at the start of a parameter: `[FromBody] User u`
+_CS_ATTR_PREFIX_RE = re.compile(r"^(?:\s*\[[^\[\]]*\])+")
 # `ReturnType name(`: two identifier-ish tokens (the first possibly generic/
 # array/dotted) separated by whitespace, immediately before an open paren.
 # The generic section allows ONE level of nesting (`Map<String,
@@ -59,6 +66,10 @@ _METHOD_RE = re.compile(
 _GENERIC_SPAN_RE = re.compile(r"<(?:[^<>]|<[^<>]*>)*>")
 _CTOR_RE = re.compile(r"(?<![\w.$>\]])([A-Za-z_]\w*)\s*\(")
 _CALL_RE = re.compile(r"(?<![\w.$])(?:[\w.$\[\]]+\s*\.\s*)?([A-Za-z_]\w*)\s*\(")
+# fluent-chain continuation: an invocation whose receiver is a call result
+# (`stream().filter(...)`) — _CALL_RE's lookbehind rejects the `.` after
+# `)`, so these are matched separately and unioned by callee offset
+_CHAIN_CALL_RE = re.compile(r"\)\s*\.\s*([A-Za-z_]\w*)\s*\(")
 
 
 def _strip(source: str):
@@ -130,7 +141,12 @@ def _line_of(source: str, offset: int) -> int:
 
 
 def _base_type_name(tok: str) -> str | None:
-    """`List<Foo>[]...` / `System.Console` / `ref int` → base identifier."""
+    """`List<Foo>[]...` / `System.Console` / `ref int` → base identifier.
+    Java annotations (`@PathVariable("id") Long id`) and C# attribute
+    groups (`[FromBody] User u`) are stripped first — their names and
+    leftover argument parens must not shadow the actual type token."""
+    tok = _ANNOT_RE.sub(" ", tok)
+    tok = _CS_ATTR_PREFIX_RE.sub(" ", tok)
     tok = re.sub(r"<[^<>]*(?:<[^<>]*>[^<>]*)*>", "", tok)
     tok = tok.replace("[", " ").replace("]", " ").replace("?", " ")
     tok = tok.replace("...", " ")
@@ -161,14 +177,23 @@ def _split_params(params: str) -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
-def _doc_before(source: str, comments, decl_start: int, line_doc: bool) -> str | None:
+def _doc_before(source: str, comments, decl_start: int, line_doc: bool,
+                cleaned: str | None = None) -> str | None:
     """Doc comment directly above a declaration.
 
     Java (reference java/analyzer.py:59-63): the adjacent block comment.
     C# (reference csharp/analyzer.py:57-67): the contiguous run of `//`
     lines directly above, joined with newlines.
     """
+    gap_src = cleaned if cleaned is not None else source
+
     def _only_modifiers(gap: str) -> bool:
+        # annotations/attributes may carry argument lists
+        # (`@GetMapping("/x")`, `[HttpGet("x")]`) — strip them whole
+        # before tokenizing, so a doc comment above an annotated decl is
+        # still recognized as adjacent
+        gap = _ANNOT_RE.sub(" ", gap)
+        gap = re.sub(r"\[[^\[\]]*\]", " ", gap)
         return all(
             t in _MODIFIERS or t.startswith("@") or t.startswith("[")
             for t in gap.split()
@@ -181,7 +206,7 @@ def _doc_before(source: str, comments, decl_start: int, line_doc: bool) -> str |
             continue
         # modifiers/annotations may sit between the doc comment and the
         # decl keyword the regex anchored on (`/** doc */ public class X`)
-        if not _only_modifiers(source[end:end_cursor]):
+        if not _only_modifiers(gap_src[end:end_cursor]):
             break
         if line_doc != is_line:
             break
@@ -208,6 +233,12 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         if kind == "struct" and not is_cs:
             continue
         open_off = cleaned.find("{", m.end())
+        if kind == "record":
+            semi = cleaned.find(";", m.end())
+            # C# positional record without a body: zero-length body span
+            if semi >= 0 and (open_off < 0 or semi < open_off):
+                types.append((kind, name, m.start(), semi, semi))
+                continue
         if open_off < 0 or open_off not in braces:
             continue
         types.append((kind, name, m.start(), open_off, braces[open_off]))
@@ -221,14 +252,17 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         return best
 
     label_of = {"class": "Class", "interface": "Interface",
-                "enum": "Enum", "struct": "Struct"}
+                "enum": "Enum", "struct": "Struct",
+                # records are final classes with value semantics — same
+                # label the reference's class capture would produce
+                "record": "Class"}
 
     type_rows: dict[int, tuple[str, str, int]] = {}
     for kind, name, decl_off, open_off, close_off in types:
         parent = enclosing_type(decl_off)
         start = _line_of(source, decl_off)
         end = _line_of(source, close_off)
-        doc = _doc_before(source, comments, decl_off, line_doc=is_cs)
+        doc = _doc_before(source, comments, decl_off, line_doc=is_cs, cleaned=cleaned)
         pname, pstart = (None, None)
         if parent is not None:
             pname, pstart = parent[1], _line_of(source, parent[2])
@@ -301,6 +335,8 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         ret_base = ret.split("<")[0].split(".")[-1].strip()
         if ret_base in keywords or name in keywords or ret_base in _MODIFIERS:
             continue  # `public Task(` is a constructor, not a method `Task`
+        if ret_base == "record":
+            continue  # `record Point(int x, int y)` is a type, not a method
         owner = enclosing_type(m.start())
         if owner is None or depth_at[m.start()] != body_depth(owner):
             continue  # only members declared directly in a type body
@@ -350,7 +386,7 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         start = _line_of(source, decl_off)
         end = _line_of(source, body_close if body_close is not None else decl_off)
         label = "Constructor" if mkind == "ctor" else "Method"
-        doc = _doc_before(source, comments, decl_off, line_doc=is_cs)
+        doc = _doc_before(source, comments, decl_off, line_doc=is_cs, cleaned=cleaned)
         pname, pstart = owner[1], _line_of(source, owner[2])
         rows.append(("entity", label, name, path, start, end, doc,
                      pname, pstart, None, None, None))
@@ -370,6 +406,7 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         # invocations inside the body (reference java/analyzer.py:91-95)
         if body_open is not None and body_close is not None:
             body = cleaned[body_open + 1 : body_close]
+            sites: dict[int, str] = {}
             for cm in _CALL_RE.finditer(body):
                 callee = cm.group(1)
                 if callee in keywords:
@@ -377,7 +414,14 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                 pre = body[: cm.start()].rstrip()
                 if pre.endswith("new"):  # object creation, not invocation
                     continue
-                off = body_open + 1 + cm.start(1)
+                sites[cm.start(1)] = callee
+            for cm in _CHAIN_CALL_RE.finditer(body):
+                callee = cm.group(1)
+                if callee not in keywords:
+                    sites.setdefault(cm.start(1), callee)
+            for cs_off in sorted(sites):
+                callee = sites[cs_off]
+                off = body_open + 1 + cs_off
                 line = _line_of(source, off)
                 text = (src_lines[line].strip()
                         if 0 <= line < len(src_lines) else None)

@@ -288,3 +288,91 @@ class Pair<T, U> : IFoo where T : IFoo, U : IFoo
     # exactly one inheritance-ish edge out of Pair
     inh = [r for r in rows if r[0] == ids["Pair"] and r[1] in ("EXTENDS", "IMPLEMENTS")]
     assert len(inh) == 1
+
+
+# -- r4: annotation / lambda / record precision (r3 verdict item 7) ---------
+
+_ANNOT_JAVA = '''@Service
+@Transactional(readOnly = true)
+public class UserService {
+    /** Finds a user. */
+    @GetMapping("/users/{id}")
+    @SuppressWarnings({"unchecked", "rawtypes"})
+    public ResponseEntity<User> findUser(@PathVariable("id") Long id,
+                                         @RequestParam(required = false) String q) {
+        return repo.findById(id);
+    }
+
+    @Override
+    public void process(List<String> items) {
+        items.forEach(item -> handle(item));
+        items.stream().filter(i -> i.length() > 2).map(this::normalize).count();
+        Runnable r = () -> helper(compute(1));
+        r.run();
+    }
+
+    public record Point(int x, int y) {}
+}
+'''
+
+
+def _rows(parse, path, src):
+    return parse(path, src)
+
+
+def test_java_annotated_method_params_and_doc():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    rows = _rows(parse_java_source, "U.java", _ANNOT_JAVA)
+    params = [r[9] for r in rows if r[0] == "params" and r[2] == "findUser"]
+    assert params == ["Long", "String"]  # annotation names must not shadow types
+    doc = next(r[6] for r in rows if r[0] == "entity" and r[2] == "findUser")
+    assert doc == "/** Finds a user. */"  # doc survives annotations with args
+
+
+def test_java_lambda_bodies_and_fluent_chains():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    rows = _rows(parse_java_source, "U.java", _ANNOT_JAVA)
+    calls = {r[9] for r in rows if r[0] == "call" and r[2] == "process"}
+    # inside lambda bodies
+    assert {"handle", "helper", "compute", "length"} <= calls
+    # fluent chains after a call result: ).filter( ).map( ).count(
+    assert {"filter", "map", "count"} <= calls
+    # lambda params must not materialize as methods
+    names = {r[2] for r in rows if r[0] == "entity"}
+    assert "x" not in names and "i" not in names and "item" not in names
+
+
+def test_java_record_is_class_not_method():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    rows = _rows(parse_java_source, "U.java", _ANNOT_JAVA)
+    ents = {r[2]: r[1] for r in rows if r[0] == "entity"}
+    assert ents.get("Point") == "Class"
+    assert not any(r[0] == "entity" and r[1] == "Method" and r[2] == "Point"
+                   for r in rows)
+
+
+def test_csharp_attributes_and_bodyless_record():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public record Person(string Name, int Age);\n"
+        "public class Api {\n"
+        "    // Handles gets.\n"
+        "    [HttpGet(\"users/{id}\")]\n"
+        "    public ActionResult<User> Get([FromRoute] long id, [FromBody] Query q) {\n"
+        "        return repo.Find(id).Validate().Unwrap();\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = _rows(parse_csharp_source, "Api.cs", cs)
+    ents = {r[2]: r[1] for r in rows if r[0] == "entity"}
+    assert ents.get("Person") == "Class"  # bodyless positional record
+    params = [r[9] for r in rows if r[0] == "params" and r[2] == "Get"]
+    assert params == ["long", "Query"]  # attribute names stripped
+    doc = next(r[6] for r in rows if r[0] == "entity" and r[2] == "Get")
+    assert doc == "// Handles gets."
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert {"Find", "Validate", "Unwrap"} <= calls
