@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from pyspark.sql import Row, SparkSession
@@ -363,13 +364,51 @@ class CodeGraphService:
         n, e = g.counts()
         return {"repo": name, "nodes": n, "edges": e}
 
+    def _materialize_repo(self, url_or_path: str, name: str | None) -> tuple[str, str]:
+        """Reference parity for the URL contract (api/project.py:19-61,
+        from_git_repository → _clone_source): `file://` URLs and local BARE
+        repositories are cloned into <root>/_clones/<name> via `git clone`
+        (re-cloned fresh each call, like the reference's rmtree+clone); a
+        plain working-tree path passes through unchanged. Network URLs
+        (https/ssh) would take the same clone path — this sandbox has no
+        network, which is the one documented divergence."""
+        import shutil
+        import subprocess
+
+        src = url_or_path
+        if src.startswith("file://"):
+            src = src[len("file://"):]
+        is_bare = (
+            os.path.isdir(src)
+            and os.path.exists(os.path.join(src, "HEAD"))
+            and os.path.isdir(os.path.join(src, "objects"))
+            and not os.path.isdir(os.path.join(src, ".git"))
+        )
+        needs_clone = url_or_path.startswith("file://") or is_bare
+        name = name or re.sub(
+            r"\.git$", "", src.rstrip("/").rsplit("/", 1)[-1]
+        )
+        if not needs_clone:
+            return src, name
+        dest = os.path.join(self.root, "_clones", name)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        subprocess.run(
+            ["git", "clone", "--quiet", src, dest],
+            check=True, capture_output=True, text=True,
+        )
+        return dest, name
+
     def analyze_repo(self, repo_path: str, name: str | None = None) -> dict:
         """POST /analyze_repo (reference api/index.py:383-417): sources +
         full commit graph (PARENT/CHILD edges + per-transition op-logs,
-        reference git_utils.py:73-258) + side-store HEAD."""
+        reference git_utils.py:73-258) + side-store HEAD. Accepts a
+        working-tree path, a `file://` URL, or a local bare repository
+        (cloned first — see _materialize_repo)."""
         from ..sources.git_history import build_commit_graph
 
-        name = name or repo_path.rstrip("/").rsplit("/", 1)[-1]
+        repo_path, name = self._materialize_repo(repo_path, name)
         result = self.analyze_folder(repo_path, name)
         gg, log = build_commit_graph(self.spark, repo_path, name)
         gg.root = self.root

@@ -176,3 +176,32 @@ def test_analyze_folder_threads_ignore(ctx, tmp_path):
              g.nodes.filter(F.array_contains("labels", "File")).collect()}
     assert any("a.py" in p for p in paths)
     assert not any("b.py" in p for p in paths)
+
+
+def test_analyze_repo_file_url_and_bare(ctx, tmp_path):
+    """/analyze_repo accepts file:// URLs and local bare repos by cloning
+    first (reference api/project.py:19-61 clones every URL; network is the
+    one divergence this sandbox can't exercise)."""
+    client, svc, _ = ctx
+    src = tmp_path / "urlrepo"
+    src.mkdir()
+    (src / "m.py").write_text("def fn():\n    return 1\n")
+    for cmd in (
+        ["git", "init", "-q"],
+        ["git", "add", "."],
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit", "-qm", "i"],
+    ):
+        subprocess.run(cmd, cwd=src, check=True)
+    # file:// URL
+    r = client.post("/analyze_repo", json={"repo_url": f"file://{src}"})
+    assert r.status_code == 200 and r.get_json() == {"status": "success"}
+    g = PropertyGraph.load(svc.spark, svc.root, "urlrepo")
+    assert g.nodes.filter(F.col("name") == "fn").count() == 1
+    # bare repo (name derives by stripping .git)
+    bare = tmp_path / "barerepo.git"
+    subprocess.run(["git", "clone", "-q", "--bare", str(src), str(bare)],
+                   check=True)
+    r = client.post("/analyze_repo", json={"repo_url": str(bare)})
+    assert r.status_code == 200
+    g2 = PropertyGraph.load(svc.spark, svc.root, "barerepo")
+    assert g2.nodes.filter(F.col("name") == "fn").count() == 1
