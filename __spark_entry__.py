@@ -47,7 +47,8 @@ _PRIORITY = [
     "x3_auto_complete",
     # round-4 queries (never graded yet)
     "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
-    "ann_lsh_exact",
+    "ann_lsh_exact", "pack_sequences", "sample_temperature",
+    "quality_percentile",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Training-sequence assembly operators: packing documents into fixed
+token-budget sequences, temperature-based language rebalancing, and
+per-group quality-percentile gating. These are the steps between "curated
+corpus" and "batches a trainer can consume" — the tail of the 100 TB
+pipeline after dedup/decontamination (functions/dedup.py, sampling.py).
+
+All three are pure `pyspark.sql.functions` plans (no UDFs):
+
+- pack_sequences: concatenate-and-chunk packing via ONE window cumsum —
+  the id-ordered corpus forms one token stream, cut into fixed `budget`
+  windows; each doc is assigned the window its first token lands in
+  (seq_id = floor((cumsum - tokens) / budget)) and its offset there.
+  Docs MAY straddle a window boundary — that is the standard GPT-style
+  pretraining layout (concatenation + fixed-length chunks, attention
+  masks handle document edges); zero padding waste by construction.
+  Deterministic, one shuffle (the ordering window), exactly expressible
+  in ANSI SQL for the oracle. (No-straddle greedy binning is inherently
+  sequential per bin — prefix-dependent state no SQL window expresses —
+  and wastes up to a doc per boundary; concat-and-chunk is both the
+  scalable and the more standard choice.) At 100 TB the single global
+  window is the one serial constraint — partition-parallel variant: add
+  a coarse range key (e.g. shard = doc_id mod N) to the window's
+  partitionBy and pack within shards.
+- temperature_resample: per-language keep-quota k_l ∝ n_l^alpha scaled
+  to keep the smallest group whole (alpha<1 flattens the language
+  distribution, the multilingual-LM standard); deterministic md5-ranked
+  keep like functions/sampling.py — two shuffles (count agg + rank
+  window).
+- quality_percentile_filter: keep docs above the p-th quality percentile
+  WITHIN their source — percent_rank window per source, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(seq_id, doc_id, n_tokens, tok_offset): concatenate-and-chunk
+    packing of the id-ordered corpus token stream into fixed `budget`
+    windows. `seq_id` is the window the doc's FIRST token lands in,
+    `tok_offset` its position there; docs may straddle into the next
+    window (GPT-style pretraining layout — see module docstring)."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    d = docs.select(F.col(id_col), toks.alias("n_tokens"))
+    d = d.withColumn("cum", F.sum("n_tokens").over(w))
+    # a doc starts a new sequence when the tokens BEFORE it fill prior bins
+    return d.select(
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("seq_id"),
+        id_col,
+        "n_tokens",
+        ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("tok_offset"),
+    )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature sampling without upsampling: kept counts
+    follow k_l ∝ n_l^alpha (the T=1/alpha rebalancing of multilingual
+    pretraining), scaled so the SMALLEST group is kept whole — i.e.
+    quota_l = ⌈n_l^alpha · n_min^(1-alpha)⌉, which downsamples head
+    languages toward the flattened distribution. Keep choice is
+    md5-ranked (stable across runs/partitionings). For alpha=0.5 the
+    quota is ⌈√(n_l·n_min)⌉ computed via sqrt, which IEEE-754 rounds
+    correctly — bit-identical across engines, so the DuckDB oracle can
+    replay the exact quotas (pow is not correctly-rounded and could
+    differ in the last ulp right at a ceil boundary)."""
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n")).collect()[0][0]
+    if not n_min:
+        return docs.select(id_col, group_col).limit(0)
+    if alpha == 0.5:
+        raw = F.sqrt(F.col("n") * F.lit(int(n_min)))
+    else:
+        raw = F.pow(F.col("n"), F.lit(alpha)) * F.lit(float(n_min) ** (1.0 - alpha))
+    quotas = counts.select(
+        group_col, F.least(F.col("n"), F.ceil(raw)).alias("quota")
+    )
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit("temp"))),
+        F.col(id_col),
+    )
+    return (
+        docs.select(id_col, group_col)
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("_rk") <= F.col("quota"))
+        .select(id_col, group_col)
+    )
+
+
+def quality_percentile_filter(
+    docs_with_score: DataFrame,
+    keep_top: float = 0.5,
+    group_col: str = "source",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top `keep_top` fraction by score WITHIN each group
+    (per-source gates prevent a high-scoring source from crowding out the
+    rest — the standard per-domain quality filter). percent_rank ties are
+    broken by id for determinism; one shuffle on the group key."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs_with_score
+        .withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") < keep_top)
+        .select(id_col, group_col, score_col)
+    )

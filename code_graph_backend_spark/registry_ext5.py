@@ -112,3 +112,95 @@ def ann_lsh_exact(spark, sf_dir):
     assignment engine-independent and hash-checkable."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.hyperplane_buckets_exact(emb, planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence assembly (functions/packing.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id, doc_id, n_tokens,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS tok_offset
+    FROM c
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Contiguous-fill sequence packing (functions/packing.py): one window
+    cumsum assigns each doc its training-sequence id and token offset —
+    deterministic, single shuffle, ANSI-expressible."""
+    from .functions.packing import pack_sequences
+
+    return pack_sequences(read_table(spark, sf_dir, "documents"), budget=256)
+
+
+@register(
+    "sample_temperature",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    q AS (
+        SELECT lang,
+               LEAST(n, CAST(ceil(sqrt(n * (SELECT MIN(n) FROM counts))) AS BIGINT))
+                   AS quota
+        FROM counts
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':temp'), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rk <= quota
+    """,
+)
+def sample_temperature_q(spark, sf_dir):
+    """Temperature (alpha=0.5) language rebalancing without upsampling
+    (functions/packing.py): per-language md5-ranked keep up to
+    ceil(sqrt(n_l * n_min)) — sqrt is correctly rounded, so the oracle
+    replays the exact quotas."""
+    from .functions.packing import temperature_resample
+
+    return temperature_resample(
+        read_table(spark, sf_dir, "documents"), alpha=0.5, group_col="lang"
+    )
+
+
+@register(
+    "quality_percentile",
+    """
+    WITH r AS (
+        SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+               PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ) AS pr
+        FROM documents
+    )
+    SELECT doc_id, source, score FROM r WHERE pr < 0.5
+    """,
+)
+def quality_percentile_q(spark, sf_dir):
+    """Per-source top-50% quality gate (functions/packing.py
+    quality_percentile_filter): percent_rank window per source, one
+    shuffle; per-domain gating keeps one high-scoring source from
+    crowding out the rest."""
+    from pyspark.sql import functions as FF
+
+    from .functions.packing import quality_percentile_filter
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", FF.col("n_chars").cast("double").alias("score")
+    )
+    return quality_percentile_filter(docs, keep_top=0.5)

@@ -51,7 +51,10 @@ def test_token_repetition_stats(spark):
     assert abs(rows[2]["dup_bigram_ratio"] - (1 - 1 / 3)) < 1e-6
     # "a b","b a" alternate: 2 distinct of 5
     assert abs(rows[3]["dup_bigram_ratio"] - (1 - 2 / 5)) < 1e-6
-    assert rows[4]["n_tokens"] == 0 and rows[4]["dup_bigram_ratio"] == 0.0
+    # tokenization is pinned to string_split(text, ' ') (ADVICE r3): an
+    # empty text yields one empty token, exactly as the oracle counts it
+    assert rows[4]["n_tokens"] == 1 and rows[4]["n_distinct"] == 1
+    assert rows[4]["dup_bigram_ratio"] == 0.0
 
 
 def test_weighted_sample_quotas_and_determinism(spark):
@@ -93,3 +96,67 @@ def test_extract_frames_fanout_and_stub(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         multimodal.extract_frames(media, fake=False)
+
+
+# -- r4: training-sequence assembly (functions/packing.py) ------------------
+
+
+def test_pack_sequences_budget_and_offsets(spark):
+    from code_graph_backend_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in
+         enumerate([3, 4, 5, 10, 2, 9, 1])],
+        "doc_id long, text string",
+    )
+    rows = sorted(pack_sequences(docs, budget=8).collect(),
+                  key=lambda r: r["doc_id"])
+    # concat-and-chunk: token stream [3,4,5,10,2,9,1], cumulative starts
+    # [0,3,7,12,22,24,33] -> window = start // 8, offset = start % 8
+    starts = [0, 3, 7, 12, 22, 24, 33]
+    assert [r["seq_id"] for r in rows] == [s // 8 for s in starts]
+    assert [r["tok_offset"] for r in rows] == [s % 8 for s in starts]
+    # zero waste: every window boundary is inside or adjacent to a doc
+    # (the stream is contiguous by construction)
+    assert [r["n_tokens"] for r in rows] == [3, 4, 5, 10, 2, 9, 1]
+    # determinism
+    again = sorted(pack_sequences(docs, budget=8).collect(),
+                   key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_temperature_resample_flattens_and_keeps_min_group(spark):
+    from code_graph_backend_spark.functions.packing import temperature_resample
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_resample(docs, alpha=0.5, group_col="lang")
+    per = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per["small"] == 100                    # smallest group kept whole
+    assert per["big"] == 300                      # ceil(sqrt(900*100))
+    # determinism
+    again = {r["lang"]: r["n"] for r in
+             temperature_resample(docs, alpha=0.5, group_col="lang")
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == again
+
+
+def test_quality_percentile_keeps_top_half_per_group(spark):
+    from code_graph_backend_spark.functions.packing import (
+        quality_percentile_filter,
+    )
+
+    rows = [(i, "a", float(i)) for i in range(10)] + \
+           [(100 + i, "b", float(i % 3)) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    kept = quality_percentile_filter(docs, keep_top=0.5)
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r["source"], []).append(r)
+    # group a: strictly decreasing ranks, top half = scores 9..5
+    assert sorted(x["score"] for x in by_src["a"]) == [5.0, 6.0, 7.0, 8.0, 9.0]
+    # every kept score >= every dropped score within the group
+    dropped_a = {float(i) for i in range(10)} - {x["score"] for x in by_src["a"]}
+    assert all(k["score"] >= max(dropped_a) - 4 for k in by_src["a"])
