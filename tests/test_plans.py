@@ -205,3 +205,33 @@ def test_bucketed_graph_join_has_no_exchange(spark):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_media_kernels_are_map_only(spark, qs):
+    """Real BMP/WAV decode (r4): payload build + decode compose into a
+    zero-Exchange map-only plan — binary payloads never shuffle."""
+    for q in ("mm_media_features", "mm_wav_features"):
+        plan = _plan(qs[q](spark, SF))
+        assert "Exchange" not in plan, (q, plan[:1200])
+
+
+def test_pack_sequences_single_window_shuffle(spark, qs):
+    """Concat-and-chunk packing is ONE global window: exactly one
+    Exchange, no join of any kind."""
+    plan = _plan(qs["pack_sequences"](spark, SF))
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "Join" not in plan
+
+
+def test_quality_percentile_single_shuffle(spark, qs):
+    plan = _plan(qs["quality_percentile"](spark, SF))
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "Join" not in plan
+
+
+def test_temperature_broadcasts_quotas(spark, qs):
+    """The per-language quota table is tiny and must broadcast onto the
+    ranked doc stream — never shuffle the docs for it."""
+    plan = _plan(qs["sample_temperature"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
