@@ -48,7 +48,7 @@ _PRIORITY = [
     # round-4 queries (never graded yet)
     "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
     "ann_lsh_exact", "pack_sequences", "sample_temperature",
-    "quality_percentile",
+    "quality_percentile", "bpe_pair_stats", "emb_label_centroids",
 ]
 
 

@@ -639,3 +639,35 @@ def hyperplane_buckets_exact(
             ),
         ).alias("bucket")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid components in long form (label, dim, c_val).
+
+    Exact-arithmetic design for cross-engine verification: components are
+    quantized to integers (round(x·1e6)) BEFORE summation, so the
+    per-(label, dim) sum is order-independent exact integer math; the
+    final divide is one correctly-rounded IEEE division. A plain float
+    sum's result depends on reduction order and cannot hash-match across
+    engines. One shuffle (the (label, dim) hash-agg, map-side combined);
+    at 100 TB this is the canonical centroid/kmeans-update shape."""
+    d = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        "label", "dim",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    return (
+        d.groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("c"))
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("s") / (F.col("c") * F.lit(1000000.0)), 6).alias("c_val"),
+        )
+    )

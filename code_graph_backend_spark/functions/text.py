@@ -198,3 +198,37 @@ def token_repetition(docs, id_col: str = "doc_id", text_col: str = "text"):
         f"{id_col} long, n_tokens long, n_distinct long, top_freq long, "
         "dup_bigram_ratio double",
     )
+
+
+def bpe_pair_stats(docs, top: int = 50, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """The core BPE-training step: adjacent character-pair frequencies,
+    weighted by word frequency — the argmax pair is the next merge rule.
+
+    Scale shape (the standard tokenizer-training trick): aggregate the
+    corpus to its WORD-FREQUENCY table first (one shuffle, output is
+    vocabulary-sized, not corpus-sized), then explode each distinct word
+    into its ≤len-1 pairs and weight by the word count. At 100 TB the
+    pair explode runs over the vocabulary (millions of rows), never the
+    corpus. Ties break lexicographically for determinism.
+    """
+    from pyspark.sql import functions as F
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "n",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), F.asc("pair"))
+        .limit(top)
+    )

@@ -204,3 +204,50 @@ def quality_percentile_q(spark, sf_dir):
         "doc_id", "source", FF.col("n_chars").cast("double").alias("score")
     )
     return quality_percentile_filter(docs, keep_top=0.5)
+
+
+@register(
+    "bpe_pair_stats",
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wf AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w HAVING length(w) >= 2),
+    p AS (
+        SELECT substring(w, u.i, 2) AS pair, n
+        FROM wf, UNNEST(generate_series(1, length(w) - 1)) u(i)
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pair
+    FROM p GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_stats_q(spark, sf_dir):
+    """The core BPE tokenizer-training step (functions/text.py
+    bpe_pair_stats): corpus → word-frequency table (one shuffle, output is
+    vocabulary-sized) → adjacent char-pair counts weighted by word
+    frequency → the argmax pair is the next merge rule."""
+    from .functions.text import bpe_pair_stats
+
+    return bpe_pair_stats(read_table(spark, sf_dir, "documents"), top=50)
+
+
+@register(
+    "emb_label_centroids",
+    """
+    WITH d AS (
+        SELECT label, u.dim,
+               CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(dim)
+    )
+    SELECT label, CAST(dim - 1 AS INT) AS dim,
+           ROUND(SUM(q) / (COUNT(*) * 1000000.0), 6) AS c_val
+    FROM d GROUP BY label, dim
+    """,
+)
+def emb_label_centroids_q(spark, sf_dir):
+    """Per-label embedding centroids (functions/similarity.py
+    label_centroids): integer-quantized components make the per-(label,
+    dim) sum order-independent exact math — the plain float sum could
+    never hash-match across engines. One map-side-combined hash-agg; the
+    canonical k-means-update shape."""
+    from .functions.similarity import label_centroids
+
+    return label_centroids(read_table(spark, sf_dir, "embeddings"))

@@ -160,3 +160,32 @@ def test_quality_percentile_keeps_top_half_per_group(spark):
     # every kept score >= every dropped score within the group
     dropped_a = {float(i) for i in range(10)} - {x["score"] for x in by_src["a"]}
     assert all(k["score"] >= max(dropped_a) - 4 for k in by_src["a"])
+
+
+def test_bpe_pair_stats_merge_semantics(spark):
+    from code_graph_backend_spark.functions.text import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "lowest low")],
+        "doc_id long, text string",
+    )
+    rows = {r["pair"]: r["n_pair"] for r in bpe_pair_stats(docs, top=50).collect()}
+    # "lo" appears once per word occurrence: low x3, lower, lowest -> 5
+    assert rows["lo"] == 5 and rows["ow"] == 5
+    # "we" only from lower/lowest
+    assert rows["we"] == 2
+    # argmax pair is deterministic (ties lexicographic)
+    top = bpe_pair_stats(docs, top=1).collect()[0]
+    assert top["pair"] in ("lo", "ow") and top["n_pair"] == 5
+
+
+def test_label_centroids_exact(spark):
+    from code_graph_backend_spark.functions.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r["label"], r["dim"]): r["c_val"] for r in label_centroids(emb).collect()}
+    assert rows[(0, 0)] == 2.0 and rows[(0, 1)] == 3.0
+    assert rows[(1, 0)] == 10.0 and rows[(1, 1)] == 20.0
