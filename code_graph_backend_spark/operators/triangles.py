@@ -1,0 +1,94 @@
+"""Triangle counting over the property graph — the third graph-analytics
+kernel beside PageRank (operators/pagerank.py) and bounded SSSP
+(operators/sssp.py), and like them absent from the reference's fixed
+query surface (FalkorDB exposes algo.triangleCount server-side; our
+engine expresses it in plain DataFrame algebra).
+
+Scalable shape — DEGREE-ORIENTED wedge join (the MapReduce-standard
+design, cf. Suri & Vassilvitskii "Counting Triangles and the Curse of
+the Last Reducer", WWW'11):
+
+1. undirect + dedupe the edge list;
+2. orient every edge from the endpoint with SMALLER (degree, id) to the
+   larger — each triangle now has exactly one source vertex with two
+   out-edges (counted once, no ×6 overcount), and crucially a hub of
+   degree d contributes wedges bounded by the count of its LOWER-degree
+   neighbors, not d² — the skew cap that makes the self-join feasible on
+   power-law graphs;
+3. wedge self-join on the source, close each wedge with a semi-join
+   against the oriented edge list.
+
+Three shuffles total (degree agg, wedge join, closing join); every join
+is an equi-join — no cartesian anywhere. The oracle unrolls the same
+orientation in SQL, so the count is hash-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected pairs (a < b) from the typed edge list,
+    self-loops dropped."""
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") < F.col("b"))
+    return e.distinct()
+
+
+def triangle_count_per_node(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles) for every node in at least one triangle."""
+    und = undirected_edges(edges)
+    # degree per endpoint
+    deg = (
+        und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    # orient: lower (degree, id) -> higher (degree, id)
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+            ).otherwise(
+                F.struct(F.col("b").alias("s"), F.col("a").alias("t"))
+            ).alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").filter(F.col("t1") < F.col("t2"))
+    closing = oriented.select(
+        F.col("s").alias("c1"), F.col("t").alias("c2")
+    ).unionAll(
+        oriented.select(F.col("t").alias("c1"), F.col("s").alias("c2"))
+    ).distinct()
+    tris = wedges.join(
+        closing,
+        (F.col("t1") == F.col("c1")) & (F.col("t2") == F.col("c2")),
+        "semi",
+    ).select("s", "t1", "t2")
+    # per-node attribution: each triangle counts once for each corner
+    corners = (
+        tris.select(F.col("s").alias("node"))
+        .unionAll(tris.select(F.col("t1").alias("node")))
+        .unionAll(tris.select(F.col("t2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def triangle_count_total(edges: DataFrame) -> DataFrame:
+    """Single-row (n_triangles) global count."""
+    per = triangle_count_per_node(edges)
+    return per.agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("n_triangles")
+    )

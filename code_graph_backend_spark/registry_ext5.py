@@ -251,3 +251,47 @@ def emb_label_centroids_q(spark, sf_dir):
     from .functions.similarity import label_centroids
 
     return label_centroids(read_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+)
+def graph_triangle_count_q(spark, sf_dir):
+    """Per-node triangle counts (operators/triangles.py) over the
+    part-co-occurrence graph (parts sharing an order). The Spark side runs
+    the degree-ORIENTED wedge join (skew-capped, WWW'11); the oracle
+    counts the same triangles via the independent a<b<c three-way join —
+    two different algorithms, one hash-checked answer."""
+    from .operators.triangles import triangle_count_per_node
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return triangle_count_per_node(edges)

@@ -89,3 +89,35 @@ def test_pagerank_many_nodes_few_edges_goes_distributed(spark, monkeypatch):
     assert set(got) == set(ref) == {1, 2, 3, 4, 5}
     for k in got:
         assert got[k] == pytest.approx(ref[k], abs=1e-6)
+
+
+def test_triangle_count_k4_and_orientation(spark):
+    """K4 has 4 triangles, every node in 3; a dangling pendant node is in
+    none. The degree-oriented wedge join must count each triangle exactly
+    once per corner (no x2/x6 overcount from the undirected view)."""
+    from code_graph_backend_spark.operators.triangles import (
+        triangle_count_per_node,
+        triangle_count_total,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 9)], "src long, dst long"
+    )
+    per = {r["node"]: r["n_triangles"] for r in
+           triangle_count_per_node(edges).collect()}
+    assert per == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert triangle_count_total(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_direction_and_dupes_ignored(spark):
+    """Reversed/duplicated directed edges collapse into one undirected
+    edge; a pure path graph has zero triangles."""
+    from code_graph_backend_spark.operators.triangles import (
+        triangle_count_per_node,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4)], "src long, dst long"
+    )
+    assert triangle_count_per_node(edges).count() == 0
