@@ -19,8 +19,9 @@ Supported (the reference's read surface):
          v.prop IN $list / v.prop CONTAINS $s / STARTS WITH / IS NOT NULL /
          NOT ()-[:T]->(v) / AND and OR (AND binds tighter; the anti-join
          NOT-pattern cannot appear under OR)
-  RETURN: vars, v.prop, ID(v), count(x), collect(x); ORDER BY / LIMIT /
-  DISTINCT.
+  RETURN: vars, v.prop, ID(v), count(x), count(DISTINCT x), collect(x);
+  ORDER BY / SKIP / LIMIT / DISTINCT. WHERE also supports parenthesized
+  boolean grouping.
 
 Mutating clauses (MERGE/SET/DELETE) are intentionally out of scope —
 writes go through the typed mutation layer (mutations/merge.py) which
@@ -43,7 +44,7 @@ from pyspark.sql import functions as F
 # -- tokenizer ---------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<kw>(?i:OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT|DISTINCT|AND|OR|NOT|IN|IS|NULL|CONTAINS|STARTS\s+WITH|DESC|ASC|AS|WITH))(?![A-Za-z0-9_])"
+    r"\s*(?:(?P<kw>(?i:OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT|DISTINCT|AND|OR|NOT|IN|IS|NULL|CONTAINS|STARTS\s+WITH|DESC|ASC|AS|SKIP|WITH))(?![A-Za-z0-9_])"
     r"|(?P<num>\d+)"
     r"|(?P<param>\$[A-Za-z_]\w*)"
     r"|(?P<str>'[^']*'|\"[^\"]*\")"
@@ -113,6 +114,7 @@ class RetItem:
     var: str | None = None
     prop: str | None = None
     alias: str | None = None
+    distinct: bool = False  # count(DISTINCT x)
 
 
 @dataclass
@@ -122,6 +124,7 @@ class Query:
     returns: list[RetItem]
     distinct: bool = False
     order_by: tuple[str, str | None, bool] | None = None  # (var, prop, desc)
+    skip: object = None   # int or $param (applied before limit)
     limit: object = None  # int or $param
 
 
@@ -254,27 +257,38 @@ class _Parser:
 
     def _where(self) -> list[Cond]:
         """Cypher precedence: AND binds tighter than OR —
-        `a AND b OR c` is `(a AND b) OR c`. The returned list is the
-        top-level AND conjunction the executor chains as filters; an OR
-        anywhere collapses the whole WHERE into one `or` node whose
-        alternatives are the AND groups."""
-        groups = [self._and_group()]
+        `a AND b OR c` is `(a AND b) OR c`; parentheses group freely.
+        The returned list is the top-level AND conjunction the executor
+        chains as filters (important: a top-level anti-join NOT-pattern
+        stays its own conjunct)."""
+        top = self._or_expr()
+        if top.kind == "and":
+            return top.value
+        return [top]
+
+    def _or_expr(self) -> Cond:
+        alts = [self._and_expr()]
         while self.at("OR"):
             self.take()
-            groups.append(self._and_group())
-        if len(groups) == 1:
-            return groups[0]
-        alts = [
-            g[0] if len(g) == 1 else Cond("and", value=g) for g in groups
-        ]
-        return [Cond("or", value=alts)]
+            alts.append(self._and_expr())
+        return alts[0] if len(alts) == 1 else Cond("or", value=alts)
 
-    def _and_group(self) -> list[Cond]:
-        conds = [self._cond()]
+    def _and_expr(self) -> Cond:
+        items = [self._primary_cond()]
         while self.at("AND"):
             self.take()
-            conds.append(self._cond())
-        return conds
+            items.append(self._primary_cond())
+        return items[0] if len(items) == 1 else Cond("and", value=items)
+
+    def _primary_cond(self) -> Cond:
+        # a leading "(" here is unambiguous grouping: bare conditions
+        # start with NOT / ID( / a name, never "("
+        if self.at("("):
+            self.take()
+            inner = self._or_expr()
+            self.take(text=")")
+            return inner
+        return self._cond()
 
     def _cond(self) -> Cond:
         t = self.peek()
@@ -349,21 +363,29 @@ class _Parser:
             if self.peek()[1] in ("ASC", "DESC"):
                 desc = self.take()[1] == "DESC"
             order_by = (var, prop, desc)
+        skip = None
+        if self.at("SKIP"):
+            self.take()
+            skip = self._value()
         if self.at("LIMIT"):
             self.take()
             limit = self._value()
         if self.peek()[0] != "eof":
             raise CypherError(f"trailing tokens: {self.peek()}")
-        return Query(matches, conds, items, distinct, order_by, limit)
+        return Query(matches, conds, items, distinct, order_by, skip, limit)
 
     def _ret_item(self) -> RetItem:
         t = self.peek()
         if t[0] == "name" and t[1].lower() in ("count", "collect") and self.peek(1)[1] == "(":
             fn = self.take()[1].lower()
             self.take(text="(")
+            cdistinct = False
+            if fn == "count" and self.at("DISTINCT"):
+                self.take()
+                cdistinct = True
             var = self.take("name")[1] if not self.at("*") else (self.take()[1], None)[1]
             self.take(text=")")
-            item = RetItem(fn, var=None if var == "*" else var)
+            item = RetItem(fn, var=None if var == "*" else var, distinct=cdistinct)
         elif t[0] == "name" and t[1].upper() == "ID" and self.peek(1)[1] == "(":
             self.take()
             self.take(text="(")
@@ -640,7 +662,11 @@ def _project(b: _Binder, q: Query, params) -> DataFrame:
                 else:
                     kind = b.vars.get(r.var, "node")
                     target = b.col(r.var, "id" if kind == "node" else "src")
-                exprs.append(F.count(target).alias(r.alias or f"count_{r.var or 'all'}"))
+                if r.distinct:
+                    exprs.append(F.count_distinct(target).alias(
+                        r.alias or f"count_{r.var or 'all'}"))
+                else:
+                    exprs.append(F.count(target).alias(r.alias or f"count_{r.var or 'all'}"))
             else:
                 kind = b.vars.get(r.var, "node")
                 fields = NODE_FIELDS if kind == "node" else EDGE_FIELDS
@@ -677,6 +703,8 @@ def _project(b: _Binder, q: Query, params) -> DataFrame:
             # count(n) ORDER BY n.name is invalid in Cypher too)
             raise CypherError(f"ORDER BY {var}.{prop or ''} not in RETURN scope")
         df = df.orderBy(col.desc() if desc else col.asc())
+    if q.skip is not None:
+        df = df.offset(int(_resolve(q.skip, params)))
     if q.limit is not None:
         df = df.limit(int(_resolve(q.limit, params)))
     return df

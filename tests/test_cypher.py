@@ -276,3 +276,50 @@ def test_not_pattern_inside_or_rejected(g):
             "MATCH (n:Part) WHERE NOT ()-[:CONTAINS]->(n) OR n.name = 'x'"
             " RETURN n",
         )
+
+
+def test_parenthesized_where_groups(g):
+    # (A OR B) AND C — without parens, AND-tighter would group differently
+    out = run_cypher(
+        g,
+        "MATCH (n:Nation) WHERE (n.name = 'NATION_3' OR n.name = 'NATION_7')"
+        " AND n.name <> 'NATION_7' RETURN n.name",
+    ).collect()
+    assert [r[0] for r in out] == ["NATION_3"]
+    # nested grouping
+    out2 = run_cypher(
+        g,
+        "MATCH (n:Nation) WHERE ((n.name = 'NATION_1')) OR (n.name = 'NATION_2'"
+        " AND n.name <> 'NATION_2') RETURN n.name",
+    ).collect()
+    assert [r[0] for r in out2] == ["NATION_1"]
+
+
+def test_skip_pagination(g):
+    base = run_cypher(
+        g, "MATCH (n:Nation) RETURN n.name ORDER BY n.name LIMIT 5"
+    ).collect()
+    page2 = run_cypher(
+        g, "MATCH (n:Nation) RETURN n.name ORDER BY n.name SKIP 2 LIMIT 3"
+    ).collect()
+    assert [r[0] for r in page2] == [r[0] for r in base[2:5]]
+
+
+def test_count_distinct(g):
+    # many CONTAINS edges, few distinct source orders
+    plain = run_cypher(
+        g, "MATCH (o:Order)-[e:CONTAINS]->(p) RETURN count(o) AS n"
+    ).collect()[0]["n"]
+    dist = run_cypher(
+        g, "MATCH (o:Order)-[e:CONTAINS]->(p) RETURN count(DISTINCT o) AS n"
+    ).collect()[0]["n"]
+    assert dist < plain
+    from pyspark.sql import functions as FF
+    orders_with_edges = (
+        g.edges.filter(FF.col("type") == "CONTAINS")
+        .select("src").distinct().join(
+            g.nodes.filter(FF.array_contains("labels", "Order")).select(
+                FF.col("id").alias("src")), "src", "semi")
+        .count()
+    )
+    assert dist == orders_with_edges
