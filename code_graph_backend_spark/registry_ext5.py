@@ -295,3 +295,28 @@ def graph_triangle_count_q(spark, sf_dir):
         .distinct()
     )
     return triangle_count_per_node(edges)
+
+
+@register(
+    "stream_event_dedup",
+    """
+    SELECT user_id, event_type, epoch_ms(MIN(ts)) AS first_ts_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_event_dedup_q(spark, sf_dir):
+    """Batch twin of the built-in watermark stream dedup
+    (streaming/stateful.dedup_events + stream_dedup_within_watermark;
+    stream/batch parity pinned in tests/test_streaming_windows.py). One
+    hash-agg; first_ts as epoch millis so nanos-vs-micros timestamp
+    precision cannot skew the comparison."""
+    from .streaming.stateful import dedup_events
+
+    ev = read_table(spark, sf_dir, "events")
+    d = dedup_events(ev)
+    return d.select(
+        "user_id", "event_type",
+        F.unix_millis(F.col("first_ts").cast("timestamp")).alias("first_ts_ms"),
+        "n_events",
+    )

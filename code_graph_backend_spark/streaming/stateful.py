@@ -113,3 +113,30 @@ def streaming_first_seen(events: DataFrame, fp_col: str = "event_type") -> DataF
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Batch twin of watermark stream dedup: one row per key with the
+    earliest event time and the duplicate count. The streaming side is
+    Spark's BUILT-IN `dropDuplicatesWithinWatermark` (state auto-evicted
+    past the watermark — the property that bounds memory on an infinite
+    stream); this aggregate is what its kept-rows reduce to when arrivals
+    are time-ordered, and what the DuckDB oracle checks."""
+    from pyspark.sql import functions as F
+
+    keys = keys or ["user_id", "event_type"]
+    return events.groupBy(*keys).agg(
+        F.min("ts").alias("first_ts"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming side: keep the first arrival per key, dropping duplicates
+    while their key is within the watermark window. Built-in operator —
+    per-key state lives in the state store and is evicted once the
+    watermark passes, so state is O(active keys), not O(stream)."""
+    keys = keys or ["user_id", "event_type"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -347,3 +347,44 @@ def test_stream_stream_join_parity(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM attrib_test").collect())
     )
     assert got == expect
+
+
+def test_stream_dedup_within_watermark_parity(spark, tmp_path):
+    """Built-in dropDuplicatesWithinWatermark keeps exactly one row per
+    key; over a TIME-ORDERED feed the kept row is the earliest, matching
+    the batch twin's min(ts) per key (streaming/stateful.dedup_events)."""
+    from code_graph_backend_spark.streaming import stateful
+
+    src = windows.normalize_event_time(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ).limit(400)
+    data_dir = str(tmp_path / "ev")
+    # time-ordered single file => arrival order == event-time order
+    src.orderBy("ts").coalesce(1).write.parquet(data_dir)
+
+    batch = {
+        (r["user_id"], r["event_type"]): r["first_ts"]
+        for r in stateful.dedup_events(
+            windows.normalize_event_time(spark.read.parquet(data_dir))
+        ).collect()
+    }
+
+    schema = spark.read.parquet(data_dir).schema
+    stream = windows.normalize_event_time(
+        spark.readStream.schema(schema).parquet(data_dir)
+    )
+    q = (
+        stateful.stream_dedup_within_watermark(stream, watermark="10 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    kept = spark.sql("select * from dedup_test").collect()
+    q.stop()
+
+    assert len(kept) == len(batch)  # one survivor per key
+    for r in kept:
+        assert r["ts"] == batch[(r["user_id"], r["event_type"])]
