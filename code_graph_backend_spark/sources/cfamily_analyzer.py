@@ -346,18 +346,24 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         after = _next_nonspace(cleaned, close + 1)
         # allow `throws A, B` / generic `where` clauses between ) and { ;
         body_open = None
+        body_close = None
         if after is not None:
             j = close + 1
             while j < len(cleaned) and cleaned[j] not in "{;}":
                 j += 1
             if j < len(cleaned) and cleaned[j] == "{":
                 body_open = j
+                body_close = braces.get(j)
             elif j < len(cleaned) and cleaned[j] == ";":
-                body_open = None
+                # C# expression-bodied member: `int Get() => Compute();` —
+                # the arrow expression up to the semicolon IS the body, so
+                # its invocations must be scanned like a braced body's
+                arrow = cleaned.find("=>", close + 1, j)
+                if arrow >= 0:
+                    body_open, body_close = arrow + 1, j
             else:
                 continue
-        methods.append((name, m.start(1), m.end() - 1, body_open,
-                        braces.get(body_open) if body_open is not None else None,
+        methods.append((name, m.start(1), m.end() - 1, body_open, body_close,
                         ret, cleaned[m.end():close], owner, "method"))
         seen_offsets.add(m.start(2))
 

@@ -376,3 +376,23 @@ def test_csharp_attributes_and_bodyless_record():
     assert doc == "// Handles gets."
     calls = {r[9] for r in rows if r[0] == "call"}
     assert {"Find", "Validate", "Unwrap"} <= calls
+
+
+def test_csharp_expression_bodied_members():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public class Calc {\n"
+        "    private int x;\n"
+        "    public int Get() => Compute(x) + Helper.Scale(2);\n"
+        "    public abstract int Abstract();\n"
+        "    public int Braced() { return Get(); }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("Calc.cs", cs)
+    ents = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert ents == {"Get", "Abstract", "Braced"}
+    get_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Get"}
+    assert get_calls == {"Compute", "Scale"}  # arrow body scanned for calls
+    braced_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Braced"}
+    assert braced_calls == {"Get"}
