@@ -320,3 +320,37 @@ def stream_event_dedup_q(spark, sf_dir):
         F.unix_millis(F.col("first_ts").cast("timestamp")).alias("first_ts_ms"),
         "n_events",
     )
+
+
+@register(
+    "corpus_length_deciles",
+    """
+    WITH q AS (
+        SELECT lang,
+               quantile_cont(n_chars,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, CAST(u.i AS INT) AS decile, ROUND(qs[u.i], 4) AS q
+    FROM q, UNNEST(generate_series(1, 9)) u(i)
+    """,
+)
+def corpus_length_deciles_q(spark, sf_dir):
+    """Exact per-language document-length deciles — the corpus-profiling
+    step before choosing packing budgets and length filters. One hash-agg
+    per language computing all nine quantiles in a single percentile
+    aggregate (one shuffle, map-side partials); both engines interpolate
+    linearly on the sorted values, verified bit-identical at 4 dp across
+    sf0.001-0.1."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.percentile(F.col("n_chars"),
+                          F.lit([i / 10 for i in range(1, 10)])).alias("qs"))
+        .select("lang", F.posexplode("qs").alias("decile", "q"))
+        .select(
+            "lang",
+            (F.col("decile") + 1).cast("int").alias("decile"),
+            F.round("q", 4).alias("q"),
+        )
+    )
