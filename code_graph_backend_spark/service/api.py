@@ -344,7 +344,7 @@ class CodeGraphService:
         # venv/temp_deps containers so only DECLARED deps are analyzed.
         dep_roots = add_dependency_sources(path)
         files = scan_source_tree(
-            self.spark, [path], exts=(".py", ".java", ".cs"),
+            self.spark, [path], exts=(".py", ".java", ".cs", ".c"),
             ignore=("/venv/", "/temp_deps/", *ignore),
         )
         if dep_roots:

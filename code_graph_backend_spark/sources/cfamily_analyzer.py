@@ -463,3 +463,115 @@ def parse_java_source(path: str, source: str) -> list[tuple]:
 def parse_csharp_source(path: str, source: str) -> list[tuple]:
     """C# file → PARSE_SCHEMA rows (reference csharp/analyzer.py:33-110)."""
     return _parse_cfamily(path, source, "cs")
+
+
+# -- C (reference api/analyzers/c/analyzer.py — present but DISABLED in the
+#    reference's registry, source_analyzer.py:25 `# '.c': CAnalyzer()`; we
+#    enable the language for real: struct + function entities, calls,
+#    params/returns, matching tests/test_c_analyzer.py's expectations in
+#    row-shape terms) ---------------------------------------------------------
+
+_C_KEYWORDS = {
+    "if", "for", "while", "switch", "return", "sizeof", "do", "else",
+    "case", "break", "continue", "goto", "typedef", "static", "extern",
+    "inline", "register", "volatile", "const", "struct", "union", "enum",
+}
+_C_TYPE_QUALS = ("const", "struct", "union", "enum", "unsigned", "signed",
+                 "volatile", "register", "restrict", "static", "inline")
+
+_C_STRUCT_RE = re.compile(r"\bstruct\s+([A-Za-z_]\w*)\s*\{")
+
+
+def _c_base_type(tok: str) -> str | None:
+    """`const char **argv` → char; `struct exp *e` → exp."""
+    tok = tok.replace("*", " ").replace("[", " ").replace("]", " ")
+    parts = [p for p in tok.split() if p and p not in _C_TYPE_QUALS]
+    if len(parts) < 1:
+        return None
+    # last part is the arg name (when present); the type is what precedes
+    name = parts[0] if len(parts) == 1 else parts[-2] if len(parts) >= 2 else None
+    return name if name and re.fullmatch(r"[A-Za-z_]\w*", name) else None
+
+
+def parse_c_source(path: str, source: str) -> list[tuple]:
+    """C file → PARSE_SCHEMA rows: top-level function definitions (with
+    body — prototypes are declarations, not entities), struct types,
+    invocations, parameter/return types. Struct FIELD inventory is the one
+    reference detail our row schema doesn't model (documented divergence).
+    """
+    cleaned, comments = _strip(source)
+    braces = _brace_match(cleaned)
+    rows: list[tuple] = []
+    src_lines = source.splitlines()
+
+    depth = 0
+    depth_at = [0] * (len(cleaned) + 1)
+    for i, ch in enumerate(cleaned):
+        depth_at[i] = depth
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth = max(0, depth - 1)
+    depth_at[len(cleaned)] = depth
+
+    for m in _C_STRUCT_RE.finditer(cleaned):
+        if depth_at[m.start()] != 0:
+            continue
+        open_off = cleaned.index("{", m.start())
+        close = braces.get(open_off)
+        if close is None:
+            continue
+        rows.append((
+            "entity", "Struct", m.group(1), path, _line_of(source, m.start()),
+            _line_of(source, close), _doc_before(source, comments, m.start(),
+                                                 line_doc=False, cleaned=cleaned),
+            None, None, None, None, None,
+        ))
+
+    for m in _METHOD_RE.finditer(cleaned):
+        ret, name = m.group(1), m.group(2)
+        ret_base = ret.split("<")[0].split(".")[-1].strip()
+        if name in _C_KEYWORDS or ret_base in ("return", "sizeof", "else",
+                                               "typedef", "goto", "case"):
+            continue
+        if depth_at[m.start()] != 0:
+            continue  # only top-level definitions are entities
+        close = _find_paren_close(cleaned, m.end() - 1)
+        if close is None:
+            continue
+        j = close + 1
+        while j < len(cleaned) and cleaned[j] not in "{;}":
+            j += 1
+        if j >= len(cleaned) or cleaned[j] != "{":
+            continue  # prototype / macro use — not a definition
+        body_open, body_close = j, braces.get(j)
+        start = _line_of(source, m.start(1))
+        end = _line_of(source, body_close if body_close is not None else j)
+        rows.append((
+            "entity", "Function", name, path, start, end,
+            _doc_before(source, comments, m.start(1), line_doc=False,
+                        cleaned=cleaned),
+            None, None, None, None, None,
+        ))
+        for p in _split_params(cleaned[m.end():close]):
+            pn = _c_base_type(p)
+            if pn and pn != "void":
+                rows.append(("params", None, name, path, start, end, None,
+                             None, None, pn, None, None))
+        rn = _c_base_type(ret + " _")  # treat ret as "type name" pair
+        if rn and rn != "void":
+            rows.append(("returns", None, name, path, start, end, None,
+                         None, None, rn, None, None))
+        if body_close is not None:
+            body = cleaned[body_open + 1: body_close]
+            for cm in _CALL_RE.finditer(body):
+                callee = cm.group(1)
+                if callee in _C_KEYWORDS:
+                    continue
+                off = body_open + 1 + cm.start(1)
+                line = _line_of(source, off)
+                text = (src_lines[line].strip()
+                        if 0 <= line < len(src_lines) else None)
+                rows.append(("call", None, name, path, start, end, None,
+                             None, None, callee, line, text))
+    return rows

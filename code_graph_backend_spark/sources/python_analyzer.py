@@ -215,15 +215,21 @@ def parse_files(files: DataFrame) -> DataFrame:
     """files(path, content[, ...]) → PARSE_SCHEMA rows, distributed.
 
     Dispatches per file extension like the reference's analyzer registry
-    (api/analyzers/source_analyzer.py:24-29): .py → ast, .java/.cs → the
-    brace-aware C-family kernels. Unknown extensions parse to nothing.
+    (api/analyzers/source_analyzer.py:24-29): .py → ast, .java/.cs/.c → the
+    brace-aware C-family kernels (C is DISABLED in the reference's
+    registry, source_analyzer.py:25 — enabled for real here). Unknown extensions parse to nothing.
     """
-    from .cfamily_analyzer import parse_csharp_source, parse_java_source
+    from .cfamily_analyzer import (
+        parse_c_source,
+        parse_csharp_source,
+        parse_java_source,
+    )
 
     parsers = {
         "py": parse_python_source,
         "java": parse_java_source,
         "cs": parse_csharp_source,
+        "c": parse_c_source,
     }
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

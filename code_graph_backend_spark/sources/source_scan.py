@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-SUPPORTED_EXTS = (".py", ".java", ".cs")  # reference source_analyzer.py:24-29
+SUPPORTED_EXTS = (".py", ".java", ".cs", ".c")  # reference source_analyzer.py:24-29 (+.c, disabled there)
 
 
 def scan_source_tree(

@@ -396,3 +396,48 @@ def test_csharp_expression_bodied_members():
     assert get_calls == {"Compute", "Scale"}  # arrow body scanned for calls
     braced_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Braced"}
     assert braced_calls == {"Get"}
+
+
+def test_c_analyzer_reference_fixture():
+    """The reference's own C fixture (tests/source_files/c/src.c,
+    tests/test_c_analyzer.py — the analyzer is DISABLED in the reference's
+    registry; enabled for real here): struct + function entities with the
+    reference's exact line spans, the recursive add→add call, main→add."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_c_source
+
+    src = (
+        "int add\n(\n\tint a,\n\tint b\n) {\n\treturn a + b;\n\tadd(b, a);\n}\n"
+        "\nstruct exp {\n\tint i;\n\tfloat f;\n\tchar data[];\n};\n"
+        "\nint main(const char **argv, int argc) {\n"
+        "\tint x = add(1, 2);\n\treturn x;\n}\n"
+    )
+    rows = parse_c_source("src.c", src)
+    ents = {r[2]: (r[1], r[4], r[5]) for r in rows if r[0] == "entity"}
+    assert ents["exp"] == ("Struct", 9, 13)
+    assert ents["add"] == ("Function", 0, 7)
+    assert ents["main"] == ("Function", 15, 18)
+    calls = {(r[2], r[9]) for r in rows if r[0] == "call"}
+    assert calls == {("add", "add"), ("main", "add")}
+    add_params = [r[9] for r in rows if r[0] == "params" and r[2] == "add"]
+    assert add_params == ["int", "int"]
+    rets = {r[2]: r[9] for r in rows if r[0] == "returns"}
+    assert rets == {"add": "int", "main": "int"}
+
+
+def test_c_prototypes_and_nested_not_entities():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_c_source
+
+    src = (
+        "int proto(int x);\n"            # prototype: not a definition
+        "static int helper(void) {\n"
+        "    if (1) { nested_call(); }\n"
+        "    return 0;\n"
+        "}\n"
+    )
+    rows = parse_c_source("p.c", src)
+    ents = {r[2] for r in rows if r[0] == "entity"}
+    assert ents == {"helper"}
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"nested_call"}
+    # void params are skipped
+    assert not [r for r in rows if r[0] == "params" and r[2] == "helper"]
