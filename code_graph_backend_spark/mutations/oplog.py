@@ -71,13 +71,20 @@ class OpLog:
         params = json.loads(entry.params_json)
         spark = graph.spark
         if entry.op == "merge_nodes":
+            # fold duplicate ids WITHIN the batch first: MERGE's full_outer
+            # join emits one output row per duplicate batch key, so un-
+            # folded intra-batch duplicates would duplicate node rows
+            # (sequential-apply semantics = last write wins per field,
+            # props map-merged — same rule _coalesced uses across batches)
+            rows = self._dedup_rows("merge_nodes", params["rows"])
             batch = spark.createDataFrame(
-                [_node_row(r) for r in params["rows"]], NODES_SCHEMA
+                [_node_row(r) for r in rows], NODES_SCHEMA
             )
             graph.nodes = merge_nodes(graph.nodes, batch)
         elif entry.op == "merge_edges":
+            rows = self._dedup_rows("merge_edges", params["rows"])
             batch = spark.createDataFrame(
-                [(r["src"], r["dst"], r["type"], r.get("props")) for r in params["rows"]],
+                [(r["src"], r["dst"], r["type"], r.get("props")) for r in rows],
                 EDGES_SCHEMA,
             )
             graph.edges = merge_edges(graph.edges, batch)

@@ -195,3 +195,139 @@ def test_token_repetition_bounds(spark, texts):
         )
         assert r["n_distinct"] <= r["n_tokens"]
         assert r["top_freq"] <= r["n_tokens"]
+
+
+# -- r4 kernels -------------------------------------------------------------
+
+import numpy as np
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 9), w=st.integers(1, 9),
+    topdown=st.booleans(), seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, topdown, seed):
+    """decode(encode(px)) == px for arbitrary sizes (row padding, both
+    row orders) — pure functions, no Spark."""
+    from code_graph_backend_spark.functions.codecs import decode_bmp, encode_bmp
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    ww, hh, out = decode_bmp(encode_bmp(px, topdown=topdown))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(out, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 64), rate=st.sampled_from([8000, 16000, 44100]),
+    junk=st.binary(min_size=0, max_size=9), seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, junk, seed):
+    from code_graph_backend_spark.functions.codecs import decode_wav, encode_wav
+
+    samples = np.random.RandomState(seed).randint(
+        -32768, 32768, n, dtype=np.int64
+    ).astype(np.int16)
+    payload = encode_wav(samples, rate, extra_chunks=[(b"LIST", junk)])
+    r, ch, bits, out = decode_wav(payload)
+    assert (r, ch, bits) == (rate, 1, 16)
+    assert np.array_equal(out, samples)
+
+
+@settings(**{**{k: v for k, v in SETTINGS.__dict__.items() if False}}, max_examples=8,
+          deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(1, 4), st.text("ab", min_size=1, max_size=3)),
+            min_size=1, max_size=3,
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_oplog_coalesce_equals_sequential_replay(spark, batches):
+    """Replaying N consecutive merge_nodes batches coalesced into one must
+    equal replaying them one by one — including duplicate ids ACROSS
+    batches (the advisor-flagged case: field-wise last-write-wins with
+    props map-merge)."""
+    from code_graph_backend_spark.graph.model import NODES_SCHEMA, PropertyGraph
+    from code_graph_backend_spark.mutations.oplog import OpLog
+
+    def row(i, name):
+        return {"id": i, "labels": ["X"], "name": name,
+                "props": {name: str(i)}}
+
+    log = OpLog()
+    for batch in batches:
+        log.record("a", "b", "merge_nodes",
+                   {"rows": [row(i, nm) for i, nm in batch]})
+
+    def fresh():
+        g = PropertyGraph(spark, "r")
+        g.nodes = spark.createDataFrame([], NODES_SCHEMA)
+        return g
+
+    # sequential: apply each entry unchanged
+    g_seq = fresh()
+    for e in log.transitions("a", "b"):
+        g_seq = log.apply(g_seq, e)
+    # coalesced path (what replay_path uses)
+    g_co = fresh()
+    for e in log._coalesced(log.transitions("a", "b")):
+        g_co = log.apply(g_co, e)
+
+    def snap(g):
+        return sorted(
+            (r["id"], r["name"], tuple(sorted((r["props"] or {}).items())))
+            for r in g.nodes.collect()
+        )
+
+    assert snap(g_seq) == snap(g_co)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lens=st.lists(st.integers(1, 12), min_size=1, max_size=8),
+       budget=st.integers(2, 10))
+def test_pack_sequences_invariants(spark, lens, budget):
+    """Offsets < budget; the (seq_id, tok_offset) stream position equals
+    the running token count; seq ids are nondecreasing in doc order."""
+    from code_graph_backend_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    rows = sorted(pack_sequences(docs, budget=budget).collect(),
+                  key=lambda r: r["doc_id"])
+    run = 0
+    prev_seq = 0
+    for r in rows:
+        assert 0 <= r["tok_offset"] < budget
+        assert r["seq_id"] * budget + r["tok_offset"] == run
+        assert r["seq_id"] >= prev_seq
+        prev_seq = r["seq_id"]
+        run += r["n_tokens"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=edges_strategy)
+def test_triangle_count_matches_python_oracle(spark, pairs):
+    from itertools import combinations
+
+    from code_graph_backend_spark.operators.triangles import (
+        triangle_count_per_node,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    expect: dict[int, int] = {}
+    nodes = {v for e in und for v in e}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if {(x, y), (y, z), (x, z)} <= und:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    got = {r["node"]: r["n_triangles"] for r in
+           triangle_count_per_node(_edges_df(spark, pairs)).collect()}
+    assert got == expect
