@@ -1,0 +1,64 @@
+"""Synchronous label propagation (community detection) — fourth graph
+kernel beside pagerank/sssp/triangles, same verification philosophy:
+FIXED iteration count + DETERMINISTIC tie-breaking make an iterative
+algorithm exactly expressible as unrolled SQL, so the oracle hash-checks
+it rather than eyeballing modularity.
+
+Semantics per round (synchronous, undirected):
+    label_{t+1}(v) = the label most frequent among v's neighbors at t,
+                     ties broken by SMALLEST label id; isolated or
+                     tie-free-at-zero vertices keep their label.
+Initial labels are the node ids. Fixed `iters` rounds ⇒ deterministic.
+
+Scale shape: each round is one equi-join (labels ⋈ undirected edges,
+shuffled on the neighbor key) + one hash-agg on (vertex, label) + one
+max_by reduction per vertex — two shuffles per round, no driver state;
+localCheckpoint cuts the per-round lineage exactly like pagerank's loop.
+At 100 TB this is the standard Pregel-on-DataFrames community pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 2,
+) -> DataFrame:
+    """Returns (node long, label long) after `iters` synchronous rounds."""
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = nodes.select(
+        F.col("id").alias("node"), F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, sym["b"] == F.col("node"))
+            .groupBy(F.col("a").alias("v"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        # most frequent neighbor label; ties -> smallest label. max_by on
+        # the packed integer key (count*C - label, C > any label id) does
+        # both in ONE aggregate — a window row_number would shuffle the
+        # votes a second time — and the packed key is plain BIGINT math
+        # every SQL engine orders identically (composite arg_max keys are
+        # not portable).
+        best = votes.groupBy(F.col("v").alias("node")).agg(
+            F.max_by(
+                "label", F.col("n") * F.lit(100000000) - F.col("label")
+            ).alias("_new")
+        )
+        labels = (
+            labels.join(best, "node", "left_outer")
+            .select("node", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

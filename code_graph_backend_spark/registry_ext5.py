@@ -354,3 +354,49 @@ def corpus_length_deciles_q(spark, sf_dir):
             F.round("q", 4).alias("q"),
         )
     )
+
+
+def _lpa_sql(iters: int = 2) -> str:
+    """Unrolled synchronous label propagation: one (votes, best, labels)
+    CTE triple per round — the same exact-oracle trick as pagerank's
+    unrolled power iteration."""
+    from .graph.tpch import SQL_EDGES, SQL_NODES
+
+    parts = [
+        f"WITH nodes AS ({SQL_NODES}), edges AS ({SQL_EDGES}),",
+        """und AS (
+            SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+        ),
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        l0 AS (SELECT id AS node, id AS label FROM nodes)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        v{t} AS (
+            SELECT sym.a AS v, l.label, COUNT(*) AS n
+            FROM sym JOIN l{t-1} l ON sym.b = l.node GROUP BY 1, 2
+        ),
+        b{t} AS (
+            SELECT v AS node, arg_max(label, n * 100000000 - label) AS nl
+            FROM v{t} GROUP BY v
+        ),
+        l{t} AS (
+            SELECT l.node, COALESCE(b.nl, l.label) AS label
+            FROM l{t-1} l LEFT JOIN b{t} b USING (node)
+        )""")
+    parts.append(f"SELECT node, label FROM l{iters}")
+    return "\n".join(parts)
+
+
+@register("graph_label_propagation", _lpa_sql(2))
+def graph_label_propagation_q(spark, sf_dir):
+    """2-round synchronous label propagation over the graph twin
+    (operators/labelprop.py): per round one neighbor join + one hash-agg +
+    one max_by reduction, localCheckpoint lineage cuts — and an exactly
+    unrolled SQL oracle (fixed rounds + deterministic ties make community
+    detection hash-checkable)."""
+    from .graph.tpch import build_graph
+    from .operators.labelprop import label_propagation
+
+    g = build_graph(spark, sf_dir)
+    return label_propagation(spark, g.nodes, g.edges, iters=2)

@@ -121,3 +121,36 @@ def test_triangle_count_direction_and_dupes_ignored(spark):
         [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4)], "src long, dst long"
     )
     assert triangle_count_per_node(edges).count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after 2 synchronous
+    rounds each triangle converges to its min node id; determinism under
+    re-run."""
+    from code_graph_backend_spark.operators.labelprop import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12]], "id long"
+    )
+    edges = spark.createDataFrame(
+        [(a, b, "T", None) for a, b in tri1 + tri2],
+        "src long, dst long, type string, props map<string,string>",
+    )
+    out = {r["node"]: r["label"] for r in
+           label_propagation(spark, nodes, edges, iters=2).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # with a bridge the SYNCHRONOUS update is still exactly defined (it
+    # has not settled after 2 rounds — that is the semantics, and the
+    # unrolled oracle computes the identical state); pin it
+    edges_b = spark.createDataFrame(
+        [(a, b, "T", None) for a, b in tri1 + tri2 + [(3, 10)]],
+        "src long, dst long, type string, props map<string,string>",
+    )
+    out_b = {r["node"]: r["label"] for r in
+             label_propagation(spark, nodes, edges_b, iters=2).collect()}
+    assert out_b == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+    again = {r["node"]: r["label"] for r in
+             label_propagation(spark, nodes, edges_b, iters=2).collect()}
+    assert out_b == again
