@@ -92,3 +92,42 @@ def triangle_count_total(edges: DataFrame) -> DataFrame:
     return per.agg(
         (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("n_triangles")
     )
+
+
+def jaccard_neighbors(edges: DataFrame, min_common: int = 1) -> DataFrame:
+    """Link-prediction primitive: neighborhood Jaccard similarity for every
+    node pair sharing ≥ `min_common` neighbors — |N(a)∩N(b)| / |N(a)∪N(b)|
+    over the undirected graph.
+
+    Scale shape: the SAME inverted-index trick as n-gram Jaccard dedup
+    (functions/dedup.py) transplanted to graphs — common-neighbor pairs
+    come from a self-join keyed on the SHARED NEIGHBOR (wedge join), never
+    from the O(n²) pair space; degrees join in for the union size. Hub
+    neighbors fan out quadratically (same "curse of the last reducer" as
+    triangles); production would cap/sample hub wedge lists — at our SF
+    the cap is unnecessary and omitted so the oracle stays exact."""
+    und = undirected_edges(edges)
+    adj = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )  # (a=node, b=neighbor), both directions
+    deg = adj.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
+    w1 = adj.select(F.col("b").alias("n"), F.col("a").alias("i"))
+    w2 = adj.select(F.col("b").alias("n"), F.col("a").alias("j"))
+    common = (
+        w1.join(w2, "n")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_common)
+    )
+    di = deg.select(F.col("v").alias("i"), F.col("d").alias("di"))
+    dj = deg.select(F.col("v").alias("j"), F.col("d").alias("dj"))
+    return (
+        common.join(di, "i").join(dj, "j")
+        .select(
+            "i", "j",
+            F.round(
+                F.col("c") / (F.col("di") + F.col("dj") - F.col("c")), 6
+            ).alias("jac"),
+        )
+    )

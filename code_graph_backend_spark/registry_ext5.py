@@ -400,3 +400,75 @@ def graph_label_propagation_q(spark, sf_dir):
 
     g = build_graph(spark, sf_dir)
     return label_propagation(spark, g.nodes, g.edges, iters=2)
+
+
+@register(
+    "graph_jaccard_neighbors",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS v, COUNT(*) AS d FROM adj GROUP BY a),
+    common AS (
+        SELECT w1.a AS i, w2.a AS j, COUNT(*) AS c
+        FROM adj w1 JOIN adj w2 ON w1.b = w2.b AND w1.a < w2.a
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT i, j, ROUND(c / (di.d + dj.d - c), 6) AS jac
+    FROM common JOIN deg di ON di.v = i JOIN deg dj ON dj.v = j
+    """,
+)
+def graph_jaccard_neighbors_q(spark, sf_dir):
+    """Neighborhood Jaccard similarity over the part co-occurrence graph
+    (operators/triangles.jaccard_neighbors): inverted-index wedge join —
+    the graph transplant of the dedup pipeline's shingle-index trick; no
+    all-pairs anywhere. min_common=2 keeps the pair set selective."""
+    from .operators.triangles import jaccard_neighbors
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return jaccard_neighbors(edges, min_common=2)
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+)
+def funnel_conversion_q(spark, sf_dir):
+    """Ordered view→click→purchase funnel (operators/funnel.py): greedy
+    earliest-chain per user decides ordered-subsequence existence exactly;
+    one min-agg per stage, no windows, no per-user sorting."""
+    from .operators.funnel import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])

@@ -154,3 +154,42 @@ def test_label_propagation_two_cliques(spark):
     again = {r["node"]: r["label"] for r in
              label_propagation(spark, nodes, edges_b, iters=2).collect()}
     assert out_b == again
+
+
+def test_jaccard_neighbors_exact_small(spark):
+    from code_graph_backend_spark.operators.triangles import jaccard_neighbors
+
+    # path 1-2-3 plus 1-3: N(1)={2,3}, N(2)={1,3}, N(3)={1,2}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    out = {(r["i"], r["j"]): r["jac"] for r in jaccard_neighbors(edges).collect()}
+    # each pair shares exactly 1 neighbor; |union| = 3
+    assert out == {(1, 2): round(1 / 3, 6), (1, 3): round(1 / 3, 6),
+                   (2, 3): round(1 / 3, 6)}
+
+
+def test_funnel_greedy_order_semantics(spark):
+    from datetime import datetime
+
+    from code_graph_backend_spark.operators.funnel import funnel_counts
+
+    def ev(u, t, typ):
+        return (u, datetime(2024, 1, 1, 0, t), typ)
+
+    rows = [
+        # u1 completes in order
+        ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+        # u2: purchase BEFORE click -> reaches click only
+        ev(2, 1, "view"), ev(2, 2, "purchase"), ev(2, 3, "click"),
+        # u3: no view -> not even stage 1
+        ev(3, 1, "click"), ev(3, 2, "purchase"),
+        # u4: view only
+        ev(4, 5, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r["stage"]: r["n_users"] for r in
+           funnel_counts(events, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
