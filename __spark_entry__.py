@@ -49,7 +49,7 @@ _PRIORITY = [
     "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
     "ann_lsh_exact", "pack_sequences", "sample_temperature",
     "quality_percentile", "bpe_pair_stats", "emb_label_centroids",
-    "graph_triangle_count", "stream_event_dedup", "corpus_length_deciles", "graph_label_propagation", "graph_jaccard_neighbors", "funnel_conversion",
+    "graph_triangle_count", "stream_event_dedup", "corpus_length_deciles", "graph_label_propagation", "graph_jaccard_neighbors", "funnel_conversion", "graph_kcore",
 ]
 
 

@@ -62,3 +62,47 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore_bounded(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded-round k-core peeling: iteratively drop vertices of
+    undirected degree < k; after `rounds` passes return the surviving
+    (node, degree) pairs. Fixed rounds keep it deterministic and exactly
+    unrollable in SQL (the full k-core is this run to fixpoint; peeling
+    converges geometrically, so a handful of rounds is the practical
+    answer and the residual is explicit in the round count).
+
+    Per round: one degree hash-agg + two semi-joins pruning the edge
+    list — same two-shuffle budget as a label-propagation round."""
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    live = und.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            live.select(F.col("a").alias("v"))
+            .unionAll(live.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        live = (
+            live.join(keep.select(F.col("v").alias("a")), "a", "semi")
+            .join(keep.select(F.col("v").alias("b")), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        live.select(F.col("a").alias("node"))
+        .unionAll(live.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return deg.filter(F.col("degree") >= k)

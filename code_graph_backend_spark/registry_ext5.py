@@ -472,3 +472,44 @@ def funnel_conversion_q(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def _kcore_sql(k: int = 2, rounds: int = 3) -> str:
+    from .graph.tpch import SQL_EDGES
+
+    parts = [
+        f"WITH edges AS ({SQL_EDGES}),",
+        """e0 AS (
+            SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+        )""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+        d{t} AS (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM e{t-1} UNION ALL SELECT b FROM e{t-1}
+            ) GROUP BY v
+        ),
+        k{t} AS (SELECT v FROM d{t} WHERE d >= {k}),
+        e{t} AS (
+            SELECT a, b FROM e{t-1}
+            WHERE a IN (SELECT v FROM k{t}) AND b IN (SELECT v FROM k{t})
+        )""")
+    parts.append(f"""
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+        ) GROUP BY node HAVING COUNT(*) >= {k}""")
+    return "\n".join(parts)
+
+
+@register("graph_kcore", _kcore_sql(2, 3))
+def graph_kcore_q(spark, sf_dir):
+    """Bounded 3-round 2-core peeling over the graph twin
+    (operators/labelprop.kcore_bounded): per round one degree agg + two
+    semi-joins; unrolled-rounds SQL oracle, same verification trick as
+    pagerank/sssp/label-propagation."""
+    from .graph.tpch import build_graph
+    from .operators.labelprop import kcore_bounded
+
+    g = build_graph(spark, sf_dir)
+    return kcore_bounded(spark, g.edges, k=2, rounds=3)

@@ -193,3 +193,18 @@ def test_funnel_greedy_order_semantics(spark):
     out = {r["stage"]: r["n_users"] for r in
            funnel_counts(events, ["view", "click", "purchase"]).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_kcore_peels_tails(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle (the
+    chain peels over successive rounds)."""
+    from code_graph_backend_spark.operators.labelprop import kcore_bounded
+
+    edges = spark.createDataFrame(
+        [(1, 2, "T", None), (2, 3, "T", None), (1, 3, "T", None),
+         (3, 4, "T", None), (4, 5, "T", None)],
+        "src long, dst long, type string, props map<string,string>",
+    )
+    out = {r["node"]: r["degree"] for r in
+           kcore_bounded(spark, edges, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}

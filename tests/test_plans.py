@@ -235,3 +235,14 @@ def test_temperature_broadcasts_quotas(spark, qs):
     plan = _plan(qs["sample_temperature"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_analytics_no_nested_loop(spark, qs):
+    """Triangles / Jaccard / LPA / k-core are all equi-join pipelines —
+    a BroadcastNestedLoopJoin anywhere means a filter degenerated into a
+    cartesian scan."""
+    for q in ("graph_triangle_count", "graph_jaccard_neighbors",
+              "graph_label_propagation", "graph_kcore"):
+        plan = _plan(qs[q](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan[:1200])
+        assert "CartesianProduct" not in plan, (q, plan[:1200])
