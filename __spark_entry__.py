@@ -26,13 +26,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["flagship_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
-# Grading-order rotation (the driver caps correctness rows per round):
-# list FIRST whatever rode on the oldest row last round, so the union of
-# any two consecutive rounds covers every query with no row older than one
-# round. Round 4: the 35 entries whose freshest official row is round 2,
-# followed by round 4's new queries; the remainder keeps registration
-# order (they all have fresh round-3 rows).
+# Grading-order rotation (the driver caps correctness rows per round,
+# ~50): NEVER-GRADED queries go first (a query with no row at all is
+# worse than a one-round-old row), then the entries whose freshest
+# official row is round 2 (oldest first-priority among graded); the
+# remainder keeps registration order (fresh round-3 rows). The 3 entries
+# past the ~50 cap are streaming windows / X3, which carry independent
+# pytest parity coverage and fresh-enough rows.
 _PRIORITY = [
+    # round-4 queries (never graded yet)
+    "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
+    "ann_lsh_exact", "pack_sequences", "sample_temperature",
+    "quality_percentile", "bpe_pair_stats", "emb_label_centroids",
+    "graph_triangle_count", "stream_event_dedup", "corpus_length_deciles",
+    "graph_label_propagation", "graph_jaccard_neighbors",
+    "funnel_conversion", "graph_kcore",
+    # freshest row is round 2
     "a7_usage_count", "ann_ivf_topk", "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
     "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
@@ -45,11 +54,6 @@ _PRIORITY = [
     "text_rolling_fingerprint", "text_tfidf_topterms", "value_histogram",
     "w_session_30m", "w_sliding_1h_30m", "w_tumbling_1h",
     "x3_auto_complete",
-    # round-4 queries (never graded yet)
-    "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
-    "ann_lsh_exact", "pack_sequences", "sample_temperature",
-    "quality_percentile", "bpe_pair_stats", "emb_label_centroids",
-    "graph_triangle_count", "stream_event_dedup", "corpus_length_deciles", "graph_label_propagation", "graph_jaccard_neighbors", "funnel_conversion", "graph_kcore",
 ]
 
 

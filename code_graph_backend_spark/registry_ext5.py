@@ -137,8 +137,9 @@ def ann_lsh_exact(spark, sf_dir):
     """,
 )
 def pack_sequences_q(spark, sf_dir):
-    """Contiguous-fill sequence packing (functions/packing.py): one window
-    cumsum assigns each doc its training-sequence id and token offset —
+    """Concat-and-chunk sequence packing (functions/packing.py): the
+    id-ordered corpus token stream cut into fixed 256-token windows; one
+    window cumsum assigns each doc its window id and token offset —
     deterministic, single shuffle, ANSI-expressible."""
     from .functions.packing import pack_sequences
 
