@@ -56,15 +56,20 @@ def funnel_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """(stage_idx, stage, n_users): users completing each ordered prefix."""
+    """(stage_idx, stage, n_users): users completing each ordered prefix.
+    Fully declarative — the one-row aggregate unpivots via stack(), no
+    driver round-trip."""
     times = funnel_stage_times(events, steps, user_col, ts_col, type_col)
-    spark = events.sparkSession
     aggs = [
         F.count(F.col(f"t{i}")).cast("long").alias(f"n{i}")
         for i in range(1, len(steps) + 1)
     ]
-    row = times.agg(*aggs).collect()[0]
-    return spark.createDataFrame(
-        [(i, steps[i - 1], int(row[f"n{i}"])) for i in range(1, len(steps) + 1)],
-        "stage_idx int, stage string, n_users long",
+    stack_args = ", ".join(
+        f"{i}, '{steps[i - 1]}', n{i}" for i in range(1, len(steps) + 1)
+    )
+    return times.agg(*aggs).selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (stage_idx, stage, n_users)"
+    ).selectExpr(
+        "CAST(stage_idx AS INT) AS stage_idx", "stage",
+        "CAST(n_users AS BIGINT) AS n_users",
     )
