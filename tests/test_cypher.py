@@ -200,9 +200,12 @@ def test_parser_never_crashes_on_grammar_samples(g):
     props = ["", " {name: 'X'}", " {name: $p}"]
     edges = ["", "-[:IN_REGION]->(m)", "<-[e:IN_NATION]-(m)", "-[e]->(m)"]
     wheres = ["", " WHERE ID(n) = 1", " WHERE n.name STARTS WITH 'A' AND ID(n) IN $ids",
-              " WHERE NOT ()-[:PLACED]->(n)"]
-    rets = ["n", "count(n)", "DISTINCT n.name", "ID(n)"]
-    tails = ["", " ORDER BY n.name DESC", " LIMIT 3", " ORDER BY n.name LIMIT 2"]
+              " WHERE NOT ()-[:PLACED]->(n)",
+              " WHERE n.name = 'X' OR n.name <> 'Y'",
+              " WHERE (n.name < 'M' OR n.name >= 'T') AND ID(n) IN $ids"]
+    rets = ["n", "count(n)", "count(DISTINCT n)", "DISTINCT n.name", "ID(n)"]
+    tails = ["", " ORDER BY n.name DESC", " LIMIT 3", " ORDER BY n.name LIMIT 2",
+             " ORDER BY n.name SKIP 1 LIMIT 2"]
     params = {"p": "X", "ids": [1, 2]}
     n_ok = 0
     for lbl, pr, ed, wh, re_, tl in itertools.islice(
