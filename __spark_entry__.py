@@ -19,6 +19,7 @@ from code_graph_backend_spark import registry_ext2  # noqa: F401  (registers on 
 from code_graph_backend_spark import registry_ext3  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext4  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext5  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext6  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,6 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest parity coverage and fresh-enough rows.
 _PRIORITY = [
     # round-4 queries (never graded yet)
+    "token_budget_select", "events_rollup", "graph_hits",
+    "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
     "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
     "ann_lsh_exact", "pack_sequences", "sample_temperature",
     "quality_percentile", "bpe_pair_stats", "emb_label_centroids",

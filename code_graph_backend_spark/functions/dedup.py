@@ -295,18 +295,12 @@ def simhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_lsh_candidates_exact(
-    docs: DataFrame,
-    id_col="doc_id",
-    text_col="text",
-    n: int = 3,
-    k: int = 16,
-    bands: int = 4,
+def _banded_md5(
+    docs: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
 ) -> DataFrame:
-    """Exact twin of `minhash_lsh_candidates`: identical explode → one
-    hash-agg k-mins → banded equi-join plan, but hash = md5(seed ':' s)
-    compared as hex strings and band key = md5 of the '|'-joined band
-    slice — every step replicable in ANSI SQL. Output (i, j) pairs."""
+    """(i, band, bh) banded md5-minhash signatures — the ANSI-replicable
+    hash family shared by the exact twin and the incremental variant:
+    explode shingles → one hash-agg computing all k mins → md5 band keys."""
     rows = k // bands
     sh = fan_out(docs).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
@@ -319,7 +313,7 @@ def minhash_lsh_candidates_exact(
             ]
         ).alias("sig")
     )
-    banded = sig.select(
+    return sig.select(
         F.col(id_col).alias("i"),
         F.explode(
             F.expr(
@@ -328,7 +322,21 @@ def minhash_lsh_candidates_exact(
             )
         ).alias("e"),
     ).select("i", "e.band", "e.bh")
-    banded = scratch_persist(banded)
+
+
+def minhash_lsh_candidates_exact(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact twin of `minhash_lsh_candidates`: identical explode → one
+    hash-agg k-mins → banded equi-join plan, but hash = md5(seed ':' s)
+    compared as hex strings and band key = md5 of the '|'-joined band
+    slice — every step replicable in ANSI SQL. Output (i, j) pairs."""
+    banded = scratch_persist(_banded_md5(docs, id_col, text_col, n, k, bands))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -340,6 +348,68 @@ def minhash_lsh_candidates_exact(
         .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .distinct()
     )
+
+
+def minhash_incremental_candidates(
+    docs: DataFrame,
+    is_new,
+    id_col="doc_id",
+    text_col="text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingest LSH dedup: the daily-batch pattern at 100 TB.
+
+    A standing corpus keeps its banded minhash signatures persisted as the
+    dedup INDEX; each arriving batch computes signatures for its own docs
+    only, then probes batch-vs-index plus batch-vs-batch — the index side
+    is never re-shingled, so per-day cost is O(batch), not O(corpus). Here
+    the index side is the `is_new`-false slice (signatures scratch-persisted,
+    standing in for the parquet-backed index a deployment would
+    `save_range_indexed` by band hash) and the probe side is the new slice.
+
+    Emitted pairs (i, j, j_is_new-side) are exactly the full-corpus LSH
+    candidates that involve ≥1 new doc — verified against a full-recompute
+    oracle: same md5 hash family as `minhash_lsh_candidates_exact`, so the
+    DuckDB twin replays the whole pipeline and filters to new-involving
+    pairs. Shuffle profile: one signature agg over the BATCH only + one
+    equi-join on (band, bh) against the index.
+    """
+    tagged = docs.select(F.col(id_col), F.col(text_col), is_new.alias("_new"))
+    banded_new = _banded_md5(
+        tagged.filter(F.col("_new")), id_col, text_col, n, k, bands
+    )
+    banded_old = scratch_persist(
+        _banded_md5(tagged.filter(~F.col("_new")), id_col, text_col, n, k, bands)
+    )
+    banded_new = scratch_persist(banded_new)
+    nw, old = banded_new.alias("nw"), banded_old.alias("old")
+    # new-vs-index: every (old, new) candidate, ordered (min, max)
+    vs_index = (
+        nw.join(
+            old,
+            (F.col("nw.band") == F.col("old.band"))
+            & (F.col("nw.bh") == F.col("old.bh")),
+        )
+        .select(
+            F.least(F.col("nw.i"), F.col("old.i")).alias("i"),
+            F.greatest(F.col("nw.i"), F.col("old.i")).alias("j"),
+        )
+        .filter(F.col("i") != F.col("j"))
+    )
+    # new-vs-new within the batch
+    n2 = banded_new.alias("b")
+    vs_batch = (
+        nw.join(
+            n2,
+            (F.col("nw.band") == F.col("b.band"))
+            & (F.col("nw.bh") == F.col("b.bh"))
+            & (F.col("nw.i") < F.col("b.i")),
+        )
+        .select(F.col("nw.i").alias("i"), F.col("b.i").alias("j"))
+    )
+    return vs_index.unionByName(vs_batch).distinct()
 
 
 def simhash_signatures_exact(

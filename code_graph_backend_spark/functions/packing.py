@@ -101,6 +101,38 @@ def temperature_resample(
     )
 
 
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Greedy token-budget selection: walk the corpus best-score-first and
+    keep every doc whose tokens still fit the remaining budget of a fixed
+    total token target (the "give me the best 50B tokens" cut every
+    pretraining run starts with). Greedy-by-rank with a hard prefix budget
+    is exactly a cumsum gate: keep doc d iff cumsum(tokens) through d is
+    <= budget in (score desc, id) order. One ordering window (a single
+    range-partitioned sort at scale), no iteration, no driver state;
+    deterministic ties by id. Docs that would overflow are dropped, later
+    smaller docs are NOT backfilled — that knapsack variant is
+    order-dependent sequential state no window expresses, and the prefix
+    cut is the standard corpus-selection semantics."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = docs.select(
+        F.col(id_col), F.col(score_col), toks.cast("long").alias("n_tokens")
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, score_col, "n_tokens", "cum_tokens")
+    )
+
+
 def quality_percentile_filter(
     docs_with_score: DataFrame,
     keep_top: float = 0.5,

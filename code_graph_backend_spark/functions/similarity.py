@@ -671,3 +671,163 @@ def label_centroids(
             F.round(F.col("s") / (F.col("c") * F.lit(1000000.0)), 6).alias("c_val"),
         )
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 16,
+    ks: int = 16,
+    iters: int = 5,
+    train_sample: int = 10_000,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Approximate top-k via product quantization (ADC scoring) — the
+    memory-bound complement to IVF (cf. Jégou et al., PQ for NN search,
+    TPAMI'11): vectors compress to `m` one-byte codes, so the scoring
+    scan reads ~m bytes/vector instead of 4·dim — at 100 TB that is the
+    difference between an in-memory scan and a disk-bound one.
+
+    1. TRAIN: split dims into `m` subspaces; deterministic Lloyd's k-means
+       per subspace on a bounded id-ordered sample (driver numpy; the
+       codebook is m × ks × dim/m floats — broadcast-sized).
+    2. ENCODE: map-only Arrow kernel → (cid, codes array<int>); this is
+       the persisted artifact in a deployment (the PQ index).
+    3. SCORE: asymmetric distance — each query precomputes its m × ks
+       lookup table of subspace dots; per corpus batch the sim is m table
+       gathers + a sum, never touching the original vectors. Reconstructed
+       norms are exact per code (subspaces are orthogonal slices, so
+       ||v̂||² = Σ_m ||c_m||²). Local top-k per partition, window for the
+       global shortlist.
+    4. RERANK: the standard ADC tail — the `rerank_factor·k` shortlist
+       joins back to the original vectors (request-sized side broadcast
+       onto the corpus scan) for an exact-cosine re-rank; only the
+       shortlist ever touches full vectors.
+
+    Recall is pytest-asserted against brute_force_topk
+    (tests/test_dedup_similarity.py); rows-only in the driver like the
+    other approximate families.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    smp = (
+        corpus.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in smp], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        cent = Xj[:ks].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = Xj[msk].mean(axis=0)
+        books.append(cent)
+    books = np.stack(books)  # (m, ks, sub)
+    code_norm2 = (books * books).sum(axis=2)  # (m, ks)
+
+    qrows = queries.select(
+        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    qids = np.array([r["i"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    # LUT[q, j, c] = dot(q_subspace_j, codeword_c)
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+    bc = spark.sparkContext.broadcast((books, code_norm2, qids, lut, qn))
+
+    def encode_kernel(batches):
+        B, _, _, _, _ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64).reshape(len(pdf), m, sub)
+            # per subspace: argmin ||v_j - c||² == argmin (||c||² - 2 v_j·c)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                d = (B[j] * B[j]).sum(axis=1)[None, :] - 2.0 * (V[:, j, :] @ B[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"cid": pdf["i"], "codes": list(codes)})
+
+    codes_df = fan_out(
+        corpus.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+    ).mapInPandas(encode_kernel, "cid long, codes array<int>")
+
+    def score_kernel(batches):
+        _, cn2, b_qids, b_lut, b_qn = bc.value
+        jj = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (nb, m)
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            # dots[q, b] = Σ_j LUT[q, j, codes[b, j]]
+            dots = b_lut[:, jj[None, :], codes].sum(axis=2)  # (nq, nb)
+            rn = np.sqrt(cn2[jj[None, :], codes].sum(axis=1))  # (nb,)
+            sims = dots / (b_qn[:, None] * rn[None, :])
+            outs = []
+            for qi in range(len(b_qids)):
+                col = sims[qi]
+                idx = np.nonzero(cids != b_qids[qi])[0]
+                if not len(idx):
+                    continue
+                order = np.lexsort((cids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                outs.append(
+                    pd.DataFrame({"qid": b_qids[qi], "cid": cids[sel], "sim": col[sel]})
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    partial = codes_df.mapInPandas(score_kernel, "qid long, cid long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    shortlist = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_factor)
+        .select("qid", "cid")
+    )
+    # exact re-rank: only the shortlist reads full vectors — a broadcast
+    # semi-probe onto the corpus scan, then the per-pair exact cosine
+    cand = F.broadcast(shortlist).join(
+        corpus.select(
+            F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cv")
+        ),
+        "cid",
+    )
+
+    def exact_kernel(batches):
+        _, _, b_qids, _, b_qn = bc.value
+        qmap = {int(q): i for i, q in enumerate(b_qids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            qi = np.array([qmap[int(q)] for q in pdf["qid"]], dtype=np.int64)
+            dots = np.einsum("ij,ij->i", Q[qi], Cm)
+            nrm = b_qn[qi] * np.sqrt((Cm * Cm).sum(axis=1))
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "cid": pdf["cid"], "sim": dots / nrm}
+            )
+
+    # Q rides into exact_kernel via closure — request-sized, same as bc
+    exact = cand.mapInPandas(exact_kernel, "qid long, cid long, sim double")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"))
+    )

@@ -232,3 +232,43 @@ def bpe_pair_stats(docs, top: int = 50, id_col: str = "doc_id",
         .orderBy(F.desc("n_pair"), F.asc("pair"))
         .limit(top)
     )
+
+
+def vocab_stats(docs, group_col: str = "lang", text_col: str = "text"):
+    """Per-group vocabulary profile: total token count, distinct-token
+    (vocabulary) size, hapax-legomena count (tokens seen exactly once),
+    and hapax share — the corpus-health numbers (Heaps'-law position,
+    OOV-rate proxy) checked before any tokenizer/dedup decision.
+
+    Scale shape: explode to (group, token) → hash-agg counts (map-side
+    combined; output is vocabulary-sized per group, not corpus-sized) →
+    one tiny per-group rollup. Two shuffles total; no distinct-inside-agg
+    (COUNT(DISTINCT) over the raw explode would carry every token
+    occurrence through the shuffle — the pre-aggregation IS the
+    optimization).
+    """
+    from pyspark.sql import functions as F
+
+    from ..session import fan_out
+
+    tok_counts = (
+        fan_out(docs)
+        .select(F.col(group_col), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .groupBy(group_col, "t")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        tok_counts.groupBy(group_col)
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.count("*").alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        )
+        .select(
+            group_col,
+            "total_tokens",
+            "vocab_size",
+            "hapax_count",
+            F.round(F.col("hapax_count") / F.col("vocab_size"), 6).alias("hapax_share"),
+        )
+    )

@@ -1,0 +1,217 @@
+"""Round-4b extension queries: corpus-selection and analytics operators a
+100 TB training-data pipeline runs daily — token-budget corpus cuts,
+multi-granularity event rollups, vocabulary profiling, incremental-ingest
+LSH dedup, HITS centrality, and a product-quantization ANN tier.
+
+Every SQL-expressible entry carries a DuckDB oracle; ann_pq_topk is the
+one approximate family (recall pytest-asserted, rows-only in the driver,
+same contract as ann_lsh/ivf)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import read_table
+
+
+@register(
+    "token_budget_select",
+    """
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_chars, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY n_chars DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    """,
+)
+def token_budget_select_q(spark, sf_dir):
+    """Greedy best-first token-budget corpus cut (functions/packing.py
+    token_budget_select): the "best N tokens" selection every pretraining
+    run starts with — cumsum gate over the (score desc, id) order, one
+    ordering window, no iteration."""
+    from .functions.packing import token_budget_select
+
+    return token_budget_select(
+        read_table(spark, sf_dir, "documents"), budget=20000
+    )
+
+
+@register(
+    "events_rollup",
+    """
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+    FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+    """,
+)
+def events_rollup_q(spark, sf_dir):
+    """Multi-granularity event rollup in ONE pass: (type, day), (type),
+    and grand-total rows via ROLLUP — Spark expands the grouping sets
+    map-side (one Expand + one hash-agg, map-side combined), never
+    scanning the input once per granularity. `value` is quantized to
+    integer millis before summing so the cross-engine sum is exact
+    (the emb_label_centroids trick); grouping_id disambiguates rollup
+    NULLs, and both engines share its bit-vector encoding."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 1000).cast("long").alias("q"),
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            F.sum("q").alias("value_milli"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("gid").cast("long").alias("gid"),
+            "n_events",
+            "value_milli",
+        )
+    )
+
+
+def _hits_sql(rounds: int = 2) -> str:
+    """Unrolled unnormalized HITS: a_t from h_{t-1}, h_t from a_t — all
+    BIGINT-exact (see operators/hits.py docstring)."""
+    from .graph.tpch import SQL_EDGES, SQL_NODES
+
+    parts = [
+        f"WITH nodes AS ({SQL_NODES}), edges AS ({SQL_EDGES}),",
+        """e AS (SELECT DISTINCT src, dst FROM edges),
+        h0 AS (SELECT id AS node, CAST(1 AS BIGINT) AS h FROM nodes)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+        ar{t} AS (
+            SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+            FROM e JOIN h{t-1} h ON e.src = h.node GROUP BY e.dst
+        ),
+        a{t} AS (
+            SELECT n.id AS node, COALESCE(ar.a, 0) AS a
+            FROM nodes n LEFT JOIN ar{t} ar ON ar.node = n.id
+        ),
+        hr{t} AS (
+            SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+            FROM e JOIN a{t} a ON e.dst = a.node GROUP BY e.src
+        ),
+        h{t} AS (
+            SELECT n.id AS node, COALESCE(hr.h, 0) AS h
+            FROM nodes n LEFT JOIN hr{t} hr ON hr.node = n.id
+        )""")
+    parts.append(
+        f"SELECT h.node, h.h AS hub, a.a AS auth "
+        f"FROM h{rounds} h JOIN a{rounds} a USING (node)"
+    )
+    return "\n".join(parts)
+
+
+@register("graph_hits", _hits_sql(2))
+def graph_hits_q(spark, sf_dir):
+    """2-round unnormalized HITS over the graph twin (operators/hits.py):
+    per round one join + one hash-agg per direction; fixed rounds from
+    hub=1 keep every score BIGINT-exact, so the unrolled SQL oracle
+    hash-checks an iterative centrality — same trick as the pagerank /
+    sssp / label-propagation oracles."""
+    from .graph.tpch import build_graph
+    from .operators.hits import hits_bounded
+
+    g = build_graph(spark, sf_dir)
+    return hits_bounded(spark, g.nodes, g.edges, rounds=2)
+
+
+@register(
+    "corpus_vocab_stats",
+    """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tc AS (SELECT lang, t, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_share
+    FROM tc GROUP BY lang
+    """,
+)
+def corpus_vocab_stats_q(spark, sf_dir):
+    """Per-language vocabulary profile (functions/text.py vocab_stats):
+    total/vocab/hapax counts via explode → token-count hash-agg →
+    per-group rollup; the pre-aggregation keeps the shuffle
+    vocabulary-sized, never COUNT(DISTINCT) over raw occurrences."""
+    from .functions.text import vocab_stats
+
+    return vocab_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_incremental",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    m AS (
+        SELECT doc_id, u.seed,
+               MIN(md5(CAST(u.seed AS VARCHAR) || ':' || s)) AS mh
+        FROM sh, UNNEST(generate_series(0, 15)) u(seed)
+        GROUP BY doc_id, u.seed
+    ),
+    b AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+        FROM m GROUP BY doc_id, seed // 4
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+        FROM b a JOIN b c ON a.band = c.band AND a.bh = c.bh
+                          AND a.doc_id < c.doc_id
+    )
+    SELECT i, j FROM pairs WHERE i % 5 = 0 OR j % 5 = 0
+    """,
+)
+def dedup_minhash_incremental_q(spark, sf_dir):
+    """Incremental-ingest LSH dedup (functions/dedup.py
+    minhash_incremental_candidates): docs with doc_id % 5 = 0 play the
+    arriving batch, the rest the standing index — batch-vs-index +
+    batch-vs-batch probes only, index side never re-shingled. The oracle
+    recomputes the FULL corpus pipeline and filters to new-involving
+    pairs, proving the incremental path emits exactly the full-recompute
+    answer."""
+    from .functions.dedup import minhash_incremental_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_incremental_candidates(
+        docs, is_new=F.col("doc_id") % 5 == 0, k=16, bands=4
+    )
+
+
+@register("ann_pq_topk")
+def ann_pq_topk_q(spark, sf_dir):
+    """Product-quantization ANN (functions/similarity.py pq_topk): codes
+    compress vectors 32× and the ADC scan reads only the code table —
+    the memory-bound 100 TB tier beside IVF's partition-pruning tier.
+    Approximate: recall pytest-asserted vs brute_force_topk, rows-only
+    in the driver like the other approximate families."""
+    from .functions.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)

@@ -251,3 +251,38 @@ def test_hyperplane_buckets_exact_group_similars(emb):
                similarity.hyperplane_buckets_exact(emb).collect()}
     assert len(set(buckets.values())) > 4  # 8 planes split 500 vectors
     assert all(len(b) == 8 for b in buckets.values())
+
+
+def test_pq_topk_recall_at_10(emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in similarity.brute_force_topk(q, emb, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    approx = {}
+    for r in similarity.pq_topk(q, emb, k=10).collect():
+        approx.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    # 16x compression + exact rerank of a 4k shortlist: measured 0.82 on
+    # these unstructured gaussian embeddings (clustered real corpora do
+    # far better — this is PQ's adversarial case)
+    assert hits / total >= 0.7, f"PQ recall {hits}/{total}"
+
+
+def test_minhash_incremental_matches_full(docs):
+    """The incremental (batch-vs-index + batch-vs-batch) candidate set
+    must equal the full-recompute candidates restricted to pairs that
+    involve at least one new doc — no pair lost, none invented."""
+    is_new = F.col("doc_id") % 5 == 0
+    full = {
+        (r["i"], r["j"])
+        for r in dedup.minhash_lsh_candidates_exact(docs, k=16, bands=4).collect()
+    }
+    want = {(i, j) for (i, j) in full if i % 5 == 0 or j % 5 == 0}
+    got = {
+        (r["i"], r["j"])
+        for r in dedup.minhash_incremental_candidates(
+            docs, is_new, k=16, bands=4
+        ).collect()
+    }
+    assert got == want

@@ -246,3 +246,36 @@ def test_graph_analytics_no_nested_loop(spark, qs):
         plan = _plan(qs[q](spark, SF))
         assert "BroadcastNestedLoopJoin" not in plan, (q, plan[:1200])
         assert "CartesianProduct" not in plan, (q, plan[:1200])
+
+
+def test_token_budget_single_window_shuffle(spark, qs):
+    """The budget gate is ONE ordering window over the scan — one
+    Exchange, no join."""
+    plan = _plan(qs["token_budget_select"](spark, SF))
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "Join" not in plan
+
+
+def test_events_rollup_is_one_expand_one_agg(spark, qs):
+    """ROLLUP must run as one scan + Expand + hash-agg — never one scan
+    per granularity unioned together."""
+    plan = _plan(qs["events_rollup"](spark, SF))
+    assert "Expand" in plan, plan[:1500]
+    assert "Union" not in plan, plan[:1500]
+    assert plan.count("Scan parquet") <= 1, plan[:1500]
+
+
+def test_hits_and_incremental_dedup_no_nested_loop(spark, qs):
+    for q in ("graph_hits", "dedup_minhash_incremental"):
+        plan = _plan(qs[q](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan[:1200])
+        assert "CartesianProduct" not in plan, (q, plan[:1200])
+
+
+def test_pq_shortlist_broadcasts_onto_corpus(spark, qs):
+    """The rerank join must broadcast the request-sized shortlist onto
+    the corpus scan, and the ADC scan must read codes via chained
+    map-only kernels (no Exchange between encode and score)."""
+    plan = _plan(qs["ann_pq_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
