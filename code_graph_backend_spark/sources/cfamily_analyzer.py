@@ -387,6 +387,101 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         methods.append((name, m.start(1), m.end() - 1, j, braces.get(j),
                         None, cleaned[m.end():close], owner, "ctor"))
 
+    # ---- members of anonymous-class / enum-constant bodies ----------------
+    # tree-sitter captures entity nodes at ANY depth (reference
+    # source_analyzer.py:44-58 recurses through every descendant), so a
+    # method inside `new X(...) { ... }` or inside an enum constant's body
+    # is an entity too, DEFINES-parented at the nearest enclosing entity.
+    # The depth-filtered pass above admits only direct type-body members;
+    # this pass admits direct members of class-LIKE brace scopes.
+    method_bodies = {mm[3] for mm in methods if mm[3] is not None}
+    class_like: list[tuple[int, int]] = []
+    for am in re.finditer(
+        r"\bnew\s+[A-Za-z_][\w.]*(?:\s*<(?:[^<>]|<[^<>]*>)*>)?\s*\(", cleaned
+    ):
+        aclose = _find_paren_close(cleaned, am.end() - 1)
+        if aclose is None:
+            continue
+        nb = _next_nonspace(cleaned, aclose + 1)
+        if nb is not None and cleaned[nb] == "{" and nb in braces:
+            class_like.append((nb, braces[nb]))
+    for kind, _tname, _tdecl, topen, tclose in types:
+        if kind != "enum":
+            continue
+        bd = depth_at[topen] + 1
+        for i in range(topen + 1, tclose):
+            if (
+                cleaned[i] != "{" or depth_at[i] != bd
+                or i not in braces or i in method_bodies
+            ):
+                continue
+            k = i - 1
+            while k > topen and cleaned[k].isspace():
+                k -= 1
+            # a constant body follows the constant name or its arg list;
+            # `static {` / instance initializers don't
+            prev_tok = re.search(r"(\w+)\s*$", cleaned[max(topen, k - 30):k + 1])
+            if (cleaned[k].isalnum() or cleaned[k] in "_)") and not (
+                prev_tok and prev_tok.group(1) == "static"
+            ):
+                class_like.append((i, braces[i]))
+
+    def innermost_class_like(off: int):
+        best = None
+        for o, c in class_like:
+            if o < off <= c and depth_at[off] == depth_at[o] + 1:
+                if best is None or o > best[0]:
+                    best = (o, c)
+        return best
+
+    if class_like:
+        outer_methods = list(methods)
+        for m in _METHOD_RE.finditer(cleaned):
+            if m.start(2) in seen_offsets:
+                continue
+            ret, name = m.group(1), m.group(2)
+            ret_base = ret.split("<")[0].split(".")[-1].strip()
+            if (ret_base in keywords or name in keywords
+                    or ret_base in _MODIFIERS or ret_base == "record"):
+                continue
+            if innermost_class_like(m.start()) is None:
+                continue
+            close = _find_paren_close(cleaned, m.end() - 1)
+            if close is None:
+                continue
+            j = close + 1
+            while j < len(cleaned) and cleaned[j] not in "{;}":
+                j += 1
+            if j < len(cleaned) and cleaned[j] == "{":
+                body_open, body_close = j, braces.get(j)
+            elif j < len(cleaned) and cleaned[j] == ";":
+                arrow = cleaned.find("=>", close + 1, j)
+                if arrow < 0:
+                    continue
+                body_open, body_close = arrow + 1, j
+            else:
+                continue
+            # nearest enclosing entity: the innermost NAMED method whose
+            # body contains the declaration (the reference's recursive
+            # hierarchy parents anon-body members at the method that
+            # created them), else the enclosing type
+            parent = None
+            for (mn, mdecl, _h, mbo, mbc, *_r) in outer_methods:
+                if mbo is not None and mbc is not None and mbo < m.start() <= mbc:
+                    if parent is None or mbo > parent[2]:
+                        parent = (mn, mdecl, mbo)
+            if parent is not None:
+                pseudo_owner = (None, parent[0], parent[1], None, None)
+            else:
+                t = enclosing_type(m.start())
+                if t is None:
+                    continue
+                pseudo_owner = (None, t[1], t[2], None, None)
+            methods.append((name, m.start(1), m.end() - 1, body_open,
+                            body_close, ret, cleaned[m.end():close],
+                            pseudo_owner, "method"))
+            seen_offsets.add(m.start(2))
+
     for (name, decl_off, _hdr_end, body_open, body_close, ret, params_txt,
          owner, mkind) in methods:
         start = _line_of(source, decl_off)

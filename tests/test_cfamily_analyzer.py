@@ -441,3 +441,62 @@ def test_c_prototypes_and_nested_not_entities():
     assert calls == {"nested_call"}
     # void params are skipped
     assert not [r for r in rows if r[0] == "params" and r[2] == "helper"]
+
+
+_ANON_JAVA = '''\
+public class Outer {
+    public void start() {
+        Runnable r = new Runnable() {
+            @Override
+            public void run() { helper(); }
+        };
+        r.run();
+    }
+
+    enum Mode {
+        FAST {
+            @Override int cost() { return inner(); }
+        },
+        SLOW;
+        static { int z = 0; }
+        int cost() { return 9; }
+    }
+}
+'''
+
+
+def test_java_anonymous_class_and_enum_constant_members():
+    """tree-sitter captures entity nodes at any depth (reference
+    source_analyzer.py:44-58): a method inside `new X() {...}` is an
+    entity parented at the creating method; enum constant bodies
+    contribute their override methods; static initializers don't."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    rows = parse_java_source("O.java", _ANON_JAVA)
+    ents = [(r[1], r[2], r[7]) for r in rows if r[0] == "entity"]
+    assert ("Method", "run", "start") in ents  # anon body, method parent
+    costs = [e for e in ents if e[1] == "cost"]
+    assert len(costs) == 2  # FAST's override + the enum-level one
+    assert {p for (_, _, p) in costs} == {"Mode"}
+    # the anon method's body calls are attributed to it (and, like the
+    # reference's subtree captures, also to the enclosing method)
+    calls = {(r[2], r[9]) for r in rows if r[0] == "call"}
+    assert ("run", "helper") in calls and ("start", "helper") in calls
+    assert ("cost", "inner") in calls
+
+
+def test_csharp_object_initializer_not_a_class_body():
+    """`new Foo() { Bar = 1 }` is an object initializer — it must not
+    produce phantom member entities."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    src = '''\
+public class C {
+    public void M() {
+        var f = new Foo() { Bar = 1, Baz = Compute(2) };
+    }
+}
+'''
+    rows = parse_csharp_source("c.cs", src)
+    ents = [(r[1], r[2]) for r in rows if r[0] == "entity"]
+    assert ents == [("Class", "C"), ("Method", "M")]
