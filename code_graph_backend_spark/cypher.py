@@ -19,7 +19,8 @@ Supported (the reference's read surface):
          v.prop IN $list / v.prop CONTAINS $s / STARTS WITH / IS NOT NULL /
          NOT ()-[:T]->(v) / AND and OR (AND binds tighter; the anti-join
          NOT-pattern cannot appear under OR)
-  RETURN: vars, v.prop, ID(v), count(x), count(DISTINCT x), collect(x);
+  RETURN: vars, v.prop, ID(v), count(x), count(DISTINCT x), collect(x),
+          sum/min/max/avg(v.prop) (numeric aggs coerce props-map strings);
   ORDER BY / SKIP / LIMIT / DISTINCT. WHERE also supports parenthesized
   boolean grouping.
 
@@ -386,6 +387,15 @@ class _Parser:
             var = self.take("name")[1] if not self.at("*") else (self.take()[1], None)[1]
             self.take(text=")")
             item = RetItem(fn, var=None if var == "*" else var, distinct=cdistinct)
+        elif (t[0] == "name" and t[1].lower() in ("sum", "min", "max", "avg")
+              and self.peek(1)[1] == "("):
+            fn = self.take()[1].lower()
+            self.take(text="(")
+            var = self.take("name")[1]
+            self.take(text=".")
+            prop = self.take("name")[1]
+            self.take(text=")")
+            item = RetItem(fn, var=var, prop=prop)
         elif t[0] == "name" and t[1].upper() == "ID" and self.peek(1)[1] == "(":
             self.take()
             self.take(text="(")
@@ -651,12 +661,22 @@ def _project(b: _Binder, q: Query, params) -> DataFrame:
     if df is None:
         raise CypherError("nothing matched/bound")
 
-    aggs = [r for r in q.returns if r.kind in ("count", "collect")]
+    _AGG_KINDS = ("count", "collect", "sum", "min", "max", "avg")
+    aggs = [r for r in q.returns if r.kind in _AGG_KINDS]
     if aggs:
-        keys = [r for r in q.returns if r.kind not in ("count", "collect")]
+        keys = [r for r in q.returns if r.kind not in _AGG_KINDS]
         exprs = []
         for r in aggs:
-            if r.kind == "count":
+            if r.kind in ("sum", "min", "max", "avg"):
+                target = b.prop(r.var, r.prop)
+                if r.kind in ("sum", "avg"):
+                    # props-map values arrive as strings; numeric aggs
+                    # coerce like openCypher's numeric sum/avg
+                    target = target.cast("double")
+                fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[r.kind]
+                exprs.append(fn(target).alias(
+                    r.alias or f"{r.kind}_{r.var}_{r.prop}"))
+            elif r.kind == "count":
                 if r.var is None:
                     target = F.lit(1)
                 else:

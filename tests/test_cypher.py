@@ -326,3 +326,27 @@ def test_count_distinct(g):
         .count()
     )
     assert dist == orders_with_edges
+
+
+def test_numeric_and_ordering_aggregates(g):
+    """sum/min/max/avg in RETURN — grouped and global — lower onto one
+    hash-agg like count/collect."""
+    row = run_cypher(
+        g, "MATCH (n:Region) RETURN min(n.name) AS mn, max(n.name) AS mx"
+    ).collect()[0]
+    names = sorted(r["name"] for r in g.nodes.collect()
+                   if "Region" in r["labels"])
+    assert (row["mn"], row["mx"]) == (names[0], names[-1])
+
+    rows = run_cypher(
+        g,
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.name, count(n) AS n_nations, min(n.name) AS first_nation",
+    ).collect()
+    assert all(r["n_nations"] == 5 for r in rows) and len(rows) == 5
+
+    tot = run_cypher(
+        g, "MATCH (r:Region) RETURN sum(r.id) AS s, avg(r.id) AS a"
+    ).collect()[0]
+    ids = [r["id"] for r in g.nodes.collect() if "Region" in r["labels"]]
+    assert tot["s"] == float(sum(ids)) and tot["a"] == sum(ids) / len(ids)
