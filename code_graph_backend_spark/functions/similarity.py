@@ -831,3 +831,84 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", F.round("sim", 6).alias("sim"))
     )
+
+
+def cosine_similarity_histogram(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bins: int = 20,
+    block_size: int = 16384,
+) -> DataFrame:
+    """All-pairs cosine-similarity histogram over [-1, 1] — the
+    threshold-calibration diagnostic run before picking a near-dup cutoff
+    (where does the pair mass sit relative to 0.42?).
+
+    Same distributed block-pair GEMM as `cosine_near_dup_pairs`, but each
+    (b1, b2) group reduces its sims to per-bin COUNTS inside the kernel —
+    the shuffle after the pair stage carries `bins` rows per block pair,
+    never a pair list. Binning happens on round(sim, 6), the same
+    quantization the oracle applies, so both engines bin identical
+    values. At 100 TB all-pairs is inherently O(n²): run this on a
+    deterministic sample (the md5-ranked `sample_weighted` cut) — the
+    histogram is a density estimate, sampling is the contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    )
+    n = src.count()
+    n_blocks = max(1, -(-n // block_size))
+    replicated = (
+        src.withColumn("b", F.pmod(F.xxhash64("i"), F.lit(n_blocks)).cast("int"))
+        .select(
+            "i", "v", "b",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("p"),
+        )
+        .select(
+            "i", "v", "b",
+            F.least("b", "p").alias("b1"), F.greatest("b", "p").alias("b2"),
+        )
+    )
+
+    def hist_kernel(key, pdf):
+        b1, b2 = int(key[0]), int(key[1])
+        if not len(pdf):
+            return pd.DataFrame({"bin": [], "n": []})
+        if b1 == b2:
+            M = np.array(list(pdf["v"]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            sims = (M @ M.T)[np.triu_indices(len(M), k=1)]
+        else:
+            left, right = pdf[pdf["b"] == b1], pdf[pdf["b"] == b2]
+            if not len(left) or not len(right):
+                return pd.DataFrame({"bin": [], "n": []})
+            L = np.array(list(left["v"]), dtype=np.float64)
+            R = np.array(list(right["v"]), dtype=np.float64)
+            L /= np.linalg.norm(L, axis=1, keepdims=True)
+            R /= np.linalg.norm(R, axis=1, keepdims=True)
+            sims = (L @ R.T).ravel()
+        idx = np.clip(
+            np.floor((np.round(sims, 6) + 1.0) * (bins / 2.0)).astype(np.int64),
+            0, bins - 1,
+        )
+        counts = np.bincount(idx, minlength=bins)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"bin": nz, "n": counts[nz]})
+
+    partial = replicated.groupBy("b1", "b2").applyInPandas(
+        hist_kernel, "bin long, n long"
+    )
+    w = 2.0 / bins
+    return (
+        partial.groupBy("bin")
+        .agg(F.sum("n").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") * w - 1.0, 6).alias("lo"),
+            F.round((F.col("bin") + 1) * w - 1.0, 6).alias("hi"),
+            "n_pairs",
+        )
+    )

@@ -215,3 +215,38 @@ def ann_pq_topk_q(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+@register(
+    "emb_similarity_histogram",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    nv AS (
+        SELECT vec_id,
+               list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS n
+        FROM v
+    ),
+    p AS (
+        SELECT round(list_sum(list_transform(list_zip(a.n, b.n),
+                                             x -> x[1] * x[2])), 6) AS sim
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    ),
+    bx AS (
+        SELECT LEAST(GREATEST(CAST(floor((sim + 1.0) * 10) AS BIGINT), 0), 19) AS bin
+        FROM p
+    )
+    SELECT bin, ROUND(bin * 0.1 - 1.0, 6) AS lo,
+           ROUND((bin + 1) * 0.1 - 1.0, 6) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM bx GROUP BY bin
+    """,
+)
+def emb_similarity_histogram_q(spark, sf_dir):
+    """All-pairs cosine histogram (functions/similarity.py
+    cosine_similarity_histogram): the threshold-calibration diagnostic —
+    block-pair GEMM whose kernels emit per-bin COUNTS (bins rows per
+    block pair on the wire, never a pair list); binning on round(sim, 6)
+    keeps both engines on identical values."""
+    from .functions.similarity import cosine_similarity_histogram
+
+    return cosine_similarity_histogram(read_table(spark, sf_dir, "embeddings"))
