@@ -152,3 +152,127 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     n = len(data) // 2
     samples = np.frombuffer(data, dtype="<i2", count=n)
     return sample_rate, n_channels, bits, samples
+
+
+# --------------------------------------------------------------------------
+# AVI (RIFF, uncompressed 24bpp DIB frames — '00db' chunks)
+# --------------------------------------------------------------------------
+
+
+def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> RIFF/AVI bytes with uncompressed 24bpp
+    DIB frames ('00db' chunks, bottom-up BGR rows padded to 4 bytes) —
+    the one video container a pure-numpy parser can honestly decode.
+    Writes a spec-shaped hdrl (avih + strl/strh/strf) so decoders must
+    walk the LIST structure rather than assume offsets."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - w * 3)
+    frame_blobs = []
+    for f in fr:
+        rows = f[::-1]  # bottom-up
+        frame_blobs.append(b"".join(row[:, ::-1].tobytes() + pad for row in rows))
+    frame_sz = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // max(fps, 1), frame_sz * fps, 0, 0x10,
+        n, 0, 1, frame_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_sz, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 2835, 2835, 0, 0
+    )
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih)
+                      + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """AVI bytes -> (width, height, (n, h, w, 3) uint8 RGB frames).
+
+    A real RIFF walk: LIST chunks descended, unknown chunks skipped with
+    odd-size pad bytes, dimensions read from the strf BITMAPINFOHEADER,
+    '00db'/'00dB' uncompressed DIB frames decoded with the same stride/
+    bottom-up/BGR handling as decode_bmp. Only 24bpp BI_RGB frames are
+    supported — compressed fourccs raise NotImplementedError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    bpp = comp = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        nonlocal w, h, bpp, comp
+        i = start
+        while i + 8 <= end:
+            cid = buf[i:i + 4]
+            (sz,) = struct.unpack_from("<I", buf, i + 4)
+            body_start = i + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + sz)
+            elif cid == b"strf":
+                _, w_, h_, _, bpp_, comp_ = struct.unpack_from("<IiiHHI", buf, body_start)
+                w, h, bpp, comp = w_, abs(h_), bpp_, comp_
+            elif cid in (b"00db", b"00dB"):
+                frames.append(buf[body_start:body_start + sz])
+            i = body_start + sz + (sz % 2)
+
+    walk(payload, 12, len(payload))
+    if w is None:
+        raise ValueError("AVI without strf header")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24bpp uncompressed DIB frames supported (bpp={bpp}, comp={comp})"
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for k, fb in enumerate(frames):
+        if len(fb) < stride * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(fb, np.uint8, stride * h).reshape(h, stride)
+        out[k] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # flip + BGR->RGB
+    return w, h, out
+
+
+def avi_stored_frame_bytes(payload: bytes, frame_idx: int) -> bytes:
+    """Frame `frame_idx`'s '00db' chunk bytes exactly as stored (row
+    padding excluded) — the normalization-invariant fingerprint target,
+    like bmp_stored_pixel_bytes."""
+    if payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    w = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        nonlocal w
+        i = start
+        while i + 8 <= end:
+            cid = buf[i:i + 4]
+            (sz,) = struct.unpack_from("<I", buf, i + 4)
+            body_start = i + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + sz)
+            elif cid == b"strf":
+                w = struct.unpack_from("<Ii", buf, body_start)[1]
+            elif cid in (b"00db", b"00dB"):
+                frames.append(buf[body_start:body_start + sz])
+            i = body_start + sz + (sz % 2)
+
+    walk(payload, 12, len(payload))
+    fb = frames[frame_idx]
+    stride = (w * 3 + 3) // 4 * 4
+    h = len(fb) // stride
+    rows = np.frombuffer(fb, np.uint8, stride * h).reshape(h, stride)
+    return rows[:, : w * 3].tobytes()

@@ -350,3 +350,86 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def avi_media_from_text(docs: DataFrame, width: int = 4, frame_rows: int = 2) -> DataFrame:
+    """Test-payload builder: each document's text bytes become the stored
+    frame bytes of a REAL uncompressed AVI (functions/codecs.encode_avi).
+    width 4 ⇒ stride 12, no padding; frame_rows 2 ⇒ 24 stored bytes per
+    frame, so frame f's stored region is exactly text[24f : 24f+24] and
+    every decoded feature stays SQL-expressible. Pixels are pre-flipped
+    (row order + BGR) so the ENCODER's bottom-up BGR storage lands the
+    raw text bytes in the file."""
+    row_bytes = width * 3
+    frame_bytes = row_bytes * frame_rows
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import encode_avi
+
+        for pdf in batches:
+            payloads, ids = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                n = len(data) // frame_bytes
+                arr = np.frombuffer(data, np.uint8, n * frame_bytes).reshape(
+                    n, frame_rows, width, 3
+                )
+                # stored = pixels[::-1 rows][:, ::-1 channels]; invert both
+                px = arr[:, ::-1, :, ::-1]
+                payloads.append(encode_avi(px, fps=10))
+                ids.append(str(mid))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "mime": "video/x-msvideo",
+                    "payload": payloads,
+                    "meta_json": None,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def extract_video_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video decode (uncompressed AVI via functions/codecs.py): one
+    map-only Arrow pass decodes each payload ONCE and emits a row per
+    sampled frame — width/height from the parsed strf header, px_sum over
+    the decoded frame, frame_hash over the stored frame bytes (padding
+    excluded, normalization-invariant).
+
+    Shape note vs extract_frames: there the frame fan-out explodes BEFORE
+    the kernel (right when frames decode independently — keyframe seeks);
+    a container whose frames interleave in one stream decodes once per
+    video, so the fan-out happens INSIDE the kernel (mapInPandas may emit
+    more rows than it consumes) — still map-only, no payload duplication,
+    no shuffle. Compressed fourccs raise NotImplementedError (honest
+    stub; no ffmpeg in this container)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .codecs import avi_stored_frame_bytes, decode_avi
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "width", "height",
+                    "px_sum", "frame_hash")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_avi(p)
+                for fi in range(0, len(frames), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_sum"].append(int(frames[fi].sum(dtype="int64")))
+                    out["frame_hash"].append(
+                        hashlib.md5(avi_stored_frame_bytes(p, fi)).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    schema = ("media_id string, frame_idx int, width int, height int, "
+              "px_sum long, frame_hash string")
+    return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema)

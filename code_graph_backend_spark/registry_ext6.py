@@ -250,3 +250,45 @@ def emb_similarity_histogram_q(spark, sf_dir):
     from .functions.similarity import cosine_similarity_histogram
 
     return cosine_similarity_histogram(read_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "mm_avi_frames",
+    """
+    WITH v AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+               CAST(length(text) // 24 AS INT) AS nf
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    f AS (
+        SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+               substring(text, u.i * 24 + 1, 24) AS fb
+        FROM v, UNNEST(generate_series(0, nf - 1, 2)) u(i)
+        WHERE nf > 0
+    ),
+    s AS (
+        SELECT media_id, frame_idx,
+               CAST(SUM(ascii(substring(fb, u.j, 1))) AS BIGINT) AS px_sum
+        FROM f, UNNEST(generate_series(1, 24)) u(j)
+        GROUP BY 1, 2
+    )
+    SELECT f.media_id, f.frame_idx, CAST(4 AS INT) AS width,
+           CAST(2 AS INT) AS height, s.px_sum, md5(f.fb) AS frame_hash
+    FROM f JOIN s USING (media_id, frame_idx)
+    """,
+)
+def mm_avi_frames_q(spark, sf_dir):
+    """REAL video decode (closes the last fake multimodal kernel for an
+    uncompressed format): documents' text bytes become genuine RIFF/AVI
+    files with 24bpp DIB frames (functions/multimodal.avi_media_from_text),
+    and extract_video_features walks the LIST/strf/movi structure with the
+    pure-numpy parser in functions/codecs.py — dimensions from the parsed
+    BITMAPINFOHEADER, px_sum over decoded frames, frame_hash over stored
+    frame bytes. ASCII corpus + no-padding geometry keep every decoded
+    feature SQL-expressible, so the oracle hash-checks the real chunk walk
+    end-to-end. Compressed fourccs stay stubbed (no ffmpeg in env)."""
+    from .functions import multimodal
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = multimodal.avi_media_from_text(docs)
+    return multimodal.extract_video_features(media, every_n=2)

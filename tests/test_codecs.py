@@ -151,3 +151,55 @@ def test_compressed_formats_still_stubbed():
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+def test_avi_round_trip_with_stride_padding():
+    import numpy as np
+
+    from code_graph_backend_spark.functions.codecs import (
+        avi_stored_frame_bytes, decode_avi, encode_avi,
+    )
+
+    rng = np.random.default_rng(11)
+    fr = rng.integers(0, 256, (4, 3, 5, 3), dtype=np.uint8)  # w=5: stride 16
+    payload = encode_avi(fr, fps=12)
+    w, h, out = decode_avi(payload)
+    assert (w, h) == (5, 3) and np.array_equal(out, fr)
+    # stored fingerprint excludes padding and keeps file (bottom-up BGR) order
+    sb = avi_stored_frame_bytes(payload, 1)
+    assert sb == fr[1, ::-1, :, ::-1].tobytes()
+
+
+def test_avi_golden_header_layout():
+    """Pin the container layout: RIFF/AVI fourccs, hdrl before movi, strf
+    dims, and '00db' frame chunks — a decoder that assumes offsets instead
+    of walking LISTs would break on any header-size change."""
+    import struct
+
+    import numpy as np
+
+    from code_graph_backend_spark.functions.codecs import encode_avi
+
+    fr = np.zeros((2, 2, 4, 3), dtype=np.uint8)
+    b = encode_avi(fr, fps=10)
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    assert b.find(b"hdrl") < b.find(b"movi")
+    strf_at = b.find(b"strf")
+    _, w, h = struct.unpack_from("<Iii", b, strf_at + 8)
+    assert (w, h) == (4, 2)
+    assert b.count(b"00db") == 2
+
+
+def test_avi_rejects_compressed_bpp():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from code_graph_backend_spark.functions.codecs import decode_avi, encode_avi
+
+    b = bytearray(encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
+    strf_at = bytes(b).find(b"strf")
+    struct.pack_into("<H", b, strf_at + 8 + 14, 8)  # biBitCount = 8
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(b))
