@@ -38,7 +38,8 @@ _PRIORITY = [
     # round-4 queries (never graded yet)
     "token_budget_select", "events_rollup", "graph_hits",
     "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
-    "emb_similarity_histogram", "mm_avi_frames",
+    "emb_similarity_histogram", "mm_avi_frames", "events_outliers",
+    "corpus_length_regression",
     "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
     "ann_lsh_exact", "pack_sequences", "sample_temperature",
     "quality_percentile", "bpe_pair_stats", "emb_label_centroids",

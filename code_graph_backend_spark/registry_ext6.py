@@ -292,3 +292,100 @@ def mm_avi_frames_q(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     media = multimodal.avi_media_from_text(docs)
     return multimodal.extract_video_features(media, every_n=2)
+
+
+@register(
+    "events_outliers",
+    """
+    WITH q AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 1000) AS BIGINT) AS x
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM q GROUP BY event_type
+    )
+    SELECT q.event_id, q.event_type, ROUND(q.x / 1000.0, 3) AS value
+    FROM q JOIN s USING (event_type)
+    WHERE (s.n * q.x - s.sx) * (s.n * q.x - s.sx)
+          > 9 * (s.n * s.sxx - s.sx * s.sx)
+    """,
+)
+def events_outliers_q(spark, sf_dir):
+    """Per-type 3-sigma outlier flagging with an EXACT decision boundary:
+    |x − μ| > 3σ rewritten as (n·x − Σx)² > 9·(n·Σx² − (Σx)²) over
+    integer-quantized values — every comparison is BIGINT arithmetic, so
+    the boundary cannot flip between engines the way float μ/σ could.
+    Shape: one per-type hash-agg (7-row stats table) broadcast back onto
+    the scan — map-only second pass, the canonical streaming-friendly
+    anomaly gate."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("x"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+        .select("event_id", "event_type", F.round(F.col("x") / 1000.0, 3).alias("value"))
+    )
+
+
+@register(
+    "corpus_length_regression",
+    """
+    WITH q AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM q GROUP BY source
+    )
+    SELECT source, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+    FROM s
+    """,
+)
+def corpus_length_regression_q(spark, sf_dir):
+    """Per-source least-squares fit of chars-vs-tokens (the corpus-drift
+    check: a source whose slope shifts is changing tokenization profile).
+    Closed-form slope from EXACT integer sums — one hash-agg, then two
+    correctly-rounded divisions — so the cross-engine hash can't drift
+    the way covariance-accumulation float paths (regr_slope) could."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return s.select(
+        "source", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )

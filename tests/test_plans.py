@@ -279,3 +279,18 @@ def test_pq_shortlist_broadcasts_onto_corpus(spark, qs):
     plan = _plan(qs["ann_pq_topk"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_outlier_gate_broadcasts_stats(spark, qs):
+    """The 7-row per-type stats table must broadcast onto the events scan
+    — a shuffle join here would shuffle the full corpus for a lookup."""
+    plan = _plan(qs["events_outliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_regression_single_agg(spark, qs):
+    """All five sums reduce in ONE hash-agg pass (one Exchange), no join."""
+    plan = _plan(qs["corpus_length_regression"](spark, SF))
+    assert plan.count("Exchange") <= 2, plan[:1500]  # partial+final agg pair
+    assert "Join" not in plan
