@@ -912,3 +912,58 @@ def cosine_similarity_histogram(
             "n_pairs",
         )
     )
+
+
+def pq_codes_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 8,
+) -> DataFrame:
+    """Exact twin of pq_topk's ENCODE step (the same argmin-over-codebook
+    assignment), with the k-means codebook swapped for an md5-derived one
+    and embeddings integer-quantized — every distance is exact BIGINT
+    arithmetic, so DuckDB replays the assignment hash-identically (the
+    ann_lsh_exact trick applied to PQ). Output (vec_id, subspace, code);
+    ties resolve to the lowest code on both engines via min(struct)."""
+    d = (
+        emb.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .select(
+            id_col,
+            F.floor(F.col("pos") / F.lit(64 // m)).cast("int").alias("j"),
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("x").cast("double") * 1000).cast("long").alias("q"),
+        )
+        .select(
+            id_col, "j", "dim", "q",
+            F.explode(F.expr(f"sequence(0, {ks - 1})")).alias("c"),
+        )
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.col("j").cast("string"), F.col("c").cast("string"),
+                    F.col("dim").cast("string"),
+                )),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % F.lit(2001)
+        - F.lit(1000)
+    )
+    costs = (
+        d.withColumn("w", w)
+        .groupBy(id_col, "j", "c")
+        .agg(F.sum((F.col("q") - F.col("w")) * (F.col("q") - F.col("w"))).alias("cost"))
+    )
+    return (
+        costs.groupBy(id_col, "j")
+        .agg(F.min(F.struct("cost", "c")).alias("best"))
+        .select(
+            id_col,
+            F.col("j").cast("int").alias("subspace"),
+            F.col("best.c").cast("int").alias("code"),
+        )
+    )

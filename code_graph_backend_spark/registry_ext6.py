@@ -389,3 +389,38 @@ def corpus_length_regression_q(spark, sf_dir):
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
     )
+
+
+@register(
+    "ann_pq_exact",
+    """
+    WITH d AS (
+        SELECT vec_id, (u.dim - 1) // 8 AS j, u.dim,
+               CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(dim)
+    ),
+    dc AS (
+        SELECT vec_id, j, dim, q, c.c,
+               CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':'
+                    || CAST(c.c AS VARCHAR) || ':'
+                    || CAST(dim AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+        FROM d, UNNEST(generate_series(0, 7)) c(c)
+    ),
+    costs AS (
+        SELECT vec_id, j, c, SUM((q - w) * (q - w)) AS cost
+        FROM dc GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, CAST(j AS INT) AS subspace,
+           CAST(arg_min(c, cost * 10 + c) AS INT) AS code
+    FROM costs GROUP BY vec_id, j
+    """,
+)
+def ann_pq_exact_q(spark, sf_dir):
+    """Exact twin of the PQ encode machinery (functions/similarity.py
+    pq_codes_exact): same argmin-over-codebook assignment as pq_topk's
+    encode kernel, md5-derived integer codebook + quantized dims make
+    every distance BIGINT-exact — shrinks the never-oracled machinery to
+    just the trained-codebook variants, like ann_lsh_exact did for LSH."""
+    from .functions.similarity import pq_codes_exact
+
+    return pq_codes_exact(read_table(spark, sf_dir, "embeddings"), m=8, ks=8)
