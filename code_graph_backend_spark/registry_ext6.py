@@ -1,11 +1,15 @@
 """Round-4b extension queries: corpus-selection and analytics operators a
 100 TB training-data pipeline runs daily — token-budget corpus cuts,
 multi-granularity event rollups, vocabulary profiling, incremental-ingest
-LSH dedup, HITS centrality, and a product-quantization ANN tier.
+LSH dedup, HITS centrality, a product-quantization ANN tier (plus its
+exact-twin encode oracle), similarity-threshold calibration histograms,
+real uncompressed-AVI frame decode, integer-exact anomaly gating, and
+per-source regression drift checks.
 
 Every SQL-expressible entry carries a DuckDB oracle; ann_pq_topk is the
-one approximate family (recall pytest-asserted, rows-only in the driver,
-same contract as ann_lsh/ivf)."""
+one approximate family here (recall pytest-asserted, rows-only in the
+driver, same contract as ann_lsh/ivf; its encode machinery is
+hash-checked by ann_pq_exact)."""
 
 from __future__ import annotations
 
