@@ -306,32 +306,40 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         .withColumn("imp_suffix1", F.coalesce(F.col("sym_suffix"), recv_suffix))
         .drop("ipath2", "alias2", "iorig2", "isuffix2", "sym_suffix")
     )
-    # One-hop __init__ re-export chain: `from pkg import f` landing on
+    # __init__ re-export chains: `from pkg import f` landing on
     # pkg/__init__.py which itself does `from .a import f` — follow that
     # file's import row to the true def-site (the reference's LSP resolves
-    # the chain natively, analyzer.py:49-54; one hop covers the standard
-    # package-facade idiom, deeper chains fall back to ranked resolution).
-    hop = imports.select(
-        F.col("ipath").alias("ipath3"), F.col("alias").alias("alias3"),
-        F.col("iorig").alias("iorig3"), F.col("isuffix").alias("isuffix3"),
-    )
-    refs_eff = (
-        refs_recv.join(
-            hop,
-            (F.col("ipath3")
-             == F.regexp_replace(
-                 F.regexp_replace(F.col("imp_suffix1"), r"^/", ""),
-                 r"\.py$", "/__init__.py"))
-            & (F.col("alias3") == F.col("eff_target")),
-            "left_outer",
+    # the chain natively, analyzer.py:49-54). The hop join is bounded and
+    # repeated: hop 1 covers the standard package facade, hop 2 the
+    # facade-of-a-subpackage (`pkg/__init__` → `pkg/sub/__init__` →
+    # module); deeper chains fall back to ranked resolution. Each hop is a
+    # left-outer join against the (broadcast-sized) imports table, and a
+    # non-matching row passes through unchanged — re-export under a new
+    # name (`from .a import f as g`) chains through the alias coalesce.
+    refs_eff = refs_recv.withColumnRenamed("imp_suffix1", "imp_suffix")
+    for i in (3, 4):
+        hop = imports.select(
+            F.col("ipath").alias(f"ipath{i}"), F.col("alias").alias(f"alias{i}"),
+            F.col("iorig").alias(f"iorig{i}"), F.col("isuffix").alias(f"isuffix{i}"),
         )
-        .select(
-            *[c for c in refs_recv.columns
-              if c not in ("eff_target", "imp_suffix1")],
-            F.coalesce(F.col("iorig3"), F.col("eff_target")).alias("eff_target"),
-            F.coalesce(F.col("isuffix3"), F.col("imp_suffix1")).alias("imp_suffix"),
+        prev_cols = refs_eff.columns
+        refs_eff = (
+            refs_eff.join(
+                hop,
+                (F.col(f"ipath{i}")
+                 == F.regexp_replace(
+                     F.regexp_replace(F.col("imp_suffix"), r"^/", ""),
+                     r"\.py$", "/__init__.py"))
+                & (F.col(f"alias{i}") == F.col("eff_target")),
+                "left_outer",
+            )
+            .select(
+                *[c for c in prev_cols
+                  if c not in ("eff_target", "imp_suffix")],
+                F.coalesce(F.col(f"iorig{i}"), F.col("eff_target")).alias("eff_target"),
+                F.coalesce(F.col(f"isuffix{i}"), F.col("imp_suffix")).alias("imp_suffix"),
+            )
         )
-    )
 
     # entity nodes (labels + Searchable, reference api/graph.py:250,400)
     ent_nodes = ent.select(

@@ -277,3 +277,25 @@ def test_from_dot_import_symbol_in_init(spark):
     calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
     assert (by_key[("run", "pkg/user.py")], by_key[("cfg", "pkg/__init__.py")]) in calls
     assert (by_key[("run", "pkg/user.py")], by_key[("cfg", "elsewhere/cfg.py")]) not in calls
+
+
+def test_init_reexport_two_hops_with_rename(spark):
+    """`from pkg import g` where pkg/__init__.py re-exports from
+    pkg/sub/__init__.py (renaming f→g), which re-exports from
+    pkg/sub/impl.py: the two-hop chain lands on the true def-site,
+    beating a root-level decoy."""
+    files = {
+        "pkg/__init__.py": "from .sub import f as g\n",
+        "pkg/sub/__init__.py": "from .impl import f\n",
+        "pkg/sub/impl.py": "def f():\n    return 1\n",
+        "user.py": (
+            "from pkg import g\n\n"
+            "def use():\n    return g()\n"
+        ),
+        "decoy.py": "def g():\n    return 2\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("use", "user.py")], by_key[("f", "pkg/sub/impl.py")]) in calls
+    assert (by_key[("use", "user.py")], by_key[("g", "decoy.py")]) not in calls
