@@ -39,7 +39,7 @@ _PRIORITY = [
     "token_budget_select", "events_rollup", "graph_hits",
     "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
     "emb_similarity_histogram", "mm_avi_frames", "events_outliers",
-    "corpus_length_regression", "ann_pq_exact",
+    "corpus_length_regression", "ann_pq_exact", "pack_sequences_sharded",
     "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
     "ann_lsh_exact", "pack_sequences", "sample_temperature",
     "quality_percentile", "bpe_pair_stats", "emb_label_centroids",

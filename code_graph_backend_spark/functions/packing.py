@@ -61,6 +61,37 @@ def pack_sequences(
     )
 
 
+def pack_sequences_sharded(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The 100 TB variant of `pack_sequences` (see module docstring): the
+    single global ordering window is replaced by a per-shard window
+    (shard = doc_id mod n_shards), so the cumsum runs partition-parallel —
+    the one serial constraint of the global version removed at the cost of
+    ≤1 partially-filled final window per shard. seq_id is globally unique
+    via (shard, local window) packing: shard · 2⁴⁰ + local_seq. Same
+    deterministic concat-and-chunk semantics within each shard."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = docs.select(
+        F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    local_seq = F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("long")
+    return d.select(
+        (F.col("shard") * F.lit(1 << 40) + local_seq).alias("seq_id"),
+        id_col,
+        "n_tokens",
+        ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("tok_offset"),
+    )
+
+
 def temperature_resample(
     docs: DataFrame,
     alpha: float = 0.5,

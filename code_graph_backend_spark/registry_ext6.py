@@ -428,3 +428,36 @@ def ann_pq_exact_q(spark, sf_dir):
     from .functions.similarity import pq_codes_exact
 
     return pq_codes_exact(read_table(spark, sf_dir, "embeddings"), m=8, ks=8)
+
+
+@register(
+    "pack_sequences_sharded",
+    """
+    WITH t AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT CAST(shard * 1099511627776 + (cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+           doc_id, n_tokens,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS tok_offset
+    FROM c
+    """,
+)
+def pack_sequences_sharded_q(spark, sf_dir):
+    """Partition-parallel sequence packing (functions/packing.py
+    pack_sequences_sharded): the scale path pack_sequences' docstring
+    promises — per-shard cumsum windows instead of one global ordering,
+    globally-unique seq_id via shard·2⁴⁰ + local window."""
+    from .functions.packing import pack_sequences_sharded
+
+    return pack_sequences_sharded(
+        read_table(spark, sf_dir, "documents"), budget=256, n_shards=16
+    )

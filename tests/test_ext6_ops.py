@@ -75,3 +75,22 @@ def test_hits_isolated_nodes_score_zero(spark):
     out = {r["node"]: (r["hub"], r["auth"]) for r in
            hits_bounded(spark, nodes, edges, rounds=2).collect()}
     assert out[9] == (0, 0)
+
+
+def test_sharded_packing_matches_global_within_shard(spark):
+    """Within one shard the sharded packer must equal the global packer
+    run on that shard's docs alone (shard offset removed)."""
+    from code_graph_backend_spark.functions.packing import (
+        pack_sequences, pack_sequences_sharded,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sharded = {
+        r["doc_id"]: (r["seq_id"], r["tok_offset"])
+        for r in pack_sequences_sharded(docs, budget=64, n_shards=4).collect()
+    }
+    for s in range(4):
+        sub = docs.filter((F.col("doc_id") % 4) == s)
+        for r in pack_sequences(sub, budget=64).collect():
+            got = sharded[r["doc_id"]]
+            assert got == (s * (1 << 40) + r["seq_id"], r["tok_offset"])
