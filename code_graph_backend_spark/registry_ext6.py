@@ -324,23 +324,15 @@ def events_outliers_q(spark, sf_dir):
     integer-quantized values — every comparison is BIGINT arithmetic, so
     the boundary cannot flip between engines the way float μ/σ could.
     Shape: one per-type hash-agg (7-row stats table) broadcast back onto
-    the scan — map-only second pass, the canonical streaming-friendly
-    anomaly gate."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_id", "event_type",
-        F.round(F.col("value") * 1000).cast("long").alias("x"),
+    the scan — map-only second pass. The gate itself is stateless and
+    runs unchanged over readStream (streaming/gates.py, stream parity in
+    tests/test_streaming_windows.py)."""
+    from .streaming.gates import (
+        event_sigma_stats, quantize_events, sigma_outlier_gate,
     )
-    stats = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    dev = F.col("n") * F.col("x") - F.col("sx")
-    return (
-        ev.join(F.broadcast(stats), "event_type")
-        .filter(dev * dev > 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
-        .select("event_id", "event_type", F.round(F.col("x") / 1000.0, 3).alias("value"))
-    )
+
+    ev = quantize_events(read_table(spark, sf_dir, "events"))
+    return sigma_outlier_gate(ev, event_sigma_stats(ev), k=3)
 
 
 @register(

@@ -1,0 +1,53 @@
+"""Stateless quality/anomaly gates shared verbatim between batch and
+Structured Streaming plans.
+
+The 3-sigma outlier gate decides |x − μ| > kσ in EXACT integer arithmetic
+— (n·x − Σx)² > k²·(n·Σx² − (Σx)²) over values quantized to integer
+millis — so the decision boundary cannot flip between engines, runs, or
+modes. Because the gate is a stream-static broadcast join + filter (no
+aggregation, no state), it runs unchanged under `readStream` in append
+mode: the canonical serving layout is stats refreshed from history on a
+schedule, streamed events gated row-by-row with zero streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_events(events: DataFrame) -> DataFrame:
+    """(event_id, event_type, x) with x = round(value·1000) as BIGINT —
+    the exact-arithmetic domain both the stats and the gate share."""
+    return events.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("x"),
+    )
+
+
+def event_sigma_stats(quantized: DataFrame) -> DataFrame:
+    """Per-type (n, Σx, Σx²) — one hash-agg over history; output is
+    type-cardinality sized (broadcastable by construction)."""
+    return quantized.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+
+def sigma_outlier_gate(quantized: DataFrame, stats: DataFrame, k: int = 3) -> DataFrame:
+    """Rows with |x − μ| > kσ under the exact integer boundary. `quantized`
+    may be a batch OR streaming DataFrame; `stats` must be batch (the
+    stream-static join broadcasts it)."""
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    return (
+        quantized.join(F.broadcast(stats), "event_type")
+        .filter(
+            dev * dev
+            > F.lit(k * k) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .select(
+            "event_id", "event_type",
+            F.round(F.col("x") / 1000.0, 3).alias("value"),
+        )
+    )

@@ -388,3 +388,41 @@ def test_stream_dedup_within_watermark_parity(spark, tmp_path):
     assert len(kept) == len(batch)  # one survivor per key
     for r in kept:
         assert r["ts"] == batch[(r["user_id"], r["event_type"])]
+
+
+def test_sigma_gate_stream_batch_parity(spark, tmp_path):
+    """The integer-exact 3-sigma gate is stateless: the same gate over a
+    stream-static broadcast join must emit exactly the batch outliers, in
+    append mode, with zero streaming state."""
+    from code_graph_backend_spark.streaming.gates import (
+        event_sigma_stats, quantize_events, sigma_outlier_gate,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = windows.normalize_event_time(src)
+    data_dir = str(tmp_path / "ev")
+    src.write.parquet(data_dir)
+
+    hist = quantize_events(spark.read.parquet(data_dir))
+    stats = event_sigma_stats(hist)
+    batch = {r["event_id"] for r in sigma_outlier_gate(hist, stats).collect()}
+    assert batch  # the gate must actually fire on this data
+
+    stream = quantize_events(
+        spark.readStream.schema(spark.read.parquet(data_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    q = (
+        sigma_outlier_gate(stream, stats)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sigma_gate_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    stream_ids = {r["event_id"] for r in spark.sql(
+        "select * from sigma_gate_test").collect()}
+    q.stop()
+    assert stream_ids == batch
