@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_persist
+
 
 def undirected_edges(edges: DataFrame) -> DataFrame:
     """Distinct undirected pairs (a < b) from the typed edge list,
@@ -40,7 +42,11 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
 
 def triangle_count_per_node(edges: DataFrame) -> DataFrame:
     """(node, n_triangles) for every node in at least one triangle."""
-    und = undirected_edges(edges)
+    # und feeds the degree agg (twice) and the orientation join;
+    # oriented feeds both wedge sides and the closing list — without the
+    # persists Catalyst re-evaluates the whole upstream (including the
+    # caller's edge derivation) once per consumer
+    und = scratch_persist(undirected_edges(edges))
     # degree per endpoint
     deg = (
         und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b").alias("v")))
@@ -62,6 +68,7 @@ def triangle_count_per_node(edges: DataFrame) -> DataFrame:
         )
         .select("e.s", "e.t")
     )
+    oriented = scratch_persist(oriented)
     w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
     w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
     wedges = w1.join(w2, "s").filter(F.col("t1") < F.col("t2"))
@@ -106,10 +113,12 @@ def jaccard_neighbors(edges: DataFrame, min_common: int = 1) -> DataFrame:
     neighbors fan out quadratically (same "curse of the last reducer" as
     triangles); production would cap/sample hub wedge lists — at our SF
     the cap is unnecessary and omitted so the oracle stays exact."""
-    und = undirected_edges(edges)
-    adj = und.unionAll(
+    und = scratch_persist(undirected_edges(edges))
+    # adj feeds the degree agg and BOTH wedge sides — persist or the
+    # caller's edge derivation re-runs once per consumer
+    adj = scratch_persist(und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )  # (a=node, b=neighbor), both directions
+    ))  # (a=node, b=neighbor), both directions
     deg = adj.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
     w1 = adj.select(F.col("b").alias("n"), F.col("a").alias("i"))
     w2 = adj.select(F.col("b").alias("n"), F.col("a").alias("j"))
