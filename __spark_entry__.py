@@ -20,6 +20,7 @@ from code_graph_backend_spark import registry_ext3  # noqa: F401  (registers on 
 from code_graph_backend_spark import registry_ext4  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext5  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext6  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext7  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,6 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest parity coverage and fresh-enough rows.
 _PRIORITY = [
     # round-4 queries (never graded yet)
+    "boilerplate_stats", "dedup_substring_spans", "corpus_distinct_hll",
+    "graph_landmark_distances", "emb_kmeans_assign",
     "token_budget_select", "events_rollup", "graph_hits",
     "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
     "emb_similarity_histogram", "mm_avi_frames", "events_outliers",

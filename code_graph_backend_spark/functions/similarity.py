@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..scratch import scratch_persist
 from ..session import fan_out
 
 
@@ -967,3 +968,118 @@ def pq_codes_exact(
             F.col("best.c").cast("int").alias("code"),
         )
     )
+
+
+def kmeans_assign_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Bounded Lloyd's k-means with EXACT cross-engine arithmetic — the
+    corpus-clustering primitive (domain discovery, IVF coarse quantizer
+    training, mixture balancing) as a hash-checkable operator, the same
+    unrolled-rounds contract as pagerank/sssp/hits:
+
+    - init: centroids = the embeddings of the `k` smallest ids
+      (deterministic, SQL-expressible — no random init to reconcile);
+    - dims quantized to integers (round(x*1000)) so every distance is
+      BIGINT and the assignment argmin cannot flip between engines;
+    - update: per-(cell, dim) integer sum + one floor(s / c) divide —
+      centroids STAY integers every round;
+    - ties: lowest cell wins, via min(struct(cost, cell)).
+
+    Shapes: assignment is an equi-join on dim between the exploded
+    vectors (n*d rows) and the centroid table (k*d rows, broadcast) then
+    one (id, cell) hash-agg; the update is one (cell, dim) hash-agg.
+    Per round: two shuffles, no driver collect (centroids never leave
+    the cluster). At 100 TB you swap the verification join for the
+    Arrow GEMM assign kernel (ivf_topk's) — the round structure and the
+    update agg are unchanged; this exact twin is what proves them.
+
+    Returns the final assignment (vec_id, cell int, cost long)."""
+    d = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("q"),
+    )
+    d = scratch_persist(d)
+    first = emb.orderBy(id_col).limit(k).select(F.col(id_col).alias("_fid"))
+    w_rank = Window.orderBy("_fid")
+    cent = (
+        d.join(F.broadcast(first.select("_fid", F.row_number().over(w_rank).alias("_cell"))),
+               F.col(id_col) == F.col("_fid"))
+        .select((F.col("_cell") - 1).alias("cell"), "dim", F.col("q").alias("cq"))
+    )
+
+    def assign(cent_df):
+        costs = (
+            d.join(F.broadcast(cent_df), "dim")
+            .groupBy(id_col, "cell")
+            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("cost"))
+        )
+        return (
+            costs.groupBy(id_col)
+            .agg(F.min(F.struct("cost", "cell")).alias("best"))
+            .select(id_col, F.col("best.cell").alias("cell"), F.col("best.cost").alias("cost"))
+        )
+
+    asg = None
+    for _ in range(rounds):
+        asg = assign(cent)
+        cent = (
+            d.join(asg.select(id_col, "cell"), id_col)
+            .groupBy("cell", "dim")
+            .agg(F.floor(F.sum("q") / F.count("*").cast("double")).cast("long").alias("cq"))
+        )
+    return asg.select(
+        id_col, F.col("cell").cast("int").alias("cell"), F.col("cost").cast("long").alias("cost")
+    )
+
+
+def kmeans_assign_exact_sql(k: int = 8, rounds: int = 2) -> str:
+    """DuckDB twin of kmeans_assign_exact over the `embeddings` view —
+    unrolled assignment/update rounds, identical integer arithmetic,
+    identical floor-divide update and (cost, cell) tie-break."""
+    parts = [f"""
+    WITH d AS (
+        SELECT vec_id, CAST(u.dim AS BIGINT) AS dim,
+               CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(dim)
+    ),
+    first AS (
+        SELECT vec_id AS fid,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS (
+        SELECT f.cell, d.dim, d.q AS cq FROM d JOIN first f ON d.vec_id = f.fid
+    )"""]
+    prev = "c0"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    cost{t} AS (
+        SELECT d.vec_id, c.cell,
+               SUM((d.q - c.cq) * (d.q - c.cq)) AS cost
+        FROM d JOIN {prev} c USING (dim) GROUP BY 1, 2
+    ),
+    a{t} AS (
+        SELECT vec_id, arg_min(cell, cost * {k} + cell) AS cell,
+               MIN(cost * {k} + cell) // {k} AS cost
+        FROM cost{t} GROUP BY vec_id
+    )""")
+        if t < rounds:
+            parts.append(f""",
+    c{t} AS (
+        SELECT a.cell, d.dim,
+               CAST(floor(SUM(d.q) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+        FROM d JOIN a{t} a USING (vec_id) GROUP BY 1, 2
+    )""")
+            prev = f"c{t}"
+    parts.append(f"""
+    SELECT vec_id, CAST(cell AS INT) AS cell, CAST(cost AS BIGINT) AS cost
+    FROM a{rounds}""")
+    return "\n".join(parts)

@@ -1,0 +1,163 @@
+"""Deterministic cardinality sketches — the "approximate counting" tier a
+100 TB pipeline uses where COUNT(DISTINCT) would shuffle the raw token
+stream (vocabulary profiling across shards, per-source reach counts,
+join-cardinality estimation before planning a backfill).
+
+HyperLogLog here is built on the md5 hash family — the same ANSI-replicable
+trick as the exact-twin LSH/PQ oracles (functions/dedup.py:290): every
+register value is a deterministic function of the input multiset, so the
+DuckDB oracle replays the WHOLE sketch (bucket split, leading-zero rank,
+harmonic sum, linear-counting correction) and hash-checks the estimate
+itself, not just a recall bound. An approximate operator with an exact
+oracle: the estimator is approximate w.r.t. the true cardinality, but the
+computation is a pure deterministic function.
+
+Scale shape: explode -> map-side project (bucket, rho) -> ONE hash-agg to
+m registers per group -> per-group rollup over <=m rows. The shuffle
+carries at most |groups| * m rows regardless of input size — that is the
+entire point of the sketch. No UDFs anywhere; leading-zero rank is the
+hex-string trim trick, JVM-side.
+
+No reference analogue (the reference's only aggregation surface is
+count/collect, SURVEY.md 2.4); this is a beyond-parity extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# m = 2^8 registers; alpha_m for m >= 128 per Flajolet et al. 2007 —
+# written as the literal expression (not a pre-rounded constant) so both
+# engines evaluate the identical IEEE double.
+_M = 256
+_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {_M}.0)"
+
+
+def _rho_sql(hex12: str) -> str:
+    """SQL expression (valid in BOTH Spark SQL and DuckDB) for the
+    leading-zero rank (+1) of the 48-bit value encoded by the 12 hex
+    chars of `hex12` — computed without conv() (whose 64-bit overflow
+    semantics differ across engines): count leading '0' hex digits, then
+    the first non-zero digit contributes its remaining high zero bits via
+    a CASE. All-zero input maps to 49 = 48 bits + 1."""
+    stripped = f"trim(LEADING '0' FROM {hex12})"
+    add = (
+        f"CASE substring({stripped}, 1, 1) "
+        "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        "ELSE 0 END"
+    )
+    return (
+        f"CASE WHEN {stripped} = '' THEN 49 "
+        f"ELSE (12 - length({stripped})) * 4 + {add} + 1 END"
+    )
+
+
+def hll_register_table(
+    items: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """(group, bucket, m) register table: bucket = first byte of
+    md5(item), m = max leading-zero rank of the next 48 bits. Duplicate
+    items need no pre-dedup — max() over a multiset equals max() over its
+    set, which is what makes HLL mergeable and one-pass."""
+    h = F.md5(F.col(item_col).cast("string"))
+    with_h = items.select(
+        F.col(group_col).alias("grp"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.expr(_rho_sql("substring(md5(cast(" + item_col + " as string)), 3, 12)"))
+        .cast("int").alias("rho"),
+    )
+    return with_h.groupBy("grp", "bucket").agg(F.max("rho").alias("m"))
+
+
+def hll_distinct(
+    items: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate next to the exact count and the
+    relative error — the calibration view. Columns:
+    (group_col, hll_est double, exact_distinct long, rel_err double).
+
+    The exact side is the oracle-twin convenience for test scales; at
+    100 TB you run the sketch alone (drop the exact join) and the plan is
+    explode -> one m-register agg -> rollup, with a shuffle bounded by
+    |groups| * 256 rows."""
+    regs = hll_register_table(items, group_col, item_col)
+    est = regs.groupBy("grp").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m")))
+            + (F.lit(_M) - F.count("*"))
+        ).alias("s"),
+        (F.lit(_M) - F.count("*")).cast("double").alias("v"),
+    ).select(
+        "grp",
+        F.expr(f"({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s").alias("raw"),
+        "v",
+    ).select(
+        "grp",
+        F.when(
+            (F.col("raw") <= F.lit(2.5 * _M)) & (F.col("v") > 0),
+            F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
+        ).otherwise(F.col("raw")).alias("est"),
+    )
+    exact = (
+        items.select(F.col(group_col).alias("grp"), F.col(item_col).alias("i"))
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.round("est", 4).alias("hll_est"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                (F.col("est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_sql(table_expr: str, group_col: str, item_expr: str) -> str:
+    """DuckDB replica of the full sketch: identical md5 family, identical
+    register table, identical estimator arithmetic — used by the driver
+    oracle so the ESTIMATE hash-checks."""
+    # inside the `h` CTE the item is already aliased to `i`
+    rho = _rho_sql("substring(md5(CAST(i AS VARCHAR)), 3, 12)")
+    return f"""
+    WITH it AS (
+        SELECT {group_col} AS grp, {item_expr} AS i FROM {table_expr}
+    ),
+    h AS (
+        SELECT grp,
+               CAST(('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+               {rho} AS rho
+        FROM it
+    ),
+    regs AS (SELECT grp, bucket, MAX(rho) AS m FROM h GROUP BY 1, 2),
+    est AS (
+        SELECT grp,
+               SUM(power(2.0, -m)) + ({_M} - COUNT(*)) AS s,
+               CAST({_M} - COUNT(*) AS DOUBLE) AS v
+        FROM regs GROUP BY grp
+    ),
+    raw AS (
+        SELECT grp, ({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s AS raw, v FROM est
+    ),
+    fin AS (
+        SELECT grp,
+               CASE WHEN raw <= {2.5 * _M} AND v > 0
+                    THEN {_M}.0 * ln({_M}.0 / v) ELSE raw END AS est
+        FROM raw
+    ),
+    ex AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        FROM (SELECT DISTINCT grp, i FROM it) GROUP BY grp
+    )
+    SELECT fin.grp AS {group_col}, ROUND(fin.est, 4) AS hll_est,
+           ex.exact_distinct,
+           ROUND((fin.est - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
+    FROM fin JOIN ex USING (grp)
+    """

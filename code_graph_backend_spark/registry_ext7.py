@@ -1,0 +1,102 @@
+"""Round-4c extension queries: the repetition-analysis curation tier
+(source-level boilerplate detection, duplicated-substring span maps), a
+deterministic HyperLogLog cardinality sketch with an exact-twin estimator
+oracle, landmark BFS distance vectors (the at-scale APSP substitute), and
+hash-exact bounded k-means — corpus clustering as a verified operator.
+
+Every entry is DuckDB-oracled; the HLL oracle replays the entire sketch
+(md5 register table + harmonic estimator), not just a bound — see
+functions/sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.boilerplate import (
+    boilerplate_sql, boilerplate_stats, duplicated_spans, duplicated_spans_sql,
+)
+from .functions.sketches import hll_distinct, hll_sql
+from .registry import register
+from .session import read_table
+
+
+@register("boilerplate_stats", boilerplate_sql(n=5))
+def boilerplate_stats_q(spark, sf_dir):
+    """Per-document boilerplate share (functions/boilerplate.py): distinct
+    5-gram shingles -> per-(source, shingle) document frequency -> 25%
+    integer commonality gate -> per-doc rollup. The curation pass that
+    catches repeated chrome across documents that are NOT near-dups."""
+    return boilerplate_stats(read_table(spark, sf_dir, "documents"), n=5)
+
+
+@register("dedup_substring_spans", duplicated_spans_sql(n=13))
+def dedup_substring_spans_q(spark, sf_dir):
+    """Maximal cross-document duplicated token spans via 13-gram anchors
+    merged with the islands trick (functions/boilerplate.py
+    duplicated_spans) — the span-level dedup view (Lee et al. 2022) that
+    localizes WHERE documents overlap; the window runs over surviving
+    anchor positions only, never the full token stream."""
+    return duplicated_spans(read_table(spark, sf_dir, "documents"), n=13)
+
+
+@register(
+    "corpus_distinct_hll",
+    hll_sql(
+        "(SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)",
+        "lang", "tok",
+    ),
+)
+def corpus_distinct_hll_q(spark, sf_dir):
+    """Per-language distinct-token cardinality: the md5-deterministic
+    HyperLogLog estimate beside the exact count and relative error
+    (functions/sketches.py). The sketch's shuffle is 256 registers per
+    language regardless of corpus size; the oracle hash-checks the
+    ESTIMATE itself because every register is a deterministic function
+    of the token multiset."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return hll_distinct(toks, "lang", "tok")
+
+
+def _landmark_sql() -> str:
+    from .graph.tpch import SQL_EDGES, SQL_NODES
+    from .operators.landmarks import landmark_distances_sql
+
+    return landmark_distances_sql(SQL_NODES, SQL_EDGES, n_landmarks=8, hops=3)
+
+
+@register("graph_landmark_distances", _landmark_sql())
+def graph_landmark_distances_q(spark, sf_dir):
+    """Batched multi-source BFS from the 8 smallest node ids, 3 hops
+    (operators/landmarks.py): per-node landmark distance vectors — the
+    standard at-scale substitute for all-pairs shortest paths. One edge
+    join + one min-agg per round for ALL landmarks at once; unrolled-CTE
+    oracle, integer-exact."""
+    from .graph.tpch import build_graph
+    from .operators.landmarks import landmark_distances
+
+    g = build_graph(spark, sf_dir)
+    return landmark_distances(g.nodes, g.edges, n_landmarks=8, hops=3)
+
+
+def _kmeans_sql() -> str:
+    from .functions.similarity import kmeans_assign_exact_sql
+
+    return kmeans_assign_exact_sql(k=8, rounds=2)
+
+
+@register("emb_kmeans_assign", _kmeans_sql())
+def emb_kmeans_assign_q(spark, sf_dir):
+    """Bounded Lloyd's k-means with hash-exact integer arithmetic
+    (functions/similarity.py kmeans_assign_exact): deterministic
+    smallest-id init, quantized dims, floor-divide centroid updates —
+    corpus clustering / IVF coarse-quantizer training as a VERIFIED
+    operator (assignment + cost hash-checked by the unrolled oracle)."""
+    from .functions.similarity import kmeans_assign_exact
+
+    return kmeans_assign_exact(
+        read_table(spark, sf_dir, "embeddings"), k=8, rounds=2
+    )
