@@ -314,8 +314,8 @@ def mm_avi_frames_q(spark, sf_dir):
     )
     SELECT q.event_id, q.event_type, ROUND(q.x / 1000.0, 3) AS value
     FROM q JOIN s USING (event_type)
-    WHERE (s.n * q.x - s.sx) * (s.n * q.x - s.sx)
-          > 9 * (s.n * s.sxx - s.sx * s.sx)
+    WHERE (CAST(s.n AS HUGEINT) * q.x - s.sx) * (CAST(s.n AS HUGEINT) * q.x - s.sx)
+          > 9 * (CAST(s.n AS HUGEINT) * s.sxx - CAST(s.sx AS HUGEINT) * s.sx)
     """,
 )
 def events_outliers_q(spark, sf_dir):

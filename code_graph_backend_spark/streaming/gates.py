@@ -38,14 +38,22 @@ def event_sigma_stats(quantized: DataFrame) -> DataFrame:
 def sigma_outlier_gate(quantized: DataFrame, stats: DataFrame, k: int = 3) -> DataFrame:
     """Rows with |x − μ| > kσ under the exact integer boundary. `quantized`
     may be a batch OR streaming DataFrame; `stats` must be batch (the
-    stream-static join broadcasts it)."""
-    dev = F.col("n") * F.col("x") - F.col("sx")
+    stream-static join broadcasts it).
+
+    The squared terms leave int64 once n·Σx² crosses ~10¹⁸ (hit at sf0.1:
+    100k events × Σx² ≈ 10¹³), so the comparison runs in DECIMAL(38,0) —
+    still exact integer arithmetic, 128-bit backed, and the DuckDB twin
+    mirrors it with HUGEINT casts. Same decision boundary, no overflow at
+    any realistic scale (bound ~10³⁸)."""
+    d38 = "decimal(38,0)"
+    n, sx, sxx, x = (
+        F.col("n").cast(d38), F.col("sx").cast(d38),
+        F.col("sxx").cast(d38), F.col("x").cast(d38),
+    )
+    dev = n * x - sx
     return (
         quantized.join(F.broadcast(stats), "event_type")
-        .filter(
-            dev * dev
-            > F.lit(k * k) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        )
+        .filter(dev * dev > F.lit(k * k).cast(d38) * (n * sxx - sx * sx))
         .select(
             "event_id", "event_type",
             F.round(F.col("x") / 1000.0, 3).alias("value"),
