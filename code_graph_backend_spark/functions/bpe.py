@@ -1,0 +1,180 @@
+"""BPE tokenizer TRAINING — the iterative merge-rule loop, built on the
+word-frequency-table trick that `text.bpe_pair_stats` introduces (one
+round of it): every round finds the most frequent adjacent symbol pair
+and fuses it, exactly the loop of Sennrich et al. 2016 that every GPT/
+Llama-family tokenizer is trained with.
+
+Scale shape per round (the shape production tokenizer trainers use):
+- the corpus appears ONLY as its word-frequency table (vocabulary-sized,
+  built with one shuffle); every round's pair count is weighted by word
+  frequency, so the explode runs over the vocabulary, never the corpus;
+- the argmax pair is a 1-row driver collect — the merge TABLE is the
+  request-sized output of training (a few thousand rows at production
+  vocab sizes), and each rule must be known before the next round can
+  count pairs: the collect is the algorithm, not a shortcut;
+- merge application is greedy-left like the reference implementations:
+  in a run of overlapping matches (e.g. 'a a a' for pair (a,a)) the 1st,
+  3rd, ... merge. That parity is computed with two windows over MATCHED
+  positions only (islands trick: run id = pos - row_number, then offset
+  parity within the run) — never a scan-order-dependent loop, so it is
+  deterministic, distributed, and SQL-expressible;
+- the word table localCheckpoints each round (bounded lineage, same as
+  the pagerank/labelprop loops).
+
+Everything is integer counts and string equality ⇒ the DuckDB oracle
+unrolls the rounds and the merge table hash-checks exactly
+(`bpe_train_merges_sql`). Ties break (count desc, lhs asc, rhs asc) on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, w) — w is the space-joined character-symbol string."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "word", "cnt",
+            F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("w"),
+        )
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the first `n_merges` BPE merge rules on the corpus. Returns
+    (merge_round int, lhs, rhs, new_symbol, pair_count long), one row per
+    round in training order."""
+    spark: SparkSession = docs.sparkSession
+    wt = _word_table(docs, text_col).localCheckpoint(eager=True)
+    rules = []
+    for r in range(1, n_merges + 1):
+        wlead = Window.partitionBy("word").orderBy("p")
+        sy = (
+            wt.select("word", "cnt", F.posexplode(F.split("w", " ")).alias("p0", "s"))
+            .select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
+            .withColumn("nx", F.lead("s").over(wlead))
+        )
+        top_rows = (
+            sy.filter(F.col("nx").isNotNull())
+            .groupBy("s", "nx")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), F.asc("s"), F.asc("nx"))
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:
+            break
+        a, b, total = top_rows[0]["s"], top_rows[0]["nx"], int(top_rows[0]["total"])
+        rules.append((r, a, b, a + b, total))
+
+        matched = sy.filter((F.col("s") == a) & (F.col("nx") == b)).select("word", "p")
+        wrun = Window.partitionBy("word").orderBy("p")
+        runs = matched.select(
+            "word", "p", (F.col("p") - F.row_number().over(wrun)).alias("g")
+        )
+        woff = Window.partitionBy("word", "g")
+        keep = (
+            runs.select("word", "p", (F.col("p") - F.min("p").over(woff)).alias("off"))
+            .filter(F.col("off") % 2 == 0)
+            .select("word", F.col("p").alias("kp"))
+        )
+        k_at = keep.select("word", F.col("kp").alias("p"), F.lit(True).alias("m_at"))
+        k_prev = keep.select(
+            "word", (F.col("kp") + 1).alias("p"), F.lit(True).alias("m_prev")
+        )
+        rebuilt = (
+            sy.join(k_at, ["word", "p"], "left")
+            .join(k_prev, ["word", "p"], "left")
+            .filter(F.col("m_prev").isNull())
+            .select(
+                "word", "cnt", "p",
+                F.when(F.col("m_at"), F.concat("s", "nx")).otherwise(F.col("s")).alias("e"),
+            )
+        )
+        wt = (
+            rebuilt.groupBy("word", "cnt")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "e"))),
+                        lambda x: x["e"],
+                    ),
+                    " ",
+                ).alias("w")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        rules, "merge_round int, lhs string, rhs string, new_symbol string, pair_count long"
+    )
+
+
+def bpe_train_merges_sql(n_merges: int = 4) -> str:
+    """DuckDB twin over the `documents` view: identical word table,
+    identical greedy-left parity merge, unrolled rounds."""
+    parts = ["""
+    WITH w0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) >= 1 GROUP BY word
+    )"""]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r-1}"
+        parts.append(f""",
+    sy{r} AS (
+        SELECT word, cnt, CAST(u.i AS BIGINT) AS p, t[u.i] AS s, t[u.i + 1] AS nx
+        FROM (SELECT word, cnt, string_split(w, ' ') AS t FROM {prev}),
+             UNNEST(generate_series(1, len(t))) u(i)
+    ),
+    top{r} AS (
+        SELECT s AS a, nx AS b, SUM(cnt) AS total
+        FROM sy{r} WHERE nx IS NOT NULL
+        GROUP BY s, nx ORDER BY total DESC, a, b LIMIT 1
+    ),
+    mt{r} AS (
+        SELECT sy.word, sy.p FROM sy{r} sy, top{r} t
+        WHERE sy.s = t.a AND sy.nx = t.b
+    ),
+    rn{r} AS (
+        SELECT word, p,
+               p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS g
+        FROM mt{r}
+    ),
+    k{r} AS (
+        SELECT word, p FROM (
+            SELECT word, p, p - MIN(p) OVER (PARTITION BY word, g) AS off
+            FROM rn{r}
+        ) WHERE off % 2 = 0
+    ),
+    w{r} AS (
+        SELECT sy.word, sy.cnt,
+               string_agg(
+                   CASE WHEN ka.p IS NOT NULL THEN sy.s || sy.nx ELSE sy.s END,
+                   ' ' ORDER BY sy.p
+               ) AS w
+        FROM sy{r} sy
+        LEFT JOIN k{r} ka ON ka.word = sy.word AND ka.p = sy.p
+        LEFT JOIN k{r} kp ON kp.word = sy.word AND kp.p = sy.p - 1
+        WHERE kp.p IS NULL
+        GROUP BY sy.word, sy.cnt
+    )""")
+    selects = [
+        f"SELECT {r} AS merge_round, a AS lhs, b AS rhs, a || b AS new_symbol, "
+        f"CAST(total AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)

@@ -100,3 +100,22 @@ def emb_kmeans_assign_q(spark, sf_dir):
     return kmeans_assign_exact(
         read_table(spark, sf_dir, "embeddings"), k=8, rounds=2
     )
+
+
+def _bpe_sql() -> str:
+    from .functions.bpe import bpe_train_merges_sql
+
+    return bpe_train_merges_sql(n_merges=4)
+
+
+@register("bpe_train_merges", _bpe_sql())
+def bpe_train_merges_q(spark, sf_dir):
+    """BPE tokenizer training, first 4 merge rules (functions/bpe.py):
+    the Sennrich et al. loop over the word-frequency table — per round
+    one vocabulary-sized pair count, a 1-row argmax collect (the merge
+    table IS the output), and a greedy-left parity merge done with two
+    windows over matched positions only. Unrolled-rounds DuckDB oracle
+    hash-checks the merge table exactly."""
+    from .functions.bpe import bpe_train_merges
+
+    return bpe_train_merges(read_table(spark, sf_dir, "documents"), n_merges=4)

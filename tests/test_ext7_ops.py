@@ -142,3 +142,66 @@ class TestKmeansExact:
         a = sorted(map(tuple, kmeans_assign_exact(emb, k=3, rounds=2).collect()))
         b = sorted(map(tuple, kmeans_assign_exact(emb, k=3, rounds=2).collect()))
         assert a == b
+
+
+def _ref_bpe(words: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich-style reference: word-frequency table, argmax
+    pair (count desc, lhs, rhs), greedy-left merge per word."""
+    tbl = {w: list(w) for w in words}
+    rules = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for w, syms in tbl.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + words[w]
+        if not counts:
+            break
+        (a, b), total = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((r, a, b, a + b, total))
+        for w, syms in tbl.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            tbl[w] = out
+    return rules
+
+
+class TestBpeTrain:
+    def test_matches_reference_implementation(self, spark):
+        from code_graph_backend_spark.functions.bpe import bpe_train_merges
+
+        import random
+
+        rng = random.Random(42)
+        alpha = "abcde"
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+            for _ in range(120)
+        ]
+        text = " ".join(words)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = [
+            (r.merge_round, r.lhs, r.rhs, r.new_symbol, r.pair_count)
+            for r in bpe_train_merges(docs, n_merges=5).orderBy("merge_round").collect()
+        ]
+        freq: dict[str, int] = {}
+        for w in words:
+            freq[w] = freq.get(w, 0) + 1
+        assert got == _ref_bpe(freq, 5)
+
+    def test_overlapping_run_greedy_left(self, spark):
+        # 'aaaa' with top pair (a,a): greedy-left merges positions 1 and 3
+        # -> 'aa aa'; round 2 then merges (aa, aa)
+        from code_graph_backend_spark.functions.bpe import bpe_train_merges
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+        )
+        rules = bpe_train_merges(docs, n_merges=2).orderBy("merge_round").collect()
+        assert (rules[0].lhs, rules[0].rhs, rules[0].pair_count) == ("a", "a", 9)
+        assert (rules[1].lhs, rules[1].rhs, rules[1].pair_count) == ("aa", "aa", 3)
