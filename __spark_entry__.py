@@ -39,6 +39,8 @@ _PRIORITY = [
     # round-4 queries (never graded yet)
     "boilerplate_stats", "dedup_substring_spans", "corpus_distinct_hll",
     "graph_landmark_distances", "emb_kmeans_assign", "bpe_train_merges",
+    "trending_events", "emb_hard_negatives", "bpe_apply_token_counts",
+    "corpus_hll_merge",
     "token_budget_select", "events_rollup", "graph_hits",
     "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
     "emb_similarity_histogram", "mm_avi_frames", "events_outliers",

@@ -48,14 +48,17 @@ def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def bpe_train_merges(
+def bpe_train(
     docs: DataFrame,
     n_merges: int = 4,
     text_col: str = "text",
-) -> DataFrame:
-    """Train the first `n_merges` BPE merge rules on the corpus. Returns
-    (merge_round int, lhs, rhs, new_symbol, pair_count long), one row per
-    round in training order."""
+) -> tuple[DataFrame, DataFrame]:
+    """Train the first `n_merges` BPE merge rules. Returns (rules, words):
+    rules = (merge_round int, lhs, rhs, new_symbol, pair_count long) in
+    training order; words = the post-training word table (word, cnt, w)
+    with w the space-joined symbol sequence — i.e. the trained tokenizer
+    APPLIED to the vocabulary, which is how merges are applied to a
+    corpus at scale (per distinct word once, then joined back)."""
     spark: SparkSession = docs.sparkSession
     wt = _word_table(docs, text_col).localCheckpoint(eager=True)
     rules = []
@@ -116,14 +119,62 @@ def bpe_train_merges(
             )
             .localCheckpoint(eager=True)
         )
-    return spark.createDataFrame(
+    rules_df = spark.createDataFrame(
         rules, "merge_round int, lhs string, rhs string, new_symbol string, pair_count long"
+    )
+    return rules_df, wt
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """The merge-rule table alone (see bpe_train)."""
+    rules, _ = bpe_train(docs, n_merges, text_col)
+    return rules
+
+
+def bpe_apply_token_counts(
+    docs: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the trained tokenizer to the corpus and report per-document
+    (doc_id, n_words, n_bpe_tokens, compression) — the token-budget view
+    every pretraining run needs under ITS tokenizer, not a whitespace
+    proxy.
+
+    Scale shape: merges are applied ONCE per distinct word (the word
+    table already holds the post-merge symbol sequence — training ends
+    with the vocabulary tokenized), so corpus application is a map-side
+    explode + an equi-join against the vocabulary-sized (word →
+    symbol-count) table + one per-doc sum. The corpus token stream never
+    re-runs the merge loop."""
+    _, wt = bpe_train(docs, n_merges, text_col)
+    wlen = wt.select("word", F.size(F.split("w", " ")).cast("long").alias("n_sym"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    return (
+        toks.join(wlen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id", "n_words", "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias("compression"),
+        )
     )
 
 
-def bpe_train_merges_sql(n_merges: int = 4) -> str:
-    """DuckDB twin over the `documents` view: identical word table,
-    identical greedy-left parity merge, unrolled rounds."""
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The shared WITH chain: w0 (character-split word table) through
+    w{n} (post-merge word table), one unrolled round per merge."""
     parts = ["""
     WITH w0 AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -171,10 +222,36 @@ def bpe_train_merges_sql(n_merges: int = 4) -> str:
         WHERE kp.p IS NULL
         GROUP BY sy.word, sy.cnt
     )""")
+    return "".join(parts)
+
+
+def bpe_train_merges_sql(n_merges: int = 4) -> str:
+    """DuckDB twin of bpe_train_merges over the `documents` view:
+    identical word table, identical greedy-left parity merge, unrolled
+    rounds."""
     selects = [
         f"SELECT {r} AS merge_round, a AS lhs, b AS rhs, a || b AS new_symbol, "
         f"CAST(total AS BIGINT) AS pair_count FROM top{r}"
         for r in range(1, n_merges + 1)
     ]
-    parts.append("\n" + "\nUNION ALL\n".join(selects))
-    return "".join(parts)
+    return _bpe_cte_chain(n_merges) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_apply_token_counts_sql(n_merges: int = 4) -> str:
+    """DuckDB twin of bpe_apply_token_counts: the same CTE chain, then
+    the vocabulary-sized symbol-count join back onto the corpus."""
+    return _bpe_cte_chain(n_merges) + f"""
+    , wl AS (
+        SELECT word, CAST(len(string_split(w, ' ')) AS BIGINT) AS n_sym
+        FROM w{n_merges}
+    ),
+    tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT tk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(wl.n_sym) / CAST(COUNT(*) AS DOUBLE), 6) AS compression
+    FROM tk JOIN wl USING (word)
+    GROUP BY tk.doc_id
+    """

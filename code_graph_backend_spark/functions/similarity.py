@@ -1083,3 +1083,71 @@ def kmeans_assign_exact_sql(k: int = 8, rounds: int = 2) -> str:
     SELECT vec_id, CAST(cell AS INT) AS cell, CAST(cost AS BIGINT) AS cost
     FROM a{rounds}""")
     return "\n".join(parts)
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-k most cosine-similar corpus vectors with a DIFFERENT
+    label — the "looks similar, isn't" examples a retrieval model trains
+    against (the batch-mining step of every dual-encoder pipeline).
+
+    Same scale shape as brute_force_topk (the anchor matrix is
+    request-sized and broadcast; each corpus partition computes one GEMM
+    per Arrow batch and emits its local top-k), with the label filter
+    applied INSIDE the kernel — a mismatched-label candidate never
+    leaves its partition. Global pass ranks the tiny partial set.
+    Returns (qid, cid, sim), ties broken by cid; sim rounded to 6 so the
+    SQL oracle's float matches."""
+    import numpy as np
+    import pandas as pd
+
+    spark = anchors.sparkSession
+    qrows = anchors.select(
+        F.col(id_col).cast("long"), vec_col, F.col(label_col).cast("long")
+    ).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qlab = np.array([r[2] for r in qrows], dtype=np.int64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, Q, qlab, qn))
+
+    def kernel(batches):
+        b_qids, b_Q, b_qlab, b_qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            sims = (C @ b_Q.T) / (cn[:, None] * b_qn[None, :])
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            clab = pdf[label_col].to_numpy(dtype=np.int64)
+            outs = []
+            for qi in range(len(b_qids)):
+                idx = np.nonzero(clab != b_qlab[qi])[0]
+                if not len(idx):
+                    continue
+                col = sims[:, qi]
+                order = np.lexsort((cids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                outs.append(pd.DataFrame(
+                    {"qid": b_qids[qi], "cid": cids[sel], "sim": col[sel]}
+                ))
+            if outs:
+                yield pd.concat(outs)
+
+    partial = fan_out(corpus.select(id_col, vec_col, label_col)).mapInPandas(
+        kernel, "qid long, cid long, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"))
+    )

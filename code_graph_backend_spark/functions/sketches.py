@@ -161,3 +161,86 @@ def hll_sql(table_expr: str, group_col: str, item_expr: str) -> str:
            ROUND((fin.est - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
     FROM fin JOIN ex USING (grp)
     """
+
+
+def hll_merge_distinct(
+    items: DataFrame, shard_col: str, item_col: str
+) -> DataFrame:
+    """The property that makes HLL the 100 TB answer: MERGEABILITY.
+    Build one sketch per shard (as independent ingest jobs would), then
+    combine them by register-wise max — never re-reading the items — and
+    estimate the GLOBAL cardinality from the merged registers. Because
+    max is associative/commutative/idempotent, the merged sketch is
+    bit-identical to a single global sketch, so the estimate is too.
+
+    Returns one row: (n_shards, hll_est, exact_distinct, rel_err) — the
+    exact side is the test-scale calibration twin."""
+    per_shard = hll_register_table(items, shard_col, item_col)
+    n_shards = per_shard.select("grp").distinct().count()
+    merged = per_shard.groupBy("bucket").agg(F.max("m").alias("m"))
+    est = merged.agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m")))
+            + (F.lit(_M) - F.count("*"))
+        ).alias("s"),
+        (F.lit(_M) - F.count("*")).cast("double").alias("v"),
+    ).select(
+        F.expr(f"({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s").alias("raw"), "v"
+    ).select(
+        F.when(
+            (F.col("raw") <= F.lit(2.5 * _M)) & (F.col("v") > 0),
+            F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
+        ).otherwise(F.col("raw")).alias("est"),
+    )
+    exact = (
+        items.select(F.col(item_col).alias("i")).distinct()
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            F.lit(n_shards).cast("long").alias("n_shards"),
+            F.round("est", 4).alias("hll_est"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                (F.col("est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_merge_sql(table_expr: str, shard_col: str, item_expr: str) -> str:
+    """DuckDB replica of the shard-and-merge pipeline."""
+    rho = _rho_sql("substring(md5(CAST(i AS VARCHAR)), 3, 12)")
+    return f"""
+    WITH it AS (
+        SELECT {shard_col} AS grp, {item_expr} AS i FROM {table_expr}
+    ),
+    h AS (
+        SELECT grp,
+               CAST(('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+               {rho} AS rho
+        FROM it
+    ),
+    regs AS (SELECT grp, bucket, MAX(rho) AS m FROM h GROUP BY 1, 2),
+    merged AS (SELECT bucket, MAX(m) AS m FROM regs GROUP BY bucket),
+    est AS (
+        SELECT SUM(power(2.0, -m)) + ({_M} - COUNT(*)) AS s,
+               CAST({_M} - COUNT(*) AS DOUBLE) AS v
+        FROM merged
+    ),
+    fin AS (
+        SELECT CASE WHEN ({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s <= {2.5 * _M}
+                         AND v > 0
+                    THEN {_M}.0 * ln({_M}.0 / v)
+                    ELSE ({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s END AS est
+        FROM est
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT grp) FROM it) AS BIGINT) AS n_shards,
+           ROUND(fin.est, 4) AS hll_est,
+           CAST((SELECT COUNT(DISTINCT i) FROM it) AS BIGINT) AS exact_distinct,
+           ROUND((fin.est - (SELECT COUNT(DISTINCT i) FROM it))
+                 / (SELECT COUNT(DISTINCT i) FROM it), 6) AS rel_err
+    FROM fin
+    """

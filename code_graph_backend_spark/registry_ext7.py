@@ -119,3 +119,107 @@ def bpe_train_merges_q(spark, sf_dir):
     from .functions.bpe import bpe_train_merges
 
     return bpe_train_merges(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
+@register(
+    "trending_events",
+    """
+    WITH c AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY window_start ORDER BY n_events DESC, event_type
+        ) AS rnk FROM c
+    ) WHERE rnk <= 3
+    """,
+)
+def trending_events_q(spark, sf_dir):
+    """Top-3 event types per tumbling hour (streaming/windows.py
+    trending): the count stage is the mode-agnostic window agg (streams
+    under a watermark like w_tumbling_1h); the per-window rank runs over
+    the type-cardinality-sized counts — the standard serving-side split
+    for rank-over-aggregate."""
+    from .streaming import windows
+
+    return windows.trending(read_table(spark, sf_dir, "events"), "1 hour", k=3)
+
+
+@register(
+    "emb_hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
+    p AS (
+        SELECT qid, cid,
+               list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) AS dot,
+               list_sum(list_transform(qv, x -> x * x)) AS nq,
+               list_sum(list_transform(cv, x -> x * x)) AS nc
+        FROM q, c WHERE ql <> cl
+    ),
+    s AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS sim_raw FROM p)
+    SELECT qid, cid, ROUND(sim_raw, 6) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn FROM s)
+    WHERE rn <= 5
+    """,
+)
+def emb_hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining (functions/similarity.py hard_negatives):
+    per anchor the top-5 most cosine-similar DIFFERENT-label vectors —
+    the batch-mining step of dual-encoder training. Anchor matrix
+    broadcast, per-partition GEMM with the label filter inside the
+    kernel, global rank over the tiny partial set."""
+    from .functions.similarity import hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+def _bpe_apply_sql() -> str:
+    from .functions.bpe import bpe_apply_token_counts_sql
+
+    return bpe_apply_token_counts_sql(n_merges=4)
+
+
+@register("bpe_apply_token_counts", _bpe_apply_sql())
+def bpe_apply_token_counts_q(spark, sf_dir):
+    """Trained-tokenizer application (functions/bpe.py
+    bpe_apply_token_counts): per-document token counts under the 4-rule
+    BPE tokenizer — merges are applied once per DISTINCT word (training
+    ends with the vocabulary tokenized), corpus application is one
+    vocabulary-sized equi-join + per-doc sum, never a re-run of the
+    merge loop over the token stream."""
+    from .functions.bpe import bpe_apply_token_counts
+
+    return bpe_apply_token_counts(
+        read_table(spark, sf_dir, "documents"), n_merges=4
+    )
+
+
+def _hll_merge_oracle() -> str:
+    from .functions.sketches import hll_merge_sql
+
+    return hll_merge_sql(
+        "(SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)",
+        "source", "tok",
+    )
+
+
+@register("corpus_hll_merge", _hll_merge_oracle())
+def corpus_hll_merge_q(spark, sf_dir):
+    """Sketch MERGEABILITY end-to-end (functions/sketches.py
+    hll_merge_distinct): one HLL per source shard, register-wise max
+    merge, global distinct-token estimate from the merged registers —
+    the union-without-re-reading property that makes sketches the 100 TB
+    answer. The oracle replays shard sketches + merge + estimator."""
+    from .functions.sketches import hll_merge_distinct
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    return hll_merge_distinct(toks, "source", "tok")

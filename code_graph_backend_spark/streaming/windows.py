@@ -89,3 +89,28 @@ def streamify(spark, parquet_path: str, agg, watermark: str = "2 hours"):
         .parquet(parquet_path)
     ).withWatermark("ts", watermark)
     return agg(stream).writeStream.outputMode("append")
+
+
+def trending(events: DataFrame, width: str = "1 hour", k: int = 3) -> DataFrame:
+    """Top-k event types per tumbling window by count (ties: type asc) —
+    the "what's trending this hour" rollup. The COUNT stage is the
+    mode-agnostic window aggregation (streams under a watermark exactly
+    like `tumbling`); the rank is a per-window top-k over the
+    type-cardinality-sized counts — in a streaming deployment that view
+    sits on the append sink (or foreachBatch), the standard split for
+    rank-over-aggregate, which no engine can emit incrementally."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .select("window_start", "event_type", "n_events", F.col("rnk").cast("long").alias("rnk"))
+    )

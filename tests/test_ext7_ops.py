@@ -205,3 +205,96 @@ class TestBpeTrain:
         rules = bpe_train_merges(docs, n_merges=2).orderBy("merge_round").collect()
         assert (rules[0].lhs, rules[0].rhs, rules[0].pair_count) == ("a", "a", 9)
         assert (rules[1].lhs, rules[1].rhs, rules[1].pair_count) == ("aa", "aa", 3)
+
+
+class TestHardNegatives:
+    def test_same_label_never_returned(self, spark):
+        from code_graph_backend_spark.functions.similarity import hard_negatives
+
+        rows = [(i, [float(i % 3 + 1), float((i * 2) % 5 + 1)], i % 2) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        out = hard_negatives(emb.filter("vec_id < 4"), emb, k=3).collect()
+        labels = {r[0]: r[2] for r in rows}
+        assert len(out) == 12  # 4 anchors x 3
+        for r in out:
+            assert labels[r.qid] != labels[r.cid]
+
+    def test_topk_is_most_similar_cross_label(self, spark):
+        from code_graph_backend_spark.functions.similarity import hard_negatives
+
+        import numpy as np
+
+        # anchor 0 (label 0); candidates: near-parallel label-1 vector must
+        # outrank an orthogonal label-1 vector
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),
+                (1, [0.99, 0.1], 1),   # nearly parallel, other label
+                (2, [0.0, 1.0], 1),    # orthogonal, other label
+                (3, [1.0, 0.01], 0),   # same label — excluded even though closest
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        out = hard_negatives(emb.filter("vec_id = 0"), emb, k=1).collect()
+        assert len(out) == 1 and out[0].cid == 1
+
+
+class TestBpeApply:
+    def test_counts_match_trained_table(self, spark):
+        from code_graph_backend_spark.functions.bpe import (
+            bpe_apply_token_counts, bpe_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "low low lower lowest"), (2, "low lowest")],
+            "doc_id long, text string",
+        )
+        _, wt = bpe_train(docs, n_merges=3)
+        wlen = {r.word: len(r.w.split(" ")) for r in wt.collect()}
+        out = {r.doc_id: r for r in bpe_apply_token_counts(docs, n_merges=3).collect()}
+        assert out[1].n_words == 4
+        assert out[1].n_bpe_tokens == 2 * wlen["low"] + wlen["lower"] + wlen["lowest"]
+        assert out[2].n_bpe_tokens == wlen["low"] + wlen["lowest"]
+        # merges strictly shrink symbol counts vs characters
+        assert out[1].n_bpe_tokens < sum(len(w) for w in "low low lower lowest".split())
+
+
+class TestHllMerge:
+    def test_merged_equals_global(self, spark):
+        from code_graph_backend_spark.functions.sketches import (
+            hll_distinct, hll_merge_distinct,
+        )
+
+        items = spark.range(0, 3000).select(
+            (F.col("id") % 7).cast("string").alias("shard"),
+            F.concat(F.lit("t"), (F.col("id") % 1100)).alias("i"),
+        )
+        (m,) = hll_merge_distinct(items, "shard", "i").collect()
+        # single-sketch estimate over the same items, one global group
+        one = items.select(F.lit("g").alias("g"), "i")
+        (g,) = hll_distinct(one, "g", "i").collect()
+        assert m.hll_est == g.hll_est  # merge == global, bit-identical
+        assert m.exact_distinct == 1100
+        assert m.n_shards == 7
+
+
+class TestTrending:
+    def test_rank_and_ties(self, spark):
+        from code_graph_backend_spark.streaming.windows import trending
+
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = (
+            [(base, "b", 0.0)] * 3
+            + [(base, "a", 0.0)] * 3
+            + [(base, "c", 0.0)] * 1
+            + [(base + dt.timedelta(hours=1), "c", 0.0)] * 2
+        )
+        ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        out = trending(ev, "1 hour", k=2).orderBy("window_start", "rnk").collect()
+        # hour 10: a and b tie at 3 -> 'a' first lexicographically
+        assert [(r.event_type, r.n_events, r.rnk) for r in out[:2]] == [
+            ("a", 3, 1), ("b", 3, 2),
+        ]
+        assert (out[2].event_type, out[2].n_events, out[2].rnk) == ("c", 2, 1)
