@@ -38,13 +38,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import fan_out
+
 
 def _gram_positions(
-    docs: DataFrame, n: int, id_col: str, text_col: str
+    docs: DataFrame, n: int, id_col: str, text_col: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, pos, gram) for every n-token shingle, pos 1-based —
-    JVM-side: split -> transform over a position sequence -> posexplode
-    keeps everything in whole-stage codegen."""
+    """(doc_id, [extra_cols...,] pos, gram) for every n-token shingle,
+    pos 1-based — JVM-side: split -> transform over a position sequence ->
+    posexplode keeps everything in whole-stage codegen. fan_out first: the
+    corpus arrives as a coarse single-file scan and the gram explode is
+    the CPU-heavy stage — without the repartition it runs on one core.
+    `extra_cols` ride along map-side so callers never need a join back to
+    the corpus for per-doc attributes."""
+    docs = fan_out(docs)
     toks = F.split(F.col(text_col), " ")
     # sequence(1, 0) DESCENDS in Spark (implicit step -1), so docs shorter
     # than n must short-circuit to an empty position list explicitly
@@ -55,8 +63,12 @@ def _gram_positions(
         positions, lambda i: F.array_join(F.slice(toks, i, n), " ")
     )
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("p0", "gram")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(grams).alias("p0", "gram"),
+    ).select(
+        "doc_id", *extra_cols, (F.col("p0") + 1).alias("pos"), "gram"
+    )
 
 
 def boilerplate_stats(
@@ -69,14 +81,15 @@ def boilerplate_stats(
     """(doc_id, n_shingles, n_boiler, boiler_frac) — boiler_frac is the
     share of the doc's distinct n-gram shingles that occur in >= 25% of
     the documents of the SAME source (integer gate: 4*df >= n_docs)."""
-    sh = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    from ..scratch import scratch_persist
+
+    # sh feeds BOTH the df aggregation and the join back — persist or the
+    # explode+distinct runs twice
+    sh = scratch_persist(
+        _gram_positions(docs, n, id_col, text_col, extra_cols=(source_col,))
+        .select(
+            "doc_id", F.col(source_col).alias("source"), F.md5("gram").alias("g")
         )
-        .join(
-            _gram_positions(docs, n, id_col, text_col), "doc_id"
-        )
-        .select("doc_id", "source", F.md5("gram").alias("g"))
         .distinct()
     )
     ndocs = docs.groupBy(F.col(source_col).alias("source")).agg(
@@ -117,8 +130,14 @@ def duplicated_spans(
     consecutive anchor positions merge into one span covering tokens
     [span_start, span_end] (1-based, inclusive; span_end = last anchor
     pos + n - 1). n_anchors counts the anchor positions merged in."""
-    gp = _gram_positions(docs, n, id_col, text_col).select(
-        "doc_id", "pos", F.md5("gram").alias("g")
+    from ..scratch import scratch_persist
+
+    # gp feeds the anchor-df aggregation AND the join back — persist so
+    # the gram explode runs once
+    gp = scratch_persist(
+        _gram_positions(docs, n, id_col, text_col).select(
+            "doc_id", "pos", F.md5("gram").alias("g")
+        )
     )
     dup = (
         gp.select("g", "doc_id").distinct()
