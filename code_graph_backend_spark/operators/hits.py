@@ -39,8 +39,12 @@ def hits_bounded(
     followed by hub_t = Σ_{u→v} auth_t(v). Nodes without in/out edges
     keep score 0 for that side. Deterministic, integer-exact.
     """
-    e = edges.select("src", "dst").distinct()
-    ids = nodes.select(F.col("id").alias("node"))
+    from ..scratch import scratch_persist
+
+    # e and ids feed one join per direction per round — persist once or
+    # the caller's edge/node derivation re-runs 2*rounds times
+    e = scratch_persist(edges.select("src", "dst").distinct())
+    ids = scratch_persist(nodes.select(F.col("id").alias("node")))
     hub = ids.select("node", F.lit(1).cast("long").alias("h"))
     auth = None
     for _ in range(rounds):

@@ -38,10 +38,14 @@ def landmark_distances(
     """(landmark, node, dist) for every node within `hops` of a landmark,
     following edge direction (src -> dst). dist = exact hop count
     (min over paths), landmarks = the `n_landmarks` smallest node ids."""
+    from ..scratch import scratch_persist
+
     lms = nodes.select(F.col("id").alias("landmark")).orderBy("landmark").limit(
         n_landmarks
     )
-    e = edges.select("src", "dst").distinct()
+    # e feeds one frontier join per round — persist once or the caller's
+    # edge derivation re-runs per hop
+    e = scratch_persist(edges.select("src", "dst").distinct())
     dist = lms.select(
         "landmark", F.col("landmark").alias("node"), F.lit(0).cast("long").alias("dist")
     )
