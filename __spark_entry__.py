@@ -21,6 +21,7 @@ from code_graph_backend_spark import registry_ext4  # noqa: F401  (registers on 
 from code_graph_backend_spark import registry_ext5  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext6  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext7  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext8  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,7 +41,7 @@ _PRIORITY = [
     "boilerplate_stats", "dedup_substring_spans", "corpus_distinct_hll",
     "graph_landmark_distances", "emb_kmeans_assign", "bpe_train_merges",
     "trending_events", "emb_hard_negatives", "bpe_apply_token_counts",
-    "corpus_hll_merge",
+    "corpus_hll_merge", "curation_pipeline_v2",
     "token_budget_select", "events_rollup", "graph_hits",
     "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
     "emb_similarity_histogram", "mm_avi_frames", "events_outliers",

@@ -1,0 +1,212 @@
+"""Round-4c flagship composition: curation_pipeline_v2 — the FineWeb-
+generation curation DAG with the round's new gates composed in. Beside
+the original curation_pipeline (cluster-canonical → quality →
+decontaminate → weighted sample) this adds the two repetition gates a
+modern pretraining pipeline runs (RefinedWeb/FineWeb lineage):
+
+  1. near-dup cluster canonicals        (dedup_clusters)
+  2. repetition/length quality gate     (token_repetition)
+  3. boilerplate gate                   (boilerplate_stats, ≤ 50% of a
+                                         doc's shingles source-common)
+  4. duplicated-span coverage gate      (duplicated_spans, ≤ 50% of a
+                                         doc's tokens inside cross-doc
+                                         verbatim spans)
+  5. 13-gram benchmark decontamination  (contamination_ngram)
+  6. greedy token-budget corpus cut     (token_budget_select)
+
+Every stage is an already-verified operator composed with semi/anti
+joins on doc_id; the whole pipeline is ONE Catalyst plan (no driver
+materialization between gates) — each gate a shuffle-bounded subplan,
+the final cut one cumsum window. The DuckDB oracle replays all six
+stages in one WITH chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import read_table
+
+_V2_SQL = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    -- 1. near-dup clustering (3-gram Jaccard >= 0.5) -> canonicals
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i, j FROM common
+        JOIN sizes na ON na.doc_id = i
+        JOIN sizes nb ON nb.doc_id = j
+        WHERE c / (na.n_sh + nb.n_sh - c) >= 0.5
+    ),
+    sym AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, m) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+    ),
+    cc AS (SELECT node, MIN(m) AS component FROM reach GROUP BY node),
+    canon AS (
+        SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        WHERE d.doc_id = COALESCE(cc.component, d.doc_id)
+    ),
+    -- 2. repetition/length quality gate
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    st AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+    bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+    ),
+    bgs AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS ndb FROM bg GROUP BY 1),
+    quality AS (
+        SELECT st.doc_id FROM st LEFT JOIN bgs USING (doc_id)
+        WHERE st.n_tokens >= 30
+          AND ROUND(COALESCE(1.0 - ndb / CAST(nb AS DOUBLE), 0.0), 6) <= 0.05
+    ),
+    -- 3. boilerplate gate: <= 50% of distinct 5-gram shingles source-common
+    b5 AS (
+        SELECT DISTINCT d.doc_id, d.source,
+               md5(list_aggregate(tk.t[u.i:u.i+4], 'string_agg', ' ')) AS g
+        FROM documents d JOIN toks tk USING (doc_id),
+             UNNEST(generate_series(1, len(tk.t) - 4)) u(i)
+    ),
+    nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1),
+    dfq AS (SELECT source, g, COUNT(*) AS df FROM b5 GROUP BY 1, 2),
+    boiler AS (
+        SELECT b5.doc_id,
+               SUM(CASE WHEN dfq.df * 4 >= nd.n_docs THEN 1 ELSE 0 END) AS n_b,
+               COUNT(*) AS n_s
+        FROM b5 JOIN dfq USING (source, g) JOIN nd USING (source)
+        GROUP BY b5.doc_id
+    ),
+    boiler_ok AS (SELECT doc_id FROM boiler WHERE n_b * 2 <= n_s),
+    -- 4. duplicated-span coverage gate: <= 50% of tokens inside
+    --    cross-document verbatim spans (13-gram anchors, islands-merged)
+    gp AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               md5(list_aggregate(t[u.i:u.i+12], 'string_agg', ' ')) AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 12)) u(i)
+    ),
+    dupg AS (
+        SELECT g FROM (SELECT DISTINCT g, doc_id FROM gp)
+        GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    anchors AS (SELECT doc_id, pos FROM gp JOIN dupg USING (g)),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        FROM anchors
+    ),
+    spans AS (
+        SELECT doc_id, MAX(pos) + 12 - MIN(pos) + 1 AS span_tokens
+        FROM runs GROUP BY doc_id, run
+    ),
+    cover AS (SELECT doc_id, SUM(span_tokens) AS covered FROM spans GROUP BY 1),
+    span_ok AS (
+        SELECT st.doc_id FROM st LEFT JOIN cover USING (doc_id)
+        WHERE COALESCE(cover.covered, 0) * 2 <= st.n_tokens
+    ),
+    -- 5. 13-gram benchmark decontamination
+    psh AS (SELECT g AS s FROM gp WHERE doc_id % 97 = 0),
+    contam AS (SELECT DISTINCT gp.doc_id FROM gp JOIN psh ON gp.g = psh.s),
+    surv AS (
+        SELECT d.doc_id, d.n_chars, st.n_tokens
+        FROM documents d
+        JOIN canon USING (doc_id)
+        JOIN quality USING (doc_id)
+        JOIN boiler_ok USING (doc_id)
+        JOIN span_ok USING (doc_id)
+        JOIN st ON st.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    -- 6. greedy best-first token-budget cut
+    cum AS (
+        SELECT doc_id, n_chars, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY n_chars DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM surv
+    )
+    SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 15000
+"""
+
+
+@register("curation_pipeline_v2", _V2_SQL)
+def curation_pipeline_v2_q(spark, sf_dir):
+    """Six verified operators composed into one Catalyst plan (module
+    docstring). The contamination probe set reuses the span-gate's
+    13-gram table on both engines, so the whole chain shares one gram
+    explode per n. Final output: the docs inside the 15k-token greedy
+    budget, with their running total."""
+    from .functions.boilerplate import boilerplate_stats, duplicated_spans
+    from .functions.dedup import ngram_jaccard_pairs
+    from .functions.sampling import contamination_ngram
+    from .functions.text import token_count, token_repetition
+    from .operators.components import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    canon = dedup_clusters(
+        spark, docs, ngram_jaccard_pairs(docs, threshold=0.5)
+    ).filter(F.col("is_canonical")).select("doc_id")
+    quality = (
+        token_repetition(docs)
+        .filter((F.col("n_tokens") >= 30) & (F.col("dup_bigram_ratio") <= 0.05))
+        .select("doc_id")
+    )
+    boiler_ok = (
+        boilerplate_stats(docs, n=5)
+        .filter(F.col("n_boiler") * 2 <= F.col("n_shingles"))
+        .select("doc_id")
+    )
+    ntok = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    cover = (
+        duplicated_spans(docs, n=13)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("covered"))
+    )
+    span_ok = (
+        ntok.join(cover, "doc_id", "left")
+        .filter(F.coalesce("covered", F.lit(0)) * 2 <= F.col("n_tokens"))
+        .select("doc_id")
+    )
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
+    )
+    contam = contamination_ngram(docs, probes).select("doc_id").distinct()
+    surv = (
+        docs.select("doc_id", "n_chars")
+        .join(canon, "doc_id")
+        .join(quality, "doc_id")
+        .join(boiler_ok, "doc_id")
+        .join(span_ok, "doc_id")
+        .join(contam, "doc_id", "left_anti")
+        .join(ntok, "doc_id")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        surv.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 15000)
+        .select(
+            "doc_id", "n_chars",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
