@@ -41,7 +41,8 @@ _PRIORITY = [
     "boilerplate_stats", "dedup_substring_spans", "corpus_distinct_hll",
     "graph_landmark_distances", "emb_kmeans_assign", "bpe_train_merges",
     "trending_events", "emb_hard_negatives", "bpe_apply_token_counts",
-    "corpus_hll_merge", "curation_pipeline_v2",
+    "corpus_hll_merge", "curation_pipeline_v2", "graph_wcc_bounded",
+    "corpus_lang_pivot",
     "token_budget_select", "events_rollup", "graph_hits",
     "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
     "emb_similarity_histogram", "mm_avi_frames", "events_outliers",

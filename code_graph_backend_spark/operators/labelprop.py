@@ -119,3 +119,74 @@ def kcore_bounded(
         .agg(F.count("*").cast("long").alias("degree"))
     )
     return deg.filter(F.col("degree") >= k)
+
+
+def wcc_bounded(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded weakly-connected-components over the property graph:
+    (node, comp) where comp = the minimum node id reachable within
+    `rounds` undirected hops — the fixed-round variant of min-label
+    propagation, completing the analytics suite beside pagerank / sssp /
+    hits / k-core / LPA with the same contract: fixed rounds + integer
+    labels ⇒ an exactly unrolled SQL oracle. (The open-ended fixpoint
+    variant lives in operators/components.py as alternating large/small
+    star; this bounded form is the one a 100 TB job runs when diameter
+    is known small or an approximation suffices.)
+
+    Per round: one edge join + one min-agg; the component map broadcasts
+    while node-count-small (measured, same gate as label_propagation)."""
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    from ..scratch import scratch_persist
+
+    sym = scratch_persist(
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    comp = nodes.select(
+        F.col("id").alias("node"), F.col("id").alias("comp")
+    ).localCheckpoint(eager=True)
+    bcast = comp.count() <= 2_000_000
+    for _ in range(rounds):
+        c = F.broadcast(comp) if bcast else comp
+        nbr = (
+            sym.join(c, sym["b"] == F.col("node"))
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("m"))
+        )
+        comp = (
+            comp.join(nbr, "node", "left_outer")
+            .select("node", F.least(F.col("comp"), F.coalesce("m", F.col("comp"))).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    return comp
+
+
+def wcc_bounded_sql(sql_nodes: str, sql_edges: str, rounds: int = 4) -> str:
+    """Unrolled-rounds DuckDB twin of wcc_bounded."""
+    parts = [
+        f"WITH nodes AS ({sql_nodes}), edges AS ({sql_edges}),",
+        """und AS (
+            SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+        ),
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        c0 AS (SELECT id AS node, id AS comp FROM nodes)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+        n{t} AS (
+            SELECT s.a AS node, MIN(c.comp) AS m
+            FROM sym s JOIN c{t-1} c ON s.b = c.node GROUP BY s.a
+        ),
+        c{t} AS (
+            SELECT c.node, LEAST(c.comp, COALESCE(n.m, c.comp)) AS comp
+            FROM c{t-1} c LEFT JOIN n{t} n USING (node)
+        )""")
+    parts.append(f"SELECT node, comp FROM c{rounds}")
+    return "\n".join(parts)

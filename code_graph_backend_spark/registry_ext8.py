@@ -210,3 +210,59 @@ def curation_pipeline_v2_q(spark, sf_dir):
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+def _wcc_sql() -> str:
+    from .graph.tpch import SQL_EDGES, SQL_NODES
+    from .operators.labelprop import wcc_bounded_sql
+
+    return wcc_bounded_sql(SQL_NODES, SQL_EDGES, rounds=4)
+
+
+@register("graph_wcc_bounded", _wcc_sql())
+def graph_wcc_bounded_q(spark, sf_dir):
+    """4-round bounded weakly-connected components over the graph twin
+    (operators/labelprop.py wcc_bounded): min-label propagation with the
+    measured-size broadcast gate; unrolled-rounds oracle. The fixpoint
+    variant (alternating star) backs dedup_clusters; this bounded form
+    is the known-small-diameter fast path."""
+    from .graph.tpch import build_graph
+    from .operators.labelprop import wcc_bounded
+
+    g = build_graph(spark, sf_dir)
+    return wcc_bounded(spark, g.nodes, g.edges, rounds=4)
+
+
+@register(
+    "corpus_lang_pivot",
+    """
+    SELECT source,
+           CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS de,
+           CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS en,
+           CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS es,
+           CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+           CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_lang_pivot_q(spark, sf_dir):
+    """Source x language crosstab via groupBy().pivot() with an explicit
+    value list — Spark's pivot with pinned values stays ONE hash-agg
+    (each pivot cell a conditional count, map-side combined), never a
+    scan per column; the explicit list also keeps the output schema
+    deterministic, which an inferred pivot (extra distinct scan) would
+    not guarantee. Absent cells coalesce to 0 to match the SQL FILTER
+    semantics."""
+    docs = read_table(spark, sf_dir, "documents")
+    p = (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .count()
+    )
+    return p.select(
+        "source",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ["de", "en", "es", "fr", "zh"]
+        ],
+    )

@@ -298,3 +298,31 @@ class TestTrending:
             ("a", 3, 1), ("b", 3, 2),
         ]
         assert (out[2].event_type, out[2].n_events, out[2].rnk) == ("c", 2, 1)
+
+
+class TestWccBounded:
+    def test_two_components(self, spark):
+        from code_graph_backend_spark.operators.labelprop import wcc_bounded
+
+        nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+        # component {0,1,2,3} as a chain, component {5,6}, isolated 4
+        edges = spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 2), (6, 5)], "src long, dst long"
+        )
+        out = wcc_bounded(spark, nodes, edges, rounds=4).collect()
+        comp = {r.node: r.comp for r in out}
+        assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+        assert comp[5] == comp[6] == 5
+        assert comp[4] == 4
+
+    def test_bounded_rounds_limit_propagation(self, spark):
+        from code_graph_backend_spark.operators.labelprop import wcc_bounded
+
+        # a 6-chain: min label 0 reaches distance <= rounds only
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "src long, dst long"
+        )
+        out = wcc_bounded(spark, nodes, edges, rounds=2).collect()
+        comp = {r.node: r.comp for r in out}
+        assert comp[2] == 0 and comp[5] == 3  # label 0 traveled 2 hops only
