@@ -1151,3 +1151,82 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", F.round("sim", 6).alias("sim"))
     )
+
+
+def power_iteration_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 2,
+) -> DataFrame:
+    """Dominant-eigenvector direction of the (uncentered) Gram matrix
+    XᵀX by UNNORMALIZED power iteration — the linear-algebra primitive
+    behind embedding whitening / ABTT post-processing and spectral
+    initialization, expressed entirely as DataFrame aggregations:
+
+        v_{t+1} = Xᵀ (X v_t),   v_0 = 1
+
+    Each round is two distributed matvecs — u = X·v is one per-ROW dot
+    (map-side, v broadcast-sized: d values), w = Xᵀ·u is one per-DIM
+    hash-agg (d rows out) — so the corpus is scanned once per round and
+    the shuffle carries d rows. No normalization: with dims quantized to
+    integers every coordinate stays EXACT (DECIMAL(38,0) headroom ~1e38
+    vs ~1e22 worst-case at two rounds), so the DuckDB twin (HUGEINT)
+    hash-checks an iterative eigensolver — the pagerank-oracle trick
+    applied to linear algebra. Rankings/direction equal the normalized
+    variant's (normalization is a positive scalar per round).
+
+    Returns (dim int, w string) — the final vector's coordinates as
+    exact decimal strings (stringified so both engines hash the same
+    canonical integer text)."""
+    d38 = "decimal(38,0)"
+    d = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000).cast("long").cast(d38).alias("q"),
+    )
+    d = scratch_persist(d)
+    # v as a d-row DataFrame (dim, v); v_0 = 1
+    v = d.select("dim").distinct().select("dim", F.lit(1).cast(d38).alias("v"))
+    for _ in range(rounds):
+        u = (
+            d.join(F.broadcast(v), "dim")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("q") * F.col("v")).alias("u"))
+        )
+        v = (
+            d.join(u, id_col)
+            .groupBy("dim")
+            .agg(F.sum(F.col("q") * F.col("u")).alias("v"))
+        )
+    return v.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("v").cast(d38).cast("string").alias("w"),
+    )
+
+
+def power_iteration_exact_sql(rounds: int = 2) -> str:
+    """DuckDB twin over the `embeddings` view: identical quantization,
+    identical unrolled matvecs in HUGEINT."""
+    parts = ["""
+    WITH d AS (
+        SELECT vec_id, CAST(u.dim AS INT) AS dim,
+               CAST(CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000) AS BIGINT) AS HUGEINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(dim)
+    ),
+    v0 AS (SELECT DISTINCT dim, CAST(1 AS HUGEINT) AS v FROM d)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    u{t} AS (
+        SELECT d.vec_id, SUM(d.q * v.v) AS u
+        FROM d JOIN v{t-1} v USING (dim) GROUP BY d.vec_id
+    ),
+    v{t} AS (
+        SELECT d.dim, SUM(d.q * u.u) AS v
+        FROM d JOIN u{t} u USING (vec_id) GROUP BY d.dim
+    )""")
+    parts.append(f"""
+    SELECT dim, CAST(v AS VARCHAR) AS w FROM v{rounds}""")
+    return "".join(parts)

@@ -266,3 +266,22 @@ def corpus_lang_pivot_q(spark, sf_dir):
             for c in ["de", "en", "es", "fr", "zh"]
         ],
     )
+
+
+def _power_sql() -> str:
+    from .functions.similarity import power_iteration_exact_sql
+
+    return power_iteration_exact_sql(rounds=2)
+
+
+@register("emb_power_iteration", _power_sql())
+def emb_power_iteration_q(spark, sf_dir):
+    """Dominant-eigenvector direction of the embedding Gram matrix by
+    two unnormalized power-iteration rounds (functions/similarity.py
+    power_iteration_exact): per round one broadcast matvec + one d-row
+    hash-agg, all-integer DECIMAL(38)/HUGEINT arithmetic — an iterative
+    eigensolver with an exact unrolled oracle (the whitening/ABTT prep
+    step as a verified operator)."""
+    from .functions.similarity import power_iteration_exact
+
+    return power_iteration_exact(read_table(spark, sf_dir, "embeddings"), rounds=2)

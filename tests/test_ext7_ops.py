@@ -326,3 +326,34 @@ class TestWccBounded:
         out = wcc_bounded(spark, nodes, edges, rounds=2).collect()
         comp = {r.node: r.comp for r in out}
         assert comp[2] == 0 and comp[5] == 3  # label 0 traveled 2 hops only
+
+
+class TestPowerIteration:
+    def test_exact_against_bigint_reference(self, spark):
+        from code_graph_backend_spark.functions.similarity import power_iteration_exact
+
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        spike = rng.rand(6)
+        rows = []
+        for i in range(40):
+            vec = spike * (i % 5 + 1) + rng.rand(6) * 0.1
+            rows.append((i, vec.tolist()))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r.dim: int(r.w) for r in power_iteration_exact(emb, rounds=2).collect()}
+
+        # exact python-int reference of v = (X^T X)^2 * 1 over quantized dims
+        Q = [[int(round(x * 1000)) for x in vec] for _, vec in rows]
+        v = [1] * 6
+        for _ in range(2):
+            u = [sum(q * w for q, w in zip(row, v)) for row in Q]
+            v = [sum(Q[i][j] * u[i] for i in range(len(Q))) for j in range(6)]
+        assert out == {j + 1: v[j] for j in range(6)}
+
+        # and the direction matches numpy's dominant eigenvector
+        A = np.array(Q, dtype=np.float64)
+        w_np = np.linalg.eigh(A.T @ A)[1][:, -1]
+        got = np.array([out[j + 1] for j in range(6)], dtype=np.float64)
+        cos = abs(got @ w_np) / (np.linalg.norm(got) * np.linalg.norm(w_np))
+        assert cos > 0.99
