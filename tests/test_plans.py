@@ -294,3 +294,66 @@ def test_length_regression_single_agg(spark, qs):
     plan = _plan(qs["corpus_length_regression"](spark, SF))
     assert plan.count("Exchange") <= 2, plan[:1500]  # partial+final agg pair
     assert "Join" not in plan
+
+
+def test_hll_register_agg_bounds_shuffle(spark, qs):
+    """The sketch's whole point: the exchange after the register agg
+    carries (group, bucket, max-rho) rows, never raw items — the plan
+    must show partial aggregation (map-side combine) feeding the
+    exchange, and no nested-loop anywhere."""
+    plan = _plan(qs["corpus_distinct_hll"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial_max before the exchange = map-side register combine
+    assert "partial_max" in plan or "partial max" in plan.lower(), plan[:2000]
+
+
+def test_boilerplate_no_corpus_join_back(spark, qs):
+    """source rides through the explode (no doc_id join back to the
+    corpus) and the df join is an equi-join."""
+    plan = _plan(qs["boilerplate_stats"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spans_window_over_anchors_only(spark, qs):
+    plan = _plan(qs["dedup_substring_spans"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, qs):
+    """The n*d exploded vectors join the k*d centroid table — the
+    centroid side must broadcast (it is bounded by construction)."""
+    plan = _plan(qs["emb_kmeans_assign"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_power_iteration_broadcasts_vector(spark, qs):
+    """Each matvec joins the exploded corpus against the d-row vector —
+    broadcast, never shuffle, on the vector side."""
+    plan = _plan(qs["emb_power_iteration"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_partials_then_rank(spark, qs):
+    """Kernel emits bounded local top-k partials; the global pass is one
+    window — no pair-space join anywhere."""
+    plan = _plan(qs["emb_hard_negatives"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_pivot_is_single_aggregate(spark, qs):
+    """Pinned-values pivot must stay one hash-agg pass — no per-column
+    scan, no expand-join."""
+    plan = _plan(qs["corpus_lang_pivot"](spark, SF))
+    assert plan.count("Scan parquet") <= 1, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trending_counts_then_bounded_rank(spark, qs):
+    plan = _plan(qs["trending_events"](spark, SF))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
