@@ -42,7 +42,7 @@ _PRIORITY = [
     "graph_landmark_distances", "emb_kmeans_assign", "bpe_train_merges",
     "trending_events", "emb_hard_negatives", "bpe_apply_token_counts",
     "corpus_hll_merge", "curation_pipeline_v2", "graph_wcc_bounded",
-    "corpus_lang_pivot", "emb_power_iteration",
+    "corpus_lang_pivot", "emb_power_iteration", "dedup_minhash_clusters",
     "token_budget_select", "events_rollup", "graph_hits",
     "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
     "emb_similarity_histogram", "mm_avi_frames", "events_outliers",

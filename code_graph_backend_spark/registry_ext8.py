@@ -285,3 +285,56 @@ def emb_power_iteration_q(spark, sf_dir):
     from .functions.similarity import power_iteration_exact
 
     return power_iteration_exact(read_table(spark, sf_dir, "embeddings"), rounds=2)
+
+
+@register(
+    "dedup_minhash_clusters",
+    """
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    m AS (
+        SELECT doc_id, u.seed,
+               MIN(md5(CAST(u.seed AS VARCHAR) || ':' || s)) AS mh
+        FROM sh, UNNEST(generate_series(0, 15)) u(seed)
+        GROUP BY doc_id, u.seed
+    ),
+    b AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+        FROM m GROUP BY doc_id, seed // 4
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+        FROM b a JOIN b c ON a.band = c.band AND a.bh = c.bh
+                          AND a.doc_id < c.doc_id
+    ),
+    sym AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, mr) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.mr FROM sym s JOIN reach r ON r.node = s.v
+    ),
+    cc AS (SELECT node, MIN(mr) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(cc.component, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(cc.component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+)
+def dedup_minhash_clusters_q(spark, sf_dir):
+    """The 100 TB dedup path END-TO-END, verified: banded MinHash-LSH
+    candidates (md5 exact-twin family) -> connected components ->
+    per-doc cluster id + canonical flag. dedup_clusters verifies the
+    exact-Jaccard variant; this one verifies the pipeline actually run
+    at scale, where the pair graph comes from the banded equi-join
+    (never all-pairs) and everything downstream is identical. Oracle:
+    full LSH replay + recursive-CTE closure."""
+    from .functions.dedup import minhash_lsh_candidates_exact
+    from .operators.components import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates_exact(docs, k=16, bands=4)
+    return dedup_clusters(spark, docs, pairs)
