@@ -50,7 +50,11 @@ def label_propagation(
     # while it fits (~32 MB at 2M nodes; measured sf0.1: 2.7x faster than
     # shuffling the 2|E| edge side each round); above that, plain join and
     # AQE picks the strategy from the checkpointed stats.
-    bcast_labels = labels.count() <= 2_000_000
+    n_nodes = labels.count()
+    bcast_labels = n_nodes <= 2_000_000
+    from .components import _parts_for
+
+    parts = _parts_for(n_nodes)
     for _ in range(iters):
         lab = F.broadcast(labels) if bcast_labels else labels
         votes = (
@@ -72,6 +76,8 @@ def label_propagation(
         labels = (
             labels.join(best, "node", "left_outer")
             .select("node", F.coalesce("_new", "label").alias("label"))
+            # node-sized map: measured width, not the session shuffle width
+            .repartition(parts, "node")
             .localCheckpoint(eager=True)
         )
     return labels
@@ -152,7 +158,16 @@ def wcc_bounded(
     comp = nodes.select(
         F.col("id").alias("node"), F.col("id").alias("comp")
     ).localCheckpoint(eager=True)
-    bcast = comp.count() <= 2_000_000
+    n_nodes = comp.count()
+    bcast = n_nodes <= 2_000_000
+    # the component map is node-sized — repartition it to a MEASURED width
+    # before each checkpoint instead of inheriting spark.sql.shuffle
+    # .partitions (at 512-wide rehearsal the per-round eager checkpoint of
+    # a 186k-row map across 512 near-empty partitions dominated runtime:
+    # 12.5s -> 48s; same _parts_for sizing as the CC kernel)
+    from .components import _parts_for
+
+    parts = _parts_for(n_nodes)
     for _ in range(rounds):
         c = F.broadcast(comp) if bcast else comp
         nbr = (
@@ -163,6 +178,7 @@ def wcc_bounded(
         comp = (
             comp.join(nbr, "node", "left_outer")
             .select("node", F.least(F.col("comp"), F.coalesce("m", F.col("comp"))).alias("comp"))
+            .repartition(parts, "node")
             .localCheckpoint(eager=True)
         )
     return comp

@@ -49,17 +49,21 @@ def landmark_distances(
     dist = lms.select(
         "landmark", F.col("landmark").alias("node"), F.lit(0).cast("long").alias("dist")
     )
+    from .components import _parts_for
+
     for _ in range(hops):
         nxt = (
             e.join(dist.withColumnRenamed("node", "src"), "src")
             .select("landmark", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("landmark", "node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+        merged = dist.unionByName(nxt).groupBy("landmark", "node").agg(
+            F.min("dist").alias("dist")
         )
+        # frontier is bounded by L x reached-nodes: checkpoint at a
+        # measured width, not the session shuffle width
+        dist = merged.repartition(
+            _parts_for(dist.count() * 4), "landmark", "node"
+        ).localCheckpoint(eager=True)
     return dist
 
 
