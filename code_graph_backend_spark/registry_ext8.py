@@ -338,3 +338,80 @@ def dedup_minhash_clusters_q(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates_exact(docs, k=16, bands=4)
     return dedup_clusters(spark, docs, pairs)
+
+
+def _closeness_sql() -> str:
+    from .graph.tpch import SQL_EDGES, SQL_NODES
+    from .operators.landmarks import landmark_distances_sql
+
+    inner = landmark_distances_sql(SQL_NODES, SQL_EDGES, n_landmarks=8, hops=3)
+    return f"""
+    WITH ld AS ({inner})
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_landmarks,
+           CAST(SUM(dist) AS BIGINT) AS dist_sum,
+           ROUND(COUNT(*) / CAST(SUM(dist) + 1 AS DOUBLE), 6) AS closeness
+    FROM ld GROUP BY node
+    """
+
+
+@register("graph_closeness_approx", _closeness_sql())
+def graph_closeness_approx_q(spark, sf_dir):
+    """Landmark-approximated closeness centrality: reached-landmark count
+    over (1 + summed landmark distance) per node — the standard cheap
+    centrality at scales where exact closeness (all-pairs BFS) is
+    impossible. ONE hash-agg on top of the already-verified
+    landmark_distances table; integer sums keep the oracle exact."""
+    from .graph.tpch import build_graph
+    from .operators.landmarks import landmark_distances
+
+    g = build_graph(spark, sf_dir)
+    ld = landmark_distances(g.nodes, g.edges, n_landmarks=8, hops=3)
+    return ld.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_landmarks"),
+        F.sum("dist").cast("long").alias("dist_sum"),
+        F.round(
+            F.count("*") / (F.sum("dist") + F.lit(1)).cast("double"), 6
+        ).alias("closeness"),
+    )
+
+
+@register(
+    "corpus_train_val_split",
+    """
+    WITH s AS (
+        SELECT source,
+               CASE
+                 WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'train'
+                 WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 95 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM s GROUP BY source, split
+    """,
+)
+def corpus_train_val_split_q(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by md5 hash bucket
+    of the STABLE document id — the split every ML pipeline needs to be
+    (a) reproducible across runs and engines, (b) stable under corpus
+    growth (a doc's split never changes when other docs arrive), which a
+    random or row-number split is not. Map-only assignment + one rollup;
+    the md5 bucket is the same ANSI-replicable family as the LSH twins,
+    so the oracle replays the assignment itself."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    s = docs.select(
+        "source",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return s.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
