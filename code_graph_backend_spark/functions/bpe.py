@@ -48,6 +48,16 @@ def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# Trained-tokenizer memo, keyed by the corpus plan's semantic hash: the
+# merge table and tokenized vocabulary are a trained MODEL (the
+# typed-edge-memo precedent — serving state, not query scratch), so
+# bpe_train_merges and bpe_apply_token_counts over the same corpus share
+# one training run. Values are localCheckpointed (vocabulary-sized);
+# bounded LRU so long sessions can't accumulate checkpoints.
+_TRAIN_MEMO: dict[tuple, tuple] = {}
+_TRAIN_MEMO_CAP = 4
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 4,
@@ -60,6 +70,12 @@ def bpe_train(
     APPLIED to the vocabulary, which is how merges are applied to a
     corpus at scale (per distinct word once, then joined back)."""
     spark: SparkSession = docs.sparkSession
+    try:
+        memo_key = (docs.semanticHash(), n_merges, text_col)
+    except Exception:
+        memo_key = None
+    if memo_key is not None and memo_key in _TRAIN_MEMO:
+        return _TRAIN_MEMO[memo_key]
     wt = _word_table(docs, text_col).localCheckpoint(eager=True)
     rules = []
     for r in range(1, n_merges + 1):
@@ -122,6 +138,10 @@ def bpe_train(
     rules_df = spark.createDataFrame(
         rules, "merge_round int, lhs string, rhs string, new_symbol string, pair_count long"
     )
+    if memo_key is not None:
+        while len(_TRAIN_MEMO) >= _TRAIN_MEMO_CAP:
+            _TRAIN_MEMO.pop(next(iter(_TRAIN_MEMO)))
+        _TRAIN_MEMO[memo_key] = (rules_df, wt)
     return rules_df, wt
 
 

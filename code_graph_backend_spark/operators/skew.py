@@ -48,3 +48,35 @@ def salted_agg(
             for out, (c, fn) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: the FACT side's hot keys are split across
+    `salt` sub-keys (deterministic md5 salt from a per-row id-free hash
+    of the whole fact row would not be stable; a hash of a monotonically
+    assigned salt via pmod(xxhash64(all fact cols), salt) is — but any
+    fact-side spray works because the DIM side is REPLICATED to every
+    sub-key), then the join runs on (key, salt). A hot key's rows land
+    on `salt` reducers instead of one; the dim side grows by exactly
+    `salt`×, which is the explicit, bounded price.
+
+    This is the manual form of what AQE skew-join splitting does at
+    runtime; the explicit operator exists for engines/pipelines where
+    the skew is KNOWN up front (a `null`/default key, a celebrity
+    entity) and for pre-AQE plan stability. Join semantics are identical
+    to fact.join(dim, key) — verified by the oracle, which runs the
+    plain join."""
+    fact_cols = [c for c in fact.columns]
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), F.lit(salt)).cast("int"),
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_fact.join(exploded_dim, [key, "_salt"]).drop("_salt")

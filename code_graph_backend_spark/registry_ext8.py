@@ -415,3 +415,29 @@ def corpus_train_val_split_q(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS type_total
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, d.type_total
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def skew_salted_join_q(spark, sf_dir):
+    """Skew-safe fact⋈dim equi-join (operators/skew.py salted_join): the
+    7-value event_type key is the canonical hot-key join — unsalted,
+    every rows-of-a-type lands on one reducer. The fact side sprays
+    across 16 sub-keys, the dim side replicates 16x (the explicit,
+    bounded price), and the oracle runs the PLAIN join, proving salting
+    changes the schedule, never the semantics."""
+    from .operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("type_total"))
+    return salted_join(ev, dim, "event_type", salt=16)
