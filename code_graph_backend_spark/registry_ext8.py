@@ -1,8 +1,24 @@
-"""Round-4c flagship composition: curation_pipeline_v2 — the FineWeb-
-generation curation DAG with the round's new gates composed in. Beside
-the original curation_pipeline (cluster-canonical → quality →
-decontaminate → weighted sample) this adds the two repetition gates a
-modern pretraining pipeline runs (RefinedWeb/FineWeb lineage):
+"""Round-4c compositions and closing operators:
+
+- curation_pipeline_v2 (flagship): the six-gate FineWeb-generation DAG
+  (below) as ONE Catalyst plan;
+- graph_wcc_bounded / graph_closeness_approx: bounded min-label WCC and
+  landmark-approximated closeness — the last two of the graph-analytics
+  suite, unrolled-oracle-checked like their siblings;
+- corpus_lang_pivot: pinned-values pivot crosstab (one conditional-count
+  hash-agg);
+- emb_power_iteration: dominant Gram eigenvector, exact DECIMAL(38)/
+  HUGEINT unnormalized power iteration;
+- dedup_minhash_clusters: banded-LSH candidates → components →
+  canonicals, the at-scale dedup path end-to-end;
+- corpus_train_val_split: growth-stable 90/5/5 md5-bucket split;
+- skew_salted_join: the manual AQE-skew-split for known hot keys,
+  oracled by the plain join (salting must never change semantics).
+
+curation_pipeline_v2 extends the original curation_pipeline
+(cluster-canonical → quality → decontaminate → weighted sample) with the
+two repetition gates a modern pretraining pipeline runs (RefinedWeb/
+FineWeb lineage):
 
   1. near-dup cluster canonicals        (dedup_clusters)
   2. repetition/length quality gate     (token_repetition)

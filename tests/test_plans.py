@@ -357,3 +357,18 @@ def test_trending_counts_then_bounded_rank(spark, qs):
     plan = _plan(qs["trending_events"](spark, SF))
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_replicates_dim_no_nested_loop(spark, qs):
+    """The salted join must stay a hash equi-join on (key, salt) — the
+    dim explode must not degrade it to a nested loop."""
+    plan = _plan(qs["skew_salted_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_train_val_split_single_agg(spark, qs):
+    """md5-bucket assignment is map-only; the rollup is the only
+    aggregate — one scan, no joins."""
+    plan = _plan(qs["corpus_train_val_split"](spark, SF))
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") <= 1
