@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 # -- tokenizer ---------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<kw>(?i:OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT|DISTINCT|AND|OR|NOT|IN|IS|NULL|CONTAINS|STARTS\s+WITH|DESC|ASC|AS|SKIP|WITH))(?![A-Za-z0-9_])"
+    r"\s*(?:(?P<kw>(?i:OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|LIMIT|DISTINCT|AND|OR|NOT|IN|IS|NULL|CONTAINS|STARTS\s+WITH|DESC|ASC|AS|SKIP|WITH|CALL|YIELD))(?![A-Za-z0-9_])"
     r"|(?P<num>\d+)"
     r"|(?P<param>\$[A-Za-z_]\w*)"
     r"|(?P<str>'[^']*'|\"[^\"]*\")"
@@ -127,6 +127,7 @@ class Query:
     order_by: tuple[str, str | None, bool] | None = None  # (var, prop, desc)
     skip: object = None   # int or $param (applied before limit)
     limit: object = None  # int or $param
+    call: tuple | None = None  # (proc_name, [args], [yield names])
 
 
 # -- parser ------------------------------------------------------------------
@@ -162,11 +163,17 @@ class _Parser:
     # MATCH p=(a)-[:T*]->(b) etc.
     def parse(self) -> Query:
         matches, conds = [], []
+        call = None
         while True:
             t = self.peek()
             if t[1] in ("MATCH", "OPTIONAL MATCH"):
                 self.take()
                 matches.extend(self._match_clause(optional=t[1] != "MATCH"))
+            elif t[1] == "CALL":
+                if call is not None:
+                    raise CypherError("only one CALL clause supported")
+                self.take()
+                call = self._call_clause()
             elif t[1] == "WHERE":
                 self.take()
                 conds.extend(self._where())
@@ -177,9 +184,33 @@ class _Parser:
                     self.take()
             elif t[1] == "RETURN":
                 self.take()
-                return self._returns(matches, conds)
+                q = self._returns(matches, conds)
+                q.call = call
+                return q
             else:
                 raise CypherError(f"unexpected {t}")
+
+    def _call_clause(self) -> tuple:
+        # CALL dotted.proc.name(arg, ...) YIELD name [, name ...]
+        parts = [self.take_name()]
+        while self.at("."):
+            self.take()
+            parts.append(self.take_name())
+        proc = ".".join(parts)
+        self.take(text="(")
+        args = []
+        if not self.at(")"):
+            args.append(self._value())
+            while self.at(","):
+                self.take()
+                args.append(self._value())
+        self.take(text=")")
+        self.take(text="YIELD")
+        yields = [self.take_name()]
+        while self.at(","):
+            self.take()
+            yields.append(self.take_name())
+        return (proc, args, yields)
 
     def _match_clause(self, optional) -> list[MatchChain]:
         chains = [self._chain(optional)]
@@ -518,6 +549,9 @@ def run_cypher(graph, query: str, params: dict | None = None) -> DataFrame:
     q = parse_cypher(query)
     b = _Binder(graph, params)
 
+    if q.call is not None:
+        _bind_call(b, q.call, params)
+
     var_length_chain = None
     for chain in q.matches:
         if any(isinstance(e, EdgePat) and e.var_length for e in chain.elements):
@@ -536,6 +570,65 @@ def run_cypher(graph, query: str, params: dict | None = None) -> DataFrame:
         return _compile_var_length(b, var_length_chain, q, params)
 
     return _project(b, q, params)
+
+
+def _bind_call(b: _Binder, call: tuple, params) -> None:
+    """Execute a CALL procedure and bind its YIELD columns.
+
+    Parity surface: `db.idx.fulltext.queryNodes` is the ONE procedure the
+    reference's templates use (api/graph.py:345, the auto-complete
+    endpoint) — that template now runs verbatim. `algo.pageRank` /
+    `algo.wcc` are the FalkorDB server-side analytics procedures
+    (parity-in-kind: the reference's store exposes them even though its
+    templates don't call them), lowered onto the same verified kernels
+    the typed queries use (operators/pagerank.py, labelprop.wcc_bounded).
+    Node yields bind like a MATCH var (joinable, RETURN-able whole);
+    scalar yields (score/componentId) bind as plain columns."""
+    proc, args, yields = call
+    name = proc.lower()
+    if b.df is not None:
+        raise CypherError("CALL must precede MATCH clauses")
+    if name == "db.idx.fulltext.querynodes":
+        if len(args) != 2 or len(yields) != 1:
+            raise CypherError("queryNodes(label, query) YIELD node")
+        label = str(_resolve(args[0], params))
+        qstr = str(_resolve(args[1], params))
+        prefix = qstr[:-1] if qstr.endswith("*") else qstr
+        var = yields[0]
+        nd = (
+            b.graph.nodes.filter(F.array_contains("labels", label))
+            .filter(F.col("name").startswith(prefix))
+            .orderBy("name", "id")
+        )
+        b.df = _prefix(nd, var, NODE_FIELDS)
+        b.vars[var] = "node"
+        return
+    if name in ("algo.pagerank", "algo.wcc"):
+        if len(yields) != 2:
+            raise CypherError(f"{proc} YIELD node, value")
+        node_var, val_var = yields
+        edges = b.graph.edges
+        if name == "algo.pagerank" and len(args) >= 2:
+            edges = edges.filter(F.col("type") == str(_resolve(args[1], params)))
+        if name == "algo.pagerank":
+            from .operators.pagerank import pagerank
+
+            res = pagerank(b.graph.spark, b.graph.nodes, edges)
+            val = F.col("rank")
+        else:
+            from .operators.labelprop import wcc_bounded
+
+            res = wcc_bounded(b.graph.spark, b.graph.nodes, edges)
+            val = F.col("comp")
+        nd = _prefix(b.graph.nodes, node_var, NODE_FIELDS)
+        b.df = nd.join(
+            res.select(F.col("node").alias(f"{node_var}_id"), val.alias(val_var)),
+            f"{node_var}_id",
+        )
+        b.vars[node_var] = "node"
+        b.vars[val_var] = "scalar"
+        return
+    raise CypherError(f"unknown procedure {proc}")
 
 
 def _compile_chain(b: _Binder, chain: MatchChain, params):
@@ -681,7 +774,10 @@ def _project(b: _Binder, q: Query, params) -> DataFrame:
                     target = F.lit(1)
                 else:
                     kind = b.vars.get(r.var, "node")
-                    target = b.col(r.var, "id" if kind == "node" else "src")
+                    if kind == "scalar":  # CALL ... YIELD value column
+                        target = F.col(r.var)
+                    else:
+                        target = b.col(r.var, "id" if kind == "node" else "src")
                 if r.distinct:
                     exprs.append(F.count_distinct(target).alias(
                         r.alias or f"count_{r.var or 'all'}"))
@@ -735,6 +831,8 @@ def _ret_cols(b: _Binder, r: RetItem) -> list[Column]:
         kind = b.vars.get(r.var)
         if kind is None:
             raise CypherError(f"unbound return var {r.var}")
+        if kind == "scalar":  # a CALL ... YIELD value column
+            return [F.col(r.var).alias(r.alias or r.var)]
         fields = NODE_FIELDS if kind == "node" else EDGE_FIELDS
         return [b.col(r.var, f) for f in fields]
     if r.kind == "prop":

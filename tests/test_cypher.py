@@ -350,3 +350,50 @@ def test_numeric_and_ordering_aggregates(g):
     ).collect()[0]
     ids = [r["id"] for r in g.nodes.collect() if "Region" in r["labels"]]
     assert tot["s"] == float(sum(ids)) and tot["a"] == sum(ids) / len(ids)
+
+
+def test_call_fulltext_querynodes_verbatim(g):
+    # api/graph.py:342-350 — the auto-complete template VERBATIM,
+    # including the wildcard suffix and the WITH re-scope
+    out = run_cypher(
+        g,
+        """
+        CALL db.idx.fulltext.queryNodes('Searchable', $prefix)
+        YIELD node
+        WITH node
+        RETURN node
+        LIMIT 10
+        """,
+        {"prefix": "Customer#*"},
+    ).collect()
+    assert len(out) == 10
+    assert all(r["node_name"].startswith("Customer#") for r in out)
+    # deterministic: ordered by (name, id) like the typed X3 operator
+    names = [r["node_name"] for r in out]
+    assert names == sorted(names)
+
+
+def test_call_algo_pagerank(g):
+    # FalkorDB's algo.pageRank procedure shape — lowered onto the same
+    # verified kernel as graph_pagerank
+    out = run_cypher(
+        g,
+        "CALL algo.pageRank('G', 'ORDERED') YIELD node, score "
+        "RETURN node.name, score ORDER BY score DESC LIMIT 5",
+    ).collect()
+    assert len(out) == 5
+    assert all(r["score"] >= 0 for r in out)
+
+
+def test_call_algo_wcc_component_count(g):
+    out = run_cypher(
+        g,
+        "CALL algo.wcc() YIELD node, componentId "
+        "RETURN count(DISTINCT componentId) AS n_comp",
+    ).collect()
+    assert out[0]["n_comp"] >= 1
+
+
+def test_call_unknown_procedure_rejected(g):
+    with pytest.raises(CypherError):
+        run_cypher(g, "CALL algo.betweenness() YIELD node, score RETURN score")
