@@ -457,3 +457,42 @@ def skew_salted_join_q(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").select("event_id", "event_type")
     dim = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("type_total"))
     return salted_join(ev, dim, "event_type", salt=16)
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix_q(spark, sf_dir):
+    """Per-user event-type transition counts (the user-journey Markov
+    matrix): one LEAD window over (ts, event_id)-ordered events per user
+    + one hash-agg — a single shuffle on user_id, output bounded by
+    |types|². The (ts, event_id) composite order pins tie-breaking so
+    both engines see identical successor pairs."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
