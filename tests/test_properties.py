@@ -331,3 +331,89 @@ def test_triangle_count_matches_python_oracle(spark, pairs):
     got = {r["node"]: r["n_triangles"] for r in
            triangle_count_per_node(_edges_df(spark, pairs)).collect()}
     assert got == expect
+
+
+# -- round-4c kernels --------------------------------------------------------
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc_strategy = st.lists(_word, min_size=1, max_size=30).map(" ".join)
+
+
+def _py_spans(texts: dict[int, str], n: int):
+    """Brute-force reference of duplicated_spans: anchor positions whose
+    n-gram occurs in >=2 distinct docs, merged into maximal runs."""
+    grams: dict[str, set[int]] = {}
+    pos: dict[int, list[tuple[int, str]]] = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        pos[d] = []
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i:i + n])
+            grams.setdefault(g, set()).add(d)
+            pos[d].append((i + 1, g))
+    out = set()
+    for d, plist in pos.items():
+        anchors = sorted(p for p, g in plist if len(grams[g]) >= 2)
+        run: list[int] = []
+        for p in anchors:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.add((d, run[0], run[-1] + n - 1, run[-1] + n - 1 - run[0] + 1, len(run)))
+                run = [p]
+        if run:
+            out.add((d, run[0], run[-1] + n - 1, run[-1] + n - 1 - run[0] + 1, len(run)))
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_doc_strategy, min_size=2, max_size=6))
+def test_duplicated_spans_matches_python_oracle(spark, docs):
+    from code_graph_backend_spark.functions.boilerplate import duplicated_spans
+
+    n = 3
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_anchors)
+        for r in duplicated_spans(df, n=n).collect()
+    }
+    assert got == _py_spans(texts, n)
+
+
+def _py_hll(items: list[str]):
+    """Pure-python replica of the md5 HLL estimator (m=256)."""
+    import hashlib
+    import math
+
+    regs = [0] * 256
+    for it in items:
+        h = hashlib.md5(it.encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        v = int(h[2:14], 16)
+        rho = 49 if v == 0 else (48 - v.bit_length() + 1)
+        regs[bucket] = max(regs[bucket], rho)
+    s = sum(2.0 ** -m for m in regs)
+    v0 = regs.count(0)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 256.0 * 256.0 / s
+    if raw <= 2.5 * 256 and v0 > 0:
+        raw = 256.0 * math.log(256.0 / v0)
+    return round(raw, 4)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_items=st.integers(1, 400), seed=st.integers(0, 5))
+def test_hll_matches_python_reference(spark, n_items, seed):
+    from code_graph_backend_spark.functions.sketches import hll_distinct
+
+    items = [f"it-{seed}-{i % max(1, n_items // 2)}" for i in range(n_items)]
+    df = spark.createDataFrame(
+        [("g", it) for it in items], "grp string, i string"
+    )
+    (row,) = hll_distinct(df, "grp", "i").collect()
+    assert row.hll_est == _py_hll(items)
+    assert row.exact_distinct == len(set(items))
