@@ -500,3 +500,54 @@ public class C {
     rows = parse_csharp_source("c.cs", src)
     ents = [(r[1], r[2]) for r in rows if r[0] == "entity"]
     assert ents == [("Class", "C"), ("Method", "M")]
+
+
+def test_csharp_indexer_and_event_not_entities():
+    # tree-sitter's C# grammar has indexer_declaration / event_field_
+    # declaration nodes; the reference's query list (csharp/analyzer.py:
+    # 33-44) captures only class/interface/struct/enum/method/constructor,
+    # so indexers and events yield NO entity there — pin that the
+    # brace-scanner agrees: no bogus 'this'/'Changed' entities, and the
+    # sibling methods still parse exactly.
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    src = (
+        "public class Cache {\n"
+        "    private int[] data = new int[16];\n"
+        "    public int this[int i] {\n"
+        "        get { return Fetch(i); }\n"
+        "        set { Store(i, value); }\n"
+        "    }\n"
+        "    public event System.EventHandler Changed;\n"
+        "    public int Fetch(int i) { return data[i]; }\n"
+        "    public void Store(int i, int v) { data[i] = v; Notify(); }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("Cache.cs", src)
+    ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert ents == {("Class", "Cache"), ("Method", "Fetch"), ("Method", "Store")}
+    assert not any(r[2] in ("this", "Changed") for r in rows if r[0] == "entity")
+
+
+def test_java_initializer_blocks_not_entities():
+    # static { } and instance { } initializer blocks are not
+    # method_declaration nodes in tree-sitter either — the reference's
+    # java query (java/analyzer.py:41-50) skips them. Pin: no phantom
+    # entities, and the real methods beside them keep exact rows.
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    src = (
+        "public class Boot {\n"
+        "    static int N;\n"
+        "    static {\n"
+        "        N = compute();\n"
+        "        register(N);\n"
+        "    }\n"
+        "    { instanceInit(); }\n"
+        "    public static int compute() { return 7; }\n"
+        "    static void register(int n) { }\n"
+        "}\n"
+    )
+    rows = parse_java_source("Boot.java", src)
+    ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert ents == {("Class", "Boot"), ("Method", "compute"), ("Method", "register")}
