@@ -172,6 +172,11 @@ class _Parser:
             elif t[1] == "CALL":
                 if call is not None:
                     raise CypherError("only one CALL clause supported")
+                if matches:
+                    # procedures here are row sources, not per-row
+                    # subqueries — reordering them ahead of MATCH would
+                    # silently change semantics, so reject at parse time
+                    raise CypherError("CALL must precede MATCH clauses")
                 self.take()
                 call = self._call_clause()
             elif t[1] == "WHERE":
@@ -580,14 +585,17 @@ def _bind_call(b: _Binder, call: tuple, params) -> None:
     endpoint) — that template now runs verbatim. `algo.pageRank` /
     `algo.wcc` are the FalkorDB server-side analytics procedures
     (parity-in-kind: the reference's store exposes them even though its
-    templates don't call them), lowered onto the same verified kernels
-    the typed queries use (operators/pagerank.py, labelprop.wcc_bounded).
-    Node yields bind like a MATCH var (joinable, RETURN-able whole);
-    scalar yields (score/componentId) bind as plain columns."""
+    templates don't call them), lowered onto the verified kernels the
+    typed queries use: pagerank over the (label, relationship)-restricted
+    subgraph, and wcc onto the FIXPOINT component kernel
+    (operators/components.py — bounded rounds would split
+    large-diameter components). Node yields bind like a MATCH var
+    (joinable, RETURN-able whole); scalar yields (score/componentId)
+    bind as plain columns. CALL/YIELD are reserved words after this
+    change (as in openCypher) — `call`/`yield` as variable names no
+    longer parse."""
     proc, args, yields = call
     name = proc.lower()
-    if b.df is not None:
-        raise CypherError("CALL must precede MATCH clauses")
     if name == "db.idx.fulltext.querynodes":
         if len(args) != 2 or len(yields) != 1:
             raise CypherError("queryNodes(label, query) YIELD node")
@@ -607,20 +615,41 @@ def _bind_call(b: _Binder, call: tuple, params) -> None:
         if len(yields) != 2:
             raise CypherError(f"{proc} YIELD node, value")
         node_var, val_var = yields
-        edges = b.graph.edges
-        if name == "algo.pagerank" and len(args) >= 2:
+        nodes, edges = b.graph.nodes, b.graph.edges
+        # FalkorDB's procedure signature is (label, relationshipType) —
+        # both restrict the subgraph the algorithm runs over
+        if len(args) >= 1 and args[0]:
+            label = str(_resolve(args[0], params))
+            nodes = nodes.filter(F.array_contains("labels", label))
+            ids = nodes.select(F.col("id"))
+            edges = edges.join(
+                ids.withColumnRenamed("id", "src"), "src", "semi"
+            ).join(ids.withColumnRenamed("id", "dst"), "dst", "semi")
+        if len(args) >= 2 and args[1]:
             edges = edges.filter(F.col("type") == str(_resolve(args[1], params)))
         if name == "algo.pagerank":
             from .operators.pagerank import pagerank
 
-            res = pagerank(b.graph.spark, b.graph.nodes, edges)
+            res = pagerank(b.graph.spark, nodes, edges)
             val = F.col("rank")
         else:
-            from .operators.labelprop import wcc_bounded
+            # true weakly-connected components need the FIXPOINT kernel
+            # (alternating star, operators/components.py) — a bounded
+            # round count would split large-diameter components
+            from .operators.components import connected_components
 
-            res = wcc_bounded(b.graph.spark, b.graph.nodes, edges)
+            und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+            cc = connected_components(b.graph.spark, und, "src", "dst")
+            res = (
+                nodes.select(F.col("id").alias("node"))
+                .join(cc, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("component", F.col("node")).alias("comp"),
+                )
+            )
             val = F.col("comp")
-        nd = _prefix(b.graph.nodes, node_var, NODE_FIELDS)
+        nd = _prefix(nodes, node_var, NODE_FIELDS)
         b.df = nd.join(
             res.select(F.col("node").alias(f"{node_var}_id"), val.alias(val_var)),
             f"{node_var}_id",

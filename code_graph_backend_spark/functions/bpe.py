@@ -48,12 +48,15 @@ def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-# Trained-tokenizer memo, keyed by the corpus plan's semantic hash: the
-# merge table and tokenized vocabulary are a trained MODEL (the
-# typed-edge-memo precedent — serving state, not query scratch), so
-# bpe_train_merges and bpe_apply_token_counts over the same corpus share
-# one training run. Values are localCheckpointed (vocabulary-sized);
-# bounded LRU so long sessions can't accumulate checkpoints.
+# Trained-tokenizer memo, keyed by (Spark application id, corpus plan's
+# semantic hash): the merge table and tokenized vocabulary are a trained
+# MODEL (the typed-edge-memo precedent — serving state, not query
+# scratch), so bpe_train_merges and bpe_apply_token_counts over the same
+# corpus share one training run. The application id in the key scopes
+# entries to their session — localCheckpointed DataFrames die with the
+# SparkContext, so a later session reading the same corpus must retrain,
+# not resurrect dead checkpoint blocks. True LRU (hits refresh recency);
+# bounded so long sessions can't accumulate checkpoints.
 _TRAIN_MEMO: dict[tuple, tuple] = {}
 _TRAIN_MEMO_CAP = 4
 
@@ -71,11 +74,16 @@ def bpe_train(
     corpus at scale (per distinct word once, then joined back)."""
     spark: SparkSession = docs.sparkSession
     try:
-        memo_key = (docs.semanticHash(), n_merges, text_col)
+        memo_key = (
+            spark.sparkContext.applicationId,
+            docs.semanticHash(), n_merges, text_col,
+        )
     except Exception:
         memo_key = None
     if memo_key is not None and memo_key in _TRAIN_MEMO:
-        return _TRAIN_MEMO[memo_key]
+        hit = _TRAIN_MEMO.pop(memo_key)
+        _TRAIN_MEMO[memo_key] = hit  # refresh recency (LRU)
+        return hit
     wt = _word_table(docs, text_col).localCheckpoint(eager=True)
     rules = []
     for r in range(1, n_merges + 1):

@@ -54,6 +54,31 @@ def _rho_sql(hex12: str) -> str:
     )
 
 
+def _estimator_sql_ctes(src: str, grouped: bool) -> str:
+    """The SQL-twin home of the estimator arithmetic — shared by the
+    per-group and shard-merge oracles exactly like `_estimate` is on the
+    Spark side, so a constant tweak cannot desynchronize the four
+    copies. Emits `est`/`raw`/`fin` CTEs over register table `src`
+    (columns [grp,] m); `fin` exposes [grp,] est."""
+    g = "grp," if grouped else ""
+    gb = "GROUP BY grp" if grouped else ""
+    return f"""est AS (
+        SELECT {g}
+               SUM(power(2.0, -m)) + ({_M} - COUNT(*)) AS s,
+               CAST({_M} - COUNT(*) AS DOUBLE) AS v
+        FROM {src} {gb}
+    ),
+    raw AS (
+        SELECT {g} ({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s AS raw, v FROM est
+    ),
+    fin AS (
+        SELECT {g}
+               CASE WHEN raw <= {2.5 * _M} AND v > 0
+                    THEN {_M}.0 * ln({_M}.0 / v) ELSE raw END AS est
+        FROM raw
+    )"""
+
+
 def hll_register_table(
     items: DataFrame, group_col: str, item_col: str
 ) -> DataFrame:
@@ -71,6 +96,31 @@ def hll_register_table(
     return with_h.groupBy("grp", "bucket").agg(F.max("rho").alias("m"))
 
 
+def _estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., est) from a register table — the ONE home of the
+    estimator arithmetic (harmonic sum + linear-counting correction);
+    both the per-group sketch and the shard-merge path call it, so the
+    formula cannot drift between them."""
+    agged = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m")))
+            + (F.lit(_M) - F.count("*"))
+        ).alias("s"),
+        (F.lit(_M) - F.count("*")).cast("double").alias("v"),
+    )
+    return agged.select(
+        *group_cols,
+        F.expr(f"({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s").alias("raw"),
+        "v",
+    ).select(
+        *group_cols,
+        F.when(
+            (F.col("raw") <= F.lit(2.5 * _M)) & (F.col("v") > 0),
+            F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
+        ).otherwise(F.col("raw")).alias("est"),
+    )
+
+
 def hll_distinct(
     items: DataFrame, group_col: str, item_col: str
 ) -> DataFrame:
@@ -83,23 +133,7 @@ def hll_distinct(
     explode -> one m-register agg -> rollup, with a shuffle bounded by
     |groups| * 256 rows."""
     regs = hll_register_table(items, group_col, item_col)
-    est = regs.groupBy("grp").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), -F.col("m")))
-            + (F.lit(_M) - F.count("*"))
-        ).alias("s"),
-        (F.lit(_M) - F.count("*")).cast("double").alias("v"),
-    ).select(
-        "grp",
-        F.expr(f"({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s").alias("raw"),
-        "v",
-    ).select(
-        "grp",
-        F.when(
-            (F.col("raw") <= F.lit(2.5 * _M)) & (F.col("v") > 0),
-            F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
-        ).otherwise(F.col("raw")).alias("est"),
-    )
+    est = _estimate(regs, ["grp"])
     exact = (
         items.select(F.col(group_col).alias("grp"), F.col(item_col).alias("i"))
         .distinct()
@@ -137,21 +171,7 @@ def hll_sql(table_expr: str, group_col: str, item_expr: str) -> str:
         FROM it
     ),
     regs AS (SELECT grp, bucket, MAX(rho) AS m FROM h GROUP BY 1, 2),
-    est AS (
-        SELECT grp,
-               SUM(power(2.0, -m)) + ({_M} - COUNT(*)) AS s,
-               CAST({_M} - COUNT(*) AS DOUBLE) AS v
-        FROM regs GROUP BY grp
-    ),
-    raw AS (
-        SELECT grp, ({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s AS raw, v FROM est
-    ),
-    fin AS (
-        SELECT grp,
-               CASE WHEN raw <= {2.5 * _M} AND v > 0
-                    THEN {_M}.0 * ln({_M}.0 / v) ELSE raw END AS est
-        FROM raw
-    ),
+    {_estimator_sql_ctes("regs", grouped=True)},
     ex AS (
         SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_distinct
         FROM (SELECT DISTINCT grp, i FROM it) GROUP BY grp
@@ -175,23 +195,16 @@ def hll_merge_distinct(
 
     Returns one row: (n_shards, hll_est, exact_distinct, rel_err) — the
     exact side is the test-scale calibration twin."""
-    per_shard = hll_register_table(items, shard_col, item_col)
-    n_shards = per_shard.select("grp").distinct().count()
+    from ..scratch import scratch_persist
+
+    # the register table feeds the shard count AND the merge — persist or
+    # the explode+md5 pipeline runs once per consumer
+    per_shard = scratch_persist(hll_register_table(items, shard_col, item_col))
+    # count_distinct (ignores a NULL shard) — matches the SQL twin's
+    # COUNT(DISTINCT grp), unlike distinct().count() which counts NULL
+    n_shards = per_shard.agg(F.count_distinct("grp")).collect()[0][0]
     merged = per_shard.groupBy("bucket").agg(F.max("m").alias("m"))
-    est = merged.agg(
-        (
-            F.sum(F.pow(F.lit(2.0), -F.col("m")))
-            + (F.lit(_M) - F.count("*"))
-        ).alias("s"),
-        (F.lit(_M) - F.count("*")).cast("double").alias("v"),
-    ).select(
-        F.expr(f"({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s").alias("raw"), "v"
-    ).select(
-        F.when(
-            (F.col("raw") <= F.lit(2.5 * _M)) & (F.col("v") > 0),
-            F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
-        ).otherwise(F.col("raw")).alias("est"),
-    )
+    est = _estimate(merged.withColumn("_g", F.lit(1)), ["_g"]).drop("_g")
     exact = (
         items.select(F.col(item_col).alias("i")).distinct()
         .agg(F.count("*").alias("exact_distinct"))
@@ -225,18 +238,7 @@ def hll_merge_sql(table_expr: str, shard_col: str, item_expr: str) -> str:
     ),
     regs AS (SELECT grp, bucket, MAX(rho) AS m FROM h GROUP BY 1, 2),
     merged AS (SELECT bucket, MAX(m) AS m FROM regs GROUP BY bucket),
-    est AS (
-        SELECT SUM(power(2.0, -m)) + ({_M} - COUNT(*)) AS s,
-               CAST({_M} - COUNT(*) AS DOUBLE) AS v
-        FROM merged
-    ),
-    fin AS (
-        SELECT CASE WHEN ({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s <= {2.5 * _M}
-                         AND v > 0
-                    THEN {_M}.0 * ln({_M}.0 / v)
-                    ELSE ({_ALPHA_EXPR}) * {_M}.0 * {_M}.0 / s END AS est
-        FROM est
-    )
+    {_estimator_sql_ctes("merged", grouped=False)}
     SELECT CAST((SELECT COUNT(DISTINCT grp) FROM it) AS BIGINT) AS n_shards,
            ROUND(fin.est, 4) AS hll_est,
            CAST((SELECT COUNT(DISTINCT i) FROM it) AS BIGINT) AS exact_distinct,

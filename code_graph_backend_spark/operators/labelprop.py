@@ -23,6 +23,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _propagation_setup(nodes: DataFrame, edges: DataFrame, value_col: str):
+    """Shared preamble of the synchronous propagation loops (LPA votes,
+    WCC min-labels): persisted symmetric edge set, the per-node map
+    initialized to the node id, plus the two measured gates — broadcast
+    the map while it fits (~32 MB at 2M nodes; measured sf0.1: 2.7x
+    faster than shuffling the 2|E| edge side each round) and checkpoint
+    it at a width sized from its OWN row count, not the session shuffle
+    width (a 512-wide rehearsal showed near-empty checkpoint partitions
+    dominating runtime). One home so a gate tweak applies to every loop.
+
+    Returns (sym, state, bcast, parts)."""
+    from ..scratch import scratch_persist
+
+    from .components import _parts_for
+
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # sym feeds one join EVERY round — persist once or the caller's edge
+    # derivation (graph build + distinct) re-runs per iteration
+    sym = scratch_persist(
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    state = nodes.select(
+        F.col("id").alias("node"), F.col("id").alias(value_col)
+    ).localCheckpoint(eager=True)
+    n_nodes = state.count()
+    return sym, state, n_nodes <= 2_000_000, _parts_for(n_nodes)
+
+
 def label_propagation(
     spark: SparkSession,
     nodes: DataFrame,
@@ -30,31 +62,7 @@ def label_propagation(
     iters: int = 2,
 ) -> DataFrame:
     """Returns (node long, label long) after `iters` synchronous rounds."""
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    # sym feeds the vote join EVERY round — persist once or the caller's
-    # edge derivation (graph build + distinct) re-runs per iteration
-    from ..scratch import scratch_persist
-
-    sym = scratch_persist(
-        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    )
-    labels = nodes.select(
-        F.col("id").alias("node"), F.col("id").alias("label")
-    ).localCheckpoint(eager=True)
-    # measured-size strategy (same pattern as traversal/pagerank): the
-    # label map is (node, label) longs — broadcast it into the vote join
-    # while it fits (~32 MB at 2M nodes; measured sf0.1: 2.7x faster than
-    # shuffling the 2|E| edge side each round); above that, plain join and
-    # AQE picks the strategy from the checkpointed stats.
-    n_nodes = labels.count()
-    bcast_labels = n_nodes <= 2_000_000
-    from .components import _parts_for
-
-    parts = _parts_for(n_nodes)
+    sym, labels, bcast_labels, parts = _propagation_setup(nodes, edges, "label")
     for _ in range(iters):
         lab = F.broadcast(labels) if bcast_labels else labels
         votes = (
@@ -143,31 +151,9 @@ def wcc_bounded(
     star; this bounded form is the one a 100 TB job runs when diameter
     is known small or an approximation suffices.)
 
-    Per round: one edge join + one min-agg; the component map broadcasts
-    while node-count-small (measured, same gate as label_propagation)."""
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    from ..scratch import scratch_persist
-
-    sym = scratch_persist(
-        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    )
-    comp = nodes.select(
-        F.col("id").alias("node"), F.col("id").alias("comp")
-    ).localCheckpoint(eager=True)
-    n_nodes = comp.count()
-    bcast = n_nodes <= 2_000_000
-    # the component map is node-sized — repartition it to a MEASURED width
-    # before each checkpoint instead of inheriting spark.sql.shuffle
-    # .partitions (at 512-wide rehearsal the per-round eager checkpoint of
-    # a 186k-row map across 512 near-empty partitions dominated runtime:
-    # 12.5s -> 48s; same _parts_for sizing as the CC kernel)
-    from .components import _parts_for
-
-    parts = _parts_for(n_nodes)
+    Per round: one edge join + one min-agg; broadcast/width gates shared
+    with label_propagation via _propagation_setup."""
+    sym, comp, bcast, parts = _propagation_setup(nodes, edges, "comp")
     for _ in range(rounds):
         c = F.broadcast(comp) if bcast else comp
         nbr = (

@@ -27,11 +27,18 @@ def quantize_events(events: DataFrame) -> DataFrame:
 
 def event_sigma_stats(quantized: DataFrame) -> DataFrame:
     """Per-type (n, Σx, Σx²) — one hash-agg over history; output is
-    type-cardinality sized (broadcastable by construction)."""
+    type-cardinality sized (broadcastable by construction).
+
+    Accumulation runs in DECIMAL(38,0), not int64: Σx² wraps silently in
+    a non-ANSI long sum once n·x² crosses ~9·10¹⁸ (a single |value| >
+    ~3×10⁶ already overflows the per-row x·x), and a wrapped sum would
+    launder a wrong value into the (exact) gate comparison. Decimal sums
+    stay exact to ~10³⁸, matching the DuckDB twin's HUGEINT."""
+    xd = F.col("x").cast("decimal(38,0)")
     return quantized.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
     )
 
 

@@ -375,14 +375,37 @@ def test_call_fulltext_querynodes_verbatim(g):
 
 def test_call_algo_pagerank(g):
     # FalkorDB's algo.pageRank procedure shape — lowered onto the same
-    # verified kernel as graph_pagerank
+    # verified kernel as graph_pagerank, restricted to the
+    # (label, relationship) subgraph like the real procedure
     out = run_cypher(
         g,
-        "CALL algo.pageRank('G', 'ORDERED') YIELD node, score "
+        "CALL algo.pageRank('Nation', 'IN_REGION') YIELD node, score "
         "RETURN node.name, score ORDER BY score DESC LIMIT 5",
     ).collect()
     assert len(out) == 5
     assert all(r["score"] >= 0 for r in out)
+    # the label argument must actually restrict the node set
+    assert all(r["node_name"].startswith("NATION") for r in out)
+
+
+def test_call_algo_pagerank_label_restricts(g):
+    out = run_cypher(
+        g,
+        "CALL algo.pageRank('Nation', 'IN_REGION') YIELD node, score "
+        "RETURN count(node) AS n",
+    ).collect()
+    all_nodes = run_cypher(
+        g, "CALL algo.pageRank() YIELD node, score RETURN count(node) AS n"
+    ).collect()
+    assert 0 < out[0]["n"] < all_nodes[0]["n"]
+
+
+def test_call_after_match_rejected(g):
+    with pytest.raises(CypherError):
+        run_cypher(
+            g,
+            "MATCH (n:Nation) CALL algo.wcc() YIELD node, comp RETURN comp",
+        )
 
 
 def test_call_algo_wcc_component_count(g):
