@@ -44,7 +44,7 @@ _PRIORITY = [
     "corpus_hll_merge", "curation_pipeline_v2", "graph_wcc_bounded",
     "corpus_lang_pivot", "emb_power_iteration", "dedup_minhash_clusters",
     "graph_closeness_approx", "corpus_train_val_split", "skew_salted_join",
-    "events_transition_matrix",
+    "events_transition_matrix", "dedup_semantic_clusters",
     "token_budget_select", "events_rollup", "graph_hits",
     "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
     "emb_similarity_histogram", "mm_avi_frames", "events_outliers",

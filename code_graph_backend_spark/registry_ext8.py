@@ -496,3 +496,51 @@ def events_transition_matrix_q(spark, sf_dir):
         )
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    """
+    WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    nv AS (
+        SELECT vec_id,
+               list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS n
+        FROM v
+    ),
+    pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.n, b.n), x -> x[1] * x[2])) >= 0.42
+    ),
+    sym AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, mr) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.mr FROM sym s JOIN reach r ON r.node = s.v
+    ),
+    cc AS (SELECT node, MIN(mr) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id AS doc_id,
+           COALESCE(cc.component, e.vec_id) AS cluster_id,
+           e.vec_id = COALESCE(cc.component, e.vec_id) AS is_canonical
+    FROM embeddings e LEFT JOIN cc ON cc.node = e.vec_id
+    """,
+)
+def dedup_semantic_clusters_q(spark, sf_dir):
+    """SEMANTIC dedup end-to-end — the third verified clustering path
+    beside exact-Jaccard (dedup_clusters) and banded-LSH
+    (dedup_minhash_clusters): embedding-cosine near-dup pairs from the
+    distributed block-pair GEMM (no driver collect, no all-pairs on the
+    wire) -> connected components -> per-item cluster id + canonical
+    flag. This is the paraphrase-level pass the lexical families cannot
+    see; oracle replays the cosine pair graph + recursive-CTE closure."""
+    from .functions.similarity import cosine_near_dup_pairs
+    from .operators.components import dedup_clusters
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.42)
+    return dedup_clusters(
+        spark,
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs,
+        id_col="doc_id",
+    )
