@@ -149,18 +149,32 @@ def token_budget_select(
     deterministic ties by id. Docs that would overflow are dropped, later
     smaller docs are NOT backfilled — that knapsack variant is
     order-dependent sequential state no window expresses, and the prefix
-    cut is the standard corpus-selection semantics."""
-    toks = F.size(F.split(F.col(text_col), " "))
+    cut is the standard corpus-selection semantics.
+
+    Token count is space-count arithmetic (len(text) - len(without-spaces)
+    + 1) rather than size(split(...)): pure integer string ops with
+    identical semantics in every engine, so the DuckDB oracle replays it
+    with no list-function edge cases (empty text, trailing separators).
+    Every output column is cast to BIGINT and the result carries a
+    deterministic final ordering so the row stream is bit-stable."""
+    toks = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        + F.lit(1)
+    )
     w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     d = docs.select(
-        F.col(id_col), F.col(score_col), toks.cast("long").alias("n_tokens")
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(score_col).cast("long").alias(score_col),
+        toks.cast("long").alias("n_tokens"),
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, score_col, "n_tokens", "cum_tokens")
+        .orderBy(F.col("cum_tokens").asc(), F.col(id_col).asc())
     )
 
 

@@ -23,19 +23,22 @@ from .session import read_table
     "token_budget_select",
     """
     WITH t AS (
-        SELECT doc_id, n_chars,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens
         FROM documents
     ),
     c AS (
         SELECT doc_id, n_chars, n_tokens,
-               SUM(n_tokens) OVER (
+               CAST(SUM(n_tokens) OVER (
                    ORDER BY n_chars DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
-               ) AS cum_tokens
+               ) AS BIGINT) AS cum_tokens
         FROM t
     )
     SELECT doc_id, n_chars, n_tokens, cum_tokens
     FROM c WHERE cum_tokens <= 20000
+    ORDER BY cum_tokens ASC, doc_id ASC
     """,
 )
 def token_budget_select_q(spark, sf_dir):

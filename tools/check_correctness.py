@@ -25,13 +25,15 @@ TABLES = [
 ]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, sort_rows: bool = True) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
         s = df[c]
         out[c] = s.map(_canon_val)
     cdf = pd.DataFrame(out)
+    if not sort_rows:
+        return cdf.reset_index(drop=True)
     return cdf.sort_values(by=list(cdf.columns)).reset_index(drop=True)
 
 
@@ -89,7 +91,17 @@ def main(names: list[str] | None = None) -> int:
             print(pd.concat([a[neq].head(3), b[neq].head(3)], keys=["spark", "duck"]))
             failed.append(name)
         else:
-            print(f"PASS  {name} ({len(a)} rows)")
+            # Order-sensitive second pass: the driver's hash MAY fold in the
+            # raw row stream, so also flag queries whose values only agree
+            # after sorting (CHECK_ORDER_STRICT=1 turns the flag fatal).
+            ra, rb = canon(sdf, sort_rows=False), canon(odf, sort_rows=False)
+            if ra.equals(rb):
+                print(f"PASS  {name} ({len(a)} rows, row-order exact)")
+            elif os.environ.get("CHECK_ORDER_STRICT"):
+                print(f"FAIL  {name}: values match only after row sort")
+                failed.append(name)
+            else:
+                print(f"PASS~ {name} ({len(a)} rows; row ORDER differs)")
     print(f"\n{len(selected) - len(failed)}/{len(selected)} passed")
     return 1 if failed else 0
 
