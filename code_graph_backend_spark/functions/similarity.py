@@ -77,8 +77,10 @@ def brute_force_topk(
                 continue
             C = np.array(list(pdf[vec_col]), dtype=np.float64)
             cn = np.sqrt((C * C).sum(axis=1))
-            # same arithmetic as the SQL oracle: raw dot, then divide by norms
-            sims = (C @ b_Q.T) / (cn[:, None] * b_qn[None, :])
+            # rank on the ROUNDED sim (6 decimals) so near-ties resolve by
+            # cid identically here and in the sequential-sum SQL oracle;
+            # rounding precedes the local top-k cut for the same reason
+            sims = np.round((C @ b_Q.T) / (cn[:, None] * b_qn[None, :]), 6)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             outs = []
             for qi in range(len(b_qids)):
@@ -163,10 +165,13 @@ def cosine_near_dup_pairs(
             ids = sub["i"].to_numpy()
             M = np.array(list(sub["v"]), dtype=np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
-            sims = M @ M.T
+            # gate on the ROUNDED sim (6 decimals) so the keep/drop decision
+            # is ulp-insensitive and the SQL oracle's sequential-sum dot
+            # product makes the identical call (GEMM uses blocked summation)
+            sims = np.round(M @ M.T, 6)
             r, c = np.nonzero(np.triu(sims >= threshold, k=1))
             return pd.DataFrame(
-                {"i": ids[r], "j": ids[c], "sim": np.round(sims[r, c], 6)}
+                {"i": ids[r], "j": ids[c], "sim": sims[r, c]}
             )
         left = pdf[pdf["b"] == b1]
         right = pdf[pdf["b"] == b2]
@@ -177,11 +182,11 @@ def cosine_near_dup_pairs(
         R = np.array(list(right["v"]), dtype=np.float64)
         L /= np.linalg.norm(L, axis=1, keepdims=True)
         R /= np.linalg.norm(R, axis=1, keepdims=True)
-        sims = L @ R.T
+        sims = np.round(L @ R.T, 6)
         r, c = np.nonzero(sims >= threshold)
         i_ids, j_ids = li[r], ri[c]
         lo, hi = np.minimum(i_ids, j_ids), np.maximum(i_ids, j_ids)
-        return pd.DataFrame({"i": lo, "j": hi, "sim": np.round(sims[r, c], 6)})
+        return pd.DataFrame({"i": lo, "j": hi, "sim": sims[r, c]})
 
     return replicated.groupBy("b1", "b2").applyInPandas(
         pair_kernel, "i long, j long, sim double"
@@ -1125,7 +1130,11 @@ def hard_negatives(
                 continue
             C = np.array(list(pdf[vec_col]), dtype=np.float64)
             cn = np.sqrt((C * C).sum(axis=1))
-            sims = (C @ b_Q.T) / (cn[:, None] * b_qn[None, :])
+            # rank on the ROUNDED sim so near-ties (<1e-6 apart) resolve by
+            # cid identically here and in the sequential-sum SQL oracle;
+            # rounding must happen BEFORE the local top-k cut or a rounded
+            # tie's cid-winner could be dropped partition-locally
+            sims = np.round((C @ b_Q.T) / (cn[:, None] * b_qn[None, :]), 6)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             clab = pdf[label_col].to_numpy(dtype=np.int64)
             outs = []

@@ -87,8 +87,10 @@ def dedup_simhash(spark, sf_dir):
         FROM q, c WHERE qid <> cid
     ),
     s AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS sim_raw FROM p)
-    SELECT qid, cid, ROUND(sim_raw, 6) AS sim
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn FROM s)
+    SELECT qid, cid, sim
+    FROM (SELECT qid, cid, ROUND(sim_raw, 6) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(sim_raw, 6) DESC, cid) AS rn
+          FROM s)
     WHERE rn <= 10
     """,
 )
@@ -117,7 +119,7 @@ def ann_lsh_topk(spark, sf_dir):
                list_sum(list_transform(list_zip(a.n, b.n), x -> x[1] * x[2])) AS sim_raw
         FROM nv a JOIN nv b ON a.vec_id < b.vec_id
     )
-    SELECT i, j, ROUND(sim_raw, 6) AS sim FROM p WHERE sim_raw >= 0.42
+    SELECT i, j, ROUND(sim_raw, 6) AS sim FROM p WHERE ROUND(sim_raw, 6) >= 0.42
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):

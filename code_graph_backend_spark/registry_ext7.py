@@ -164,8 +164,10 @@ def trending_events_q(spark, sf_dir):
         FROM q, c WHERE ql <> cl
     ),
     s AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS sim_raw FROM p)
-    SELECT qid, cid, ROUND(sim_raw, 6) AS sim
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn FROM s)
+    SELECT qid, cid, sim
+    FROM (SELECT qid, cid, ROUND(sim_raw, 6) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(sim_raw, 6) DESC, cid) AS rn
+          FROM s)
     WHERE rn <= 5
     """,
 )

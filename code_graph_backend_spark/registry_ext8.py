@@ -510,7 +510,7 @@ def events_transition_matrix_q(spark, sf_dir):
     pairs AS (
         SELECT a.vec_id AS i, b.vec_id AS j
         FROM nv a JOIN nv b ON a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(list_zip(a.n, b.n), x -> x[1] * x[2])) >= 0.42
+        WHERE round(list_sum(list_transform(list_zip(a.n, b.n), x -> x[1] * x[2])), 6) >= 0.42
     ),
     sym AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
     reach(node, mr) AS (
