@@ -19,10 +19,17 @@ Supported (the reference's read surface):
          v.prop IN $list / v.prop CONTAINS $s / STARTS WITH / IS NOT NULL /
          NOT ()-[:T]->(v) / AND and OR (AND binds tighter; the anti-join
          NOT-pattern cannot appear under OR)
-  RETURN: vars, v.prop, ID(v), count(x), count(DISTINCT x), collect(x),
-          sum/min/max/avg(v.prop) (numeric aggs coerce props-map strings);
+  RETURN: vars, v.prop, ID(v), count(x), count(1), count(DISTINCT x),
+          collect(x), sum/min/max/avg(v.prop) (numeric aggs coerce
+          props-map strings);
+  WITH: one aggregation stage (`WITH f, count(1) AS usage_count` — the
+          reference's LLM-prompt idiom, prompts.py:24), optionally
+          followed by WHERE on the aliases; an aggregate-free WITH is the
+          reference's re-scoping no-op;
   ORDER BY / SKIP / LIMIT / DISTINCT. WHERE also supports parenthesized
-  boolean grouping.
+  boolean grouping. Keyword-shaped identifiers (a property or variable
+  named `call`, `yield`, `contains`, ...) are accepted wherever the
+  grammar expects a name.
 
 Mutating clauses (MERGE/SET/DELETE) are intentionally out of scope —
 writes go through the typed mutation layer (mutations/merge.py) which
@@ -54,7 +61,12 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _tokenize(q: str) -> list[tuple[str, str]]:
+def _tokenize(q: str) -> list[tuple[str, str, str]]:
+    """Tokens are (kind, canonical, raw): canonical is the uppercased
+    keyword text the parser compares against; raw preserves source case so
+    a keyword-shaped identifier (a variable or property named `call`,
+    `yield`, `contains`, ...) can be recovered verbatim where the grammar
+    expects a name."""
     out, i = [], 0
     q = q.strip()
     while i < len(q):
@@ -62,10 +74,9 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
         if not m:
             raise CypherError(f"cannot tokenize at: {q[i:i+24]!r}")
         kind = m.lastgroup
-        text = m.group(kind)
-        if kind == "kw":
-            text = re.sub(r"\s+", " ", text.upper())
-        out.append((kind, text))
+        raw = m.group(kind)
+        text = re.sub(r"\s+", " ", raw.upper()) if kind == "kw" else raw
+        out.append((kind, text, raw))
         i = m.end()
     return out
 
@@ -128,6 +139,8 @@ class Query:
     skip: object = None   # int or $param (applied before limit)
     limit: object = None  # int or $param
     call: tuple | None = None  # (proc_name, [args], [yield names])
+    with_items: list[RetItem] | None = None  # one WITH-aggregation stage
+    post_conds: list[Cond] = field(default_factory=list)  # WHERE after WITH
 
 
 # -- parser ------------------------------------------------------------------
@@ -138,7 +151,7 @@ class _Parser:
         self.i = 0
 
     def peek(self, k=0):
-        return self.toks[self.i + k] if self.i + k < len(self.toks) else ("eof", "")
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else ("eof", "", "")
 
     def take(self, kind=None, text=None):
         t = self.peek()
@@ -151,19 +164,29 @@ class _Parser:
         return self.peek()[1] == text
 
     def take_name(self) -> str:
-        """A label/edge-type position: plain identifiers, but also tokens
-        the tokenizer classified as keywords (an edge type like CONTAINS
-        collides with the operator keyword)."""
+        """An identifier position (variable, property, label, edge type,
+        alias): plain identifiers, but also tokens the tokenizer
+        classified as keywords (an edge type like CONTAINS or a property
+        named `call` collides with an operator/clause keyword). Returns
+        the RAW source text so case is preserved."""
         t = self.peek()
-        if t[0] in ("name", "kw") and re.fullmatch(r"[A-Za-z_]\w*", t[1]):
+        if t[0] == "name" or (t[0] == "kw" and re.fullmatch(r"[A-Za-z_]\w*", t[1])):
             self.i += 1
-            return t[1]
-        raise CypherError(f"expected name, got {t}")
+            return t[2]
+        raise CypherError(f"expected name, got {t[:2]}")
+
+    def at_ident(self) -> bool:
+        t = self.peek()
+        return t[0] == "name" or (
+            t[0] == "kw" and re.fullmatch(r"[A-Za-z_]\w*", t[1]) is not None
+        )
 
     # MATCH p=(a)-[:T*]->(b) etc.
     def parse(self) -> Query:
         matches, conds = [], []
         call = None
+        with_items = None
+        post_conds: list = []
         while True:
             t = self.peek()
             if t[1] in ("MATCH", "OPTIONAL MATCH"):
@@ -181,19 +204,32 @@ class _Parser:
                 call = self._call_clause()
             elif t[1] == "WHERE":
                 self.take()
-                conds.extend(self._where())
+                if with_items is not None:
+                    # WHERE after WITH filters the aggregated stage
+                    post_conds.extend(self._where())
+                else:
+                    conds.extend(self._where())
             elif t[1] == "WITH":
-                # the reference's WITH only re-scopes vars (api/graph.py:564)
+                # ONE aggregation stage (the reference's LLM-prompt idiom
+                # `WITH f, count(1) AS usage_count`, prompts.py:24); a
+                # WITH with no aggregate is the reference's re-scoping
+                # no-op (api/graph.py:564) and compiles to nothing
+                if with_items is not None:
+                    raise CypherError("only one WITH stage supported")
                 self.take()
-                while self.peek()[0] == "name" or self.at(","):
+                with_items = [self._ret_item()]
+                while self.at(","):
                     self.take()
+                    with_items.append(self._ret_item())
             elif t[1] == "RETURN":
                 self.take()
                 q = self._returns(matches, conds)
                 q.call = call
+                q.with_items = with_items
+                q.post_conds = post_conds
                 return q
             else:
-                raise CypherError(f"unexpected {t}")
+                raise CypherError(f"unexpected {t[:2]}")
 
     def _call_clause(self) -> tuple:
         # CALL dotted.proc.name(arg, ...) YIELD name [, name ...]
@@ -240,15 +276,15 @@ class _Parser:
         var = None
         labels: list[str] = []
         props: dict = {}
-        if self.peek()[0] == "name":
-            var = self.take()[1]
+        if self.at_ident():
+            var = self.take_name()
         while self.at(":"):
             self.take()
             labels.append(self.take_name())
         if self.at("{"):
             self.take()
             while not self.at("}"):
-                k = self.take("name")[1]
+                k = self.take_name()
                 self.take(text=":")
                 props[k] = self._value()
                 if self.at(","):
@@ -262,8 +298,8 @@ class _Parser:
         var = None
         etype = None
         var_len = False
-        if self.peek()[0] == "name":
-            var = self.take()[1]
+        if self.at_ident():
+            var = self.take_name()
         if self.at(":"):
             self.take()
             etype = self.take_name()
@@ -348,9 +384,16 @@ class _Parser:
                 return Cond("id_eq", var=var, value=self._value())
             self.take(text="IN")
             return Cond("id_in", var=var, value=self._value())
-        var = self.take("name")[1]
+        var = self.take_name()
+        if not self.at("."):
+            # bare-name comparison: a WITH-stage alias (`usage_count > 2`)
+            nxt = self.peek()
+            if nxt[1] in ("=", "<>", "<", ">", "<=", ">="):
+                op = self.take()[1]
+                return Cond("scalar_cmp", var=var, value=self._value(), op=op)
+            raise CypherError(f"unsupported condition after {var}: {nxt[:2]}")
         self.take(text=".")
-        prop = self.take("name")[1]
+        prop = self.take_name()
         nxt = self.peek()
         if nxt[1] == "=":
             self.take()
@@ -391,11 +434,11 @@ class _Parser:
         limit = None
         if self.at("ORDER BY"):
             self.take()
-            var = self.take("name")[1]
+            var = self.take_name()
             prop = None
             if self.at("."):
                 self.take()
-                prop = self.take("name")[1]
+                prop = self.take_name()
             desc = False
             if self.peek()[1] in ("ASC", "DESC"):
                 desc = self.take()[1] == "DESC"
@@ -420,35 +463,40 @@ class _Parser:
             if fn == "count" and self.at("DISTINCT"):
                 self.take()
                 cdistinct = True
-            var = self.take("name")[1] if not self.at("*") else (self.take()[1], None)[1]
+            if fn == "count" and (self.at("*") or self.peek()[0] == "num"):
+                # count(*) and the prompt idiom count(1) both count rows
+                self.take()
+                var = None
+            else:
+                var = self.take_name()
             self.take(text=")")
-            item = RetItem(fn, var=None if var == "*" else var, distinct=cdistinct)
+            item = RetItem(fn, var=var, distinct=cdistinct)
         elif (t[0] == "name" and t[1].lower() in ("sum", "min", "max", "avg")
               and self.peek(1)[1] == "("):
             fn = self.take()[1].lower()
             self.take(text="(")
-            var = self.take("name")[1]
+            var = self.take_name()
             self.take(text=".")
-            prop = self.take("name")[1]
+            prop = self.take_name()
             self.take(text=")")
             item = RetItem(fn, var=var, prop=prop)
         elif t[0] == "name" and t[1].upper() == "ID" and self.peek(1)[1] == "(":
             self.take()
             self.take(text="(")
-            var = self.take("name")[1]
+            var = self.take_name()
             self.take(text=")")
             item = RetItem("id", var=var)
         else:
-            var = self.take("name")[1]
+            var = self.take_name()
             if self.at("."):
                 self.take()
-                prop = self.take("name")[1]
+                prop = self.take_name()
                 item = RetItem("prop", var=var, prop=prop)
             else:
                 item = RetItem("var", var=var)
         if self.at("AS"):
             self.take()
-            item.alias = self.take("name")[1]
+            item.alias = self.take_name()
         return item
 
 
@@ -572,7 +620,14 @@ def run_cypher(graph, query: str, params: dict | None = None) -> DataFrame:
             b.df = _apply_cond(b, c)
 
     if var_length_chain is not None:
+        if q.with_items and any(r.kind in _AGG_KINDS for r in q.with_items):
+            raise CypherError("WITH aggregation over a var-length pattern unsupported")
         return _compile_var_length(b, var_length_chain, q, params)
+
+    if q.with_items:
+        _apply_with(b, q.with_items)
+    for c in q.post_conds:
+        b.df = _apply_cond(b, c)
 
     return _project(b, q, params)
 
@@ -591,14 +646,24 @@ def _bind_call(b: _Binder, call: tuple, params) -> None:
     (operators/components.py — bounded rounds would split
     large-diameter components). Node yields bind like a MATCH var
     (joinable, RETURN-able whole); scalar yields (score/componentId)
-    bind as plain columns. CALL/YIELD are reserved words after this
-    change (as in openCypher) — `call`/`yield` as variable names no
-    longer parse."""
+    bind as plain columns. CALL/YIELD tokenize as keywords, but the
+    parser accepts keyword-shaped tokens wherever the grammar expects an
+    identifier, so `call`/`yield` as variable or property names still
+    parse (only clause-head positions treat them as keywords)."""
     proc, args, yields = call
     name = proc.lower()
     if name == "db.idx.fulltext.querynodes":
-        if len(args) != 2 or len(yields) != 1:
-            raise CypherError("queryNodes(label, query) YIELD node")
+        # PARITY NOTE (documented narrowing): RediSearch fulltext does
+        # token-level prefix matching with its own query syntax and a
+        # relevance score; here the query is lowered to a WHOLE-NAME
+        # prefix scan (one trailing '*' stripped) — exact for the
+        # reference's single-token entity names (api/graph.py:345), but a
+        # multi-token name like 'my Customer' does NOT match 'Customer*'.
+        # `YIELD node, score` is accepted for signature parity; the score
+        # is the nominal 1/(1+|name|-|prefix|) length-closeness (longer
+        # completions rank lower), not a BM25.
+        if len(args) != 2 or not 1 <= len(yields) <= 2:
+            raise CypherError("queryNodes(label, query) YIELD node [, score]")
         label = str(_resolve(args[0], params))
         qstr = str(_resolve(args[1], params))
         prefix = qstr[:-1] if qstr.endswith("*") else qstr
@@ -610,6 +675,16 @@ def _bind_call(b: _Binder, call: tuple, params) -> None:
         )
         b.df = _prefix(nd, var, NODE_FIELDS)
         b.vars[var] = "node"
+        if len(yields) == 2:
+            score_var = yields[1]
+            b.df = b.df.withColumn(
+                score_var,
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.length(b.col(var, "name")) - F.lit(len(prefix)))
+                ).cast("double"),
+            )
+            b.vars[score_var] = "scalar"
         return
     if name in ("algo.pagerank", "algo.wcc"):
         if len(yields) != 2:
@@ -717,6 +792,19 @@ def _cond_column(b: _Binder, c: Cond) -> Column:
         return b.prop(c.var, c.prop).startswith(_resolve(c.value, b.params))
     if c.kind == "notnull":
         return b.prop(c.var, c.prop).isNotNull()
+    if c.kind == "scalar_cmp":
+        # bare-name comparison against a WITH-stage alias / YIELD column
+        if b.vars.get(c.var) != "scalar":
+            raise CypherError(f"{c.var} is not a scalar binding")
+        v = _resolve(c.value, b.params)
+        col = F.col(c.var)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            col = col.cast("double")
+        ops = {
+            "=": col == F.lit(v), "<>": col != F.lit(v), "<": col < F.lit(v),
+            ">": col > F.lit(v), "<=": col <= F.lit(v), ">=": col >= F.lit(v),
+        }
+        return ops[c.op]
     if c.kind == "and":
         out = None
         for alt in c.value:
@@ -778,48 +866,110 @@ def _compile_var_length(b: _Binder, chain: MatchChain, q: Query, params):
     return out
 
 
+_AGG_KINDS = ("count", "collect", "sum", "min", "max", "avg")
+
+
+def _agg_alias(r: RetItem) -> str:
+    if r.alias:
+        return r.alias
+    if r.kind in ("sum", "min", "max", "avg"):
+        return f"{r.kind}_{r.var}_{r.prop}"
+    if r.kind == "count":
+        return f"count_{r.var or 'all'}"
+    return f"collect_{r.var}"
+
+
+def _agg_expr(b: _Binder, r: RetItem) -> Column:
+    """One aggregate RetItem as an aliased aggregate Column (shared by the
+    RETURN aggregation and the WITH stage)."""
+    if r.kind in ("sum", "min", "max", "avg"):
+        target = b.prop(r.var, r.prop)
+        if r.kind in ("sum", "avg"):
+            # props-map values arrive as strings; numeric aggs
+            # coerce like openCypher's numeric sum/avg
+            target = target.cast("double")
+        fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[r.kind]
+        return fn(target).alias(_agg_alias(r))
+    if r.kind == "count":
+        if r.var is None:
+            target = F.lit(1)
+        else:
+            kind = b.vars.get(r.var, "node")
+            if kind == "scalar":  # CALL ... YIELD value column
+                target = F.col(r.var)
+            else:
+                target = b.col(r.var, "id" if kind == "node" else "src")
+        agg = F.count_distinct(target) if r.distinct else F.count(target)
+        return agg.alias(_agg_alias(r))
+    kind = b.vars.get(r.var, "node")
+    fields = NODE_FIELDS if kind == "node" else EDGE_FIELDS
+    return F.collect_list(
+        F.struct(*[b.col(r.var, f).alias(f) for f in fields])
+    ).alias(_agg_alias(r))
+
+
+def _apply_with(b: _Binder, items: list[RetItem]) -> None:
+    """ONE WITH-aggregation stage (`WITH f, count(1) AS usage_count`,
+    reference prompts.py:24): group by the non-aggregate items, compute
+    the aggregates, and rebind the scope — key node/edge vars stay whole
+    (grouped on identity, remaining fields carried with first(), exact
+    because they are functionally dependent on the key), aggregates bind
+    as scalar columns under their alias. A WITH with no aggregate is the
+    reference's re-scoping no-op (api/graph.py:564) and compiles away."""
+    aggs = [r for r in items if r.kind in _AGG_KINDS]
+    if not aggs:
+        return
+    if b.df is None:
+        raise CypherError("WITH aggregation before any MATCH binding")
+    keys = [r for r in items if r.kind not in _AGG_KINDS]
+    gcols: list[Column] = []
+    carry: list[tuple[str, str]] = []
+    newvars: dict[str, str] = {}
+    for r in keys:
+        if r.kind == "var":
+            kind = b.vars.get(r.var)
+            if kind is None:
+                raise CypherError(f"unbound WITH var {r.var}")
+            if kind == "scalar":
+                gcols.append(F.col(r.var))
+                newvars[r.var] = "scalar"
+            elif kind == "node":
+                gcols.append(b.col(r.var, "id"))
+                carry.extend((r.var, f) for f in NODE_FIELDS if f != "id")
+                newvars[r.var] = "node"
+            else:  # edge identity is (src, dst, type)
+                gcols.extend(b.col(r.var, f) for f in ("src", "dst", "type"))
+                carry.append((r.var, "props"))
+                newvars[r.var] = "edge"
+        elif r.kind == "prop":
+            alias = r.alias or f"{r.var}_{r.prop}"
+            gcols.append(b.prop(r.var, r.prop).alias(alias))
+            newvars[alias] = "scalar"
+        elif r.kind == "id":
+            alias = r.alias or f"id_{r.var}"
+            gcols.append(b.col(r.var, "id").alias(alias))
+            newvars[alias] = "scalar"
+        else:
+            raise CypherError(f"unsupported WITH item {r.kind}")
+    carry_exprs = [
+        F.first(F.col(f"{v}_{f}")).alias(f"{v}_{f}") for v, f in carry
+    ]
+    exprs = carry_exprs + [_agg_expr(b, r) for r in aggs]
+    b.df = b.df.groupBy(*gcols).agg(*exprs) if gcols else b.df.agg(*exprs)
+    for r in aggs:
+        newvars[_agg_alias(r)] = "scalar"
+    b.vars = newvars
+
+
 def _project(b: _Binder, q: Query, params) -> DataFrame:
     df = b.df
     if df is None:
         raise CypherError("nothing matched/bound")
 
-    _AGG_KINDS = ("count", "collect", "sum", "min", "max", "avg")
     aggs = [r for r in q.returns if r.kind in _AGG_KINDS]
     if aggs:
         keys = [r for r in q.returns if r.kind not in _AGG_KINDS]
-        exprs = []
-        for r in aggs:
-            if r.kind in ("sum", "min", "max", "avg"):
-                target = b.prop(r.var, r.prop)
-                if r.kind in ("sum", "avg"):
-                    # props-map values arrive as strings; numeric aggs
-                    # coerce like openCypher's numeric sum/avg
-                    target = target.cast("double")
-                fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[r.kind]
-                exprs.append(fn(target).alias(
-                    r.alias or f"{r.kind}_{r.var}_{r.prop}"))
-            elif r.kind == "count":
-                if r.var is None:
-                    target = F.lit(1)
-                else:
-                    kind = b.vars.get(r.var, "node")
-                    if kind == "scalar":  # CALL ... YIELD value column
-                        target = F.col(r.var)
-                    else:
-                        target = b.col(r.var, "id" if kind == "node" else "src")
-                if r.distinct:
-                    exprs.append(F.count_distinct(target).alias(
-                        r.alias or f"count_{r.var or 'all'}"))
-                else:
-                    exprs.append(F.count(target).alias(r.alias or f"count_{r.var or 'all'}"))
-            else:
-                kind = b.vars.get(r.var, "node")
-                fields = NODE_FIELDS if kind == "node" else EDGE_FIELDS
-                exprs.append(
-                    F.collect_list(
-                        F.struct(*[b.col(r.var, f).alias(f) for f in fields])
-                    ).alias(r.alias or f"collect_{r.var}")
-                )
+        exprs = [_agg_expr(b, r) for r in aggs]
         if keys:
             kcols = []
             for r in keys:

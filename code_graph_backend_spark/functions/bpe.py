@@ -148,7 +148,13 @@ def bpe_train(
     )
     if memo_key is not None:
         while len(_TRAIN_MEMO) >= _TRAIN_MEMO_CAP:
-            _TRAIN_MEMO.pop(next(iter(_TRAIN_MEMO)))
+            _, evicted_wt = _TRAIN_MEMO.pop(next(iter(_TRAIN_MEMO)))
+            try:
+                # free the checkpoint blocks now rather than waiting on
+                # Python GC + the ContextCleaner to notice the dead ref
+                evicted_wt.unpersist()
+            except Exception:
+                pass
         _TRAIN_MEMO[memo_key] = (rules_df, wt)
     return rules_df, wt
 

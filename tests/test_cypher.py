@@ -420,3 +420,90 @@ def test_call_algo_wcc_component_count(g):
 def test_call_unknown_procedure_rejected(g):
     with pytest.raises(CypherError):
         run_cypher(g, "CALL algo.betweenness() YIELD node, score RETURN score")
+
+
+def test_with_count_usage_idiom(g):
+    # prompts.py:24 — "For counting the usage of a function f use the
+    # `WITH f, count(1) AS usage_count` function in your cypher": the
+    # LLM-prompt idiom VERBATIM, one WITH-aggregation stage
+    rows = run_cypher(
+        g,
+        "MATCH (f:Part)<-[:SUPPLIES]-(caller) "
+        "WITH f, count(1) AS usage_count "
+        "RETURN f.name, usage_count ORDER BY usage_count DESC LIMIT 5",
+    ).collect()
+    assert len(rows) == 5
+    counts = [r["usage_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # agrees with the typed computation
+    typed = (
+        g.edges.filter(F.col("type") == "SUPPLIES")
+        .groupBy("dst").count()
+        .orderBy(F.col("count").desc())
+        .limit(1).collect()
+    )
+    assert counts[0] == typed[0]["count"]
+
+
+def test_with_aggregate_then_where_on_alias(g):
+    # WHERE after WITH filters the aggregated stage, not the match rows
+    rows = run_cypher(
+        g,
+        "MATCH (f:Part)<-[:SUPPLIES]-(s) "
+        "WITH f, count(1) AS uc WHERE uc >= 2 "
+        "RETURN f.name, uc",
+    ).collect()
+    assert rows and all(r["uc"] >= 2 for r in rows)
+    expected = (
+        g.edges.filter(F.col("type") == "SUPPLIES")
+        .groupBy("dst").count().filter(F.col("count") >= 2).count()
+    )
+    assert len(rows) == expected
+
+
+def test_with_sum_aggregate_on_edge_prop(g):
+    # WITH also carries numeric aggs over properties (props-map coercion)
+    rows = run_cypher(
+        g,
+        "MATCH (c:Customer)-[e:PLACED]->(o) "
+        "WITH c, count(e) AS n_orders "
+        "RETURN c.name, n_orders ORDER BY n_orders DESC LIMIT 3",
+    ).collect()
+    assert len(rows) == 3 and rows[0]["n_orders"] >= rows[2]["n_orders"]
+
+
+def test_keyword_shaped_identifiers_parse(g):
+    # a variable named `call` and an alias named `yield` are identifiers,
+    # not clause keywords, outside clause-head position
+    rows = run_cypher(
+        g,
+        "MATCH (call:Nation) WHERE call.name = $n RETURN call.name AS yield",
+        {"n": "NATION_3"},
+    ).collect()
+    assert len(rows) == 1 and rows[0]["yield"] == "NATION_3"
+
+
+def test_keyword_shaped_property_access(g):
+    # n.contains — property named like the CONTAINS operator resolves via
+    # the props map instead of erroring at parse time
+    rows = run_cypher(
+        g,
+        "MATCH (n:Nation {name: $n}) WHERE n.contains IS NOT NULL RETURN n",
+        {"n": "NATION_3"},
+    ).collect()
+    assert rows == []  # tpch nodes carry no such prop; parse must succeed
+
+
+def test_call_fulltext_yield_score(g):
+    # YIELD node, score — procedure-signature parity; score is the
+    # documented nominal length-closeness, monotone-decreasing in the
+    # completion length
+    rows = run_cypher(
+        g,
+        "CALL db.idx.fulltext.queryNodes('Searchable', $p) YIELD node, score "
+        "RETURN node.name, score LIMIT 10",
+        {"p": "Customer#*"},
+    ).collect()
+    assert rows and all(0 < r["score"] <= 1.0 for r in rows)
+    for r in rows:
+        assert r["score"] == 1.0 / (1.0 + len(r["node_name"]) - len("Customer#"))
