@@ -1004,6 +1004,19 @@ def kmeans_assign_exact(
     update agg are unchanged; this exact twin is what proves them.
 
     Returns the final assignment (vec_id, cell int, cost long)."""
+    _, asg, _ = _kmeans_exact_state(emb, id_col, vec_col, k, rounds)
+    return asg.select(
+        id_col, F.col("cell").cast("int").alias("cell"), F.col("cost").cast("long").alias("cost")
+    )
+
+
+def _kmeans_exact_state(
+    emb: DataFrame, id_col: str, vec_col: str, k: int, rounds: int
+):
+    """Shared integer-exact Lloyd's machinery (see kmeans_assign_exact):
+    returns (quantized-dims frame, final assignment, the centroid table
+    that PRODUCED that assignment — i.e. the round-(rounds-1) update,
+    which is what an IVF probe must score queries against)."""
     d = emb.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
     ).select(
@@ -1033,16 +1046,125 @@ def kmeans_assign_exact(
         )
 
     asg = None
+    probe_cent = cent
     for _ in range(rounds):
+        probe_cent = cent
         asg = assign(cent)
         cent = (
             d.join(asg.select(id_col, "cell"), id_col)
             .groupBy("cell", "dim")
             .agg(F.floor(F.sum("q") / F.count("*").cast("double")).cast("long").alias("cq"))
         )
-    return asg.select(
-        id_col, F.col("cell").cast("int").alias("cell"), F.col("cost").cast("long").alias("cost")
+    return d, asg, probe_cent
+
+
+def ivf_topk_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    rounds: int = 2,
+    n_probe: int = 2,
+    k: int = 10,
+    query_max_id: int = 5,
+) -> DataFrame:
+    """Exact-twin of the IVF probe pipeline (ivf_topk /
+    ivf_topk_indexed): the SAME plan shape — coarse-quantizer cells, a
+    query→n_probe-nearest-cells fan-out, a cell equi-join that prunes the
+    candidate set, and a per-query top-k re-rank — but on the
+    integer-exact k-means of kmeans_assign_exact, with an
+    integer-quantized dot-product re-rank. Every decision (cell argmin,
+    probe choice, rank order) is BIGINT arithmetic, so a DuckDB oracle
+    replays the whole probe-join machinery hash-exactly; recall of the
+    float production path stays pytest-asserted.
+
+    Plan shape at scale is the production one: centroid table broadcast
+    (k·d rows), probe fan-out n_probe rows per query, candidate join on
+    `cell` (the partition-pruning key of build_ivf_index), re-rank join
+    bounded by the probed fraction. Returns (qid, cid, dotq BIGINT)."""
+    d, asg, cent = _kmeans_exact_state(emb, id_col, vec_col, n_cells, rounds)
+    qd = d.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("qid"), "dim", F.col("q").alias("qq")
     )
+    # probe: n_probe nearest cells per query, integer distance, (cost,
+    # cell) tie-break — identical to the assignment argmin's ordering
+    qcost = (
+        qd.join(F.broadcast(cent), "dim")
+        .groupBy("qid", "cell")
+        .agg(F.sum((F.col("qq") - F.col("cq")) * (F.col("qq") - F.col("cq"))).alias("cost"))
+    )
+    w_probe = Window.partitionBy("qid").orderBy("cost", "cell")
+    probes = (
+        qcost.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "cell")
+    )
+    # candidate set: inverted-list members of the probed cells
+    cand = (
+        probes.join(asg.select(F.col(id_col).alias("cid"), "cell"), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    cd = d.select(F.col(id_col).alias("cid"), "dim", F.col("q").alias("cq2"))
+    dots = (
+        cand.join(qd, "qid")
+        .join(cd, ["cid", "dim"])
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qq") * F.col("cq2")).alias("dotq"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("dotq").desc(), F.col("cid"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.col("dotq").cast("long").alias("dotq"))
+    )
+
+
+def ivf_topk_exact_sql(
+    n_cells: int = 8,
+    rounds: int = 2,
+    n_probe: int = 2,
+    k: int = 10,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ivf_topk_exact: the kmeans_assign_exact_sql CTE
+    chain (unrolled rounds, identical integer arithmetic) extended with
+    the probe / candidate-join / quantized-dot re-rank stages."""
+    base = kmeans_assign_exact_sql(k=n_cells, rounds=rounds)
+    # strip the final SELECT — we extend the WITH chain instead
+    body = base[: base.rindex("SELECT vec_id,")]
+    probe_cent = f"c{rounds - 1}" if rounds > 1 else "c0"
+    return f"""{body}, qd AS (
+        SELECT vec_id AS qid, dim, q AS qq FROM d WHERE vec_id < {query_max_id}
+    ),
+    qcost AS (
+        SELECT qd.qid, c.cell, SUM((qd.qq - c.cq) * (qd.qq - c.cq)) AS cost
+        FROM qd JOIN {probe_cent} c USING (dim) GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT qid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cost, cell) AS rn
+            FROM qcost
+        ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id AS cid
+        FROM probes p JOIN a{rounds} a USING (cell)
+        WHERE p.qid <> a.vec_id
+    ),
+    dots AS (
+        SELECT c.qid, c.cid, SUM(qd.qq * cd.q) AS dotq
+        FROM cand c
+        JOIN qd ON qd.qid = c.qid
+        JOIN d cd ON cd.vec_id = c.cid AND cd.dim = qd.dim
+        GROUP BY 1, 2
+    )
+    SELECT qid, cid, CAST(dotq AS BIGINT) AS dotq FROM (
+        SELECT qid, cid, dotq,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dotq DESC, cid) AS rn
+        FROM dots
+    ) WHERE rn <= {k}"""
 
 
 def kmeans_assign_exact_sql(k: int = 8, rounds: int = 2) -> str:

@@ -520,3 +520,26 @@ def graph_kcore_q(spark, sf_dir):
 
     g = build_graph(spark, sf_dir)
     return kcore_bounded(spark, g.edges, k=2, rounds=3)
+
+
+def _ivf_exact_sql() -> str:
+    from .functions.similarity import ivf_topk_exact_sql
+
+    return ivf_topk_exact_sql(n_cells=8, rounds=2, n_probe=2, k=10)
+
+
+@register("ann_ivf_exact", _ivf_exact_sql())
+def ann_ivf_exact_q(spark, sf_dir):
+    """Exact-twin of the IVF probe pipeline (functions/similarity.py
+    ivf_topk_exact): integer-exact k-means cells (kmeans_assign_exact's
+    machinery, already oracled by emb_kmeans_assign), query→2-nearest-cell
+    probe fan-out, cell equi-join candidate pruning, integer-quantized
+    dot-product top-10 re-rank — the full probe-JOIN machinery of
+    ann_ivf_topk / ann_ivf_indexed_topk under a hash-checked oracle.
+    With this row every approximate ANN/dedup family (minhash, simhash,
+    hyperplane-LSH, PQ, IVF) has a same-machinery exact twin."""
+    from .functions.similarity import ivf_topk_exact
+
+    return ivf_topk_exact(
+        read_table(spark, sf_dir, "embeddings"), n_cells=8, rounds=2, n_probe=2, k=10
+    )

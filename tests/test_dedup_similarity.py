@@ -286,3 +286,37 @@ def test_minhash_incremental_matches_full(docs):
         ).collect()
     }
     assert got == want
+
+
+def test_ivf_exact_full_probe_equals_quantized_brute_force(emb):
+    """With n_probe = n_cells the IVF probe pipeline degenerates to the
+    full quantized brute-force ranking — the candidate pruning is the ONLY
+    approximation in the twin, so this pins the probe/join/re-rank
+    machinery end-to-end."""
+    full = similarity.ivf_topk_exact(
+        emb, n_cells=4, rounds=2, n_probe=4, k=5, query_max_id=3
+    ).collect()
+    got = {(r["qid"], r["cid"]): r["dotq"] for r in full}
+    # brute force in python over the same quantization
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    Q = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1000)
+         for r in rows}
+    for qid in range(3):
+        dots = sorted(
+            ((int(Q[qid] @ v), cid) for cid, v in Q.items() if cid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        expect = {(qid, cid): d for d, cid in dots}
+        assert {kv: got[kv] for kv in expect} == expect
+
+
+def test_ivf_exact_partial_probe_subset_and_deterministic(emb):
+    a = similarity.ivf_topk_exact(emb, n_cells=8, rounds=2, n_probe=2, k=10)
+    b = similarity.ivf_topk_exact(emb, n_cells=8, rounds=2, n_probe=2, k=10)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and ra
+    qids = {t[0] for t in ra}
+    assert qids <= {0, 1, 2, 3, 4}
