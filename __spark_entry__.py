@@ -31,32 +31,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Grading-order rotation (the driver caps correctness rows per round,
 # ~50): NEVER-GRADED queries go first (a query with no row at all is
-# worse than a one-round-old row), then the entries whose freshest
-# official row is round 2 (oldest first-priority among graded); the
-# remainder keeps registration order (fresh round-3 rows). The 3 entries
-# past the ~50 cap are streaming windows / X3, which carry independent
-# pytest parity coverage and fresh-enough rows.
+# worse than a one-round-old row), then the round-4 red row
+# (token_budget_select — reworked this round, must re-grade), then the
+# queries whose IMPLEMENTATION changed this round (the cosine-quantized
+# family: their old green rows predate the change), then the entries
+# whose freshest official row is round 2; the remainder keeps
+# registration order (fresh round-3/4 rows).
 _PRIORITY = [
-    # round-4 queries (never graded yet)
-    "boilerplate_stats", "dedup_substring_spans", "corpus_distinct_hll",
-    "graph_landmark_distances", "emb_kmeans_assign", "bpe_train_merges",
-    "trending_events", "emb_hard_negatives", "bpe_apply_token_counts",
-    "corpus_hll_merge", "curation_pipeline_v2", "graph_wcc_bounded",
-    "corpus_lang_pivot", "emb_power_iteration", "dedup_minhash_clusters",
-    "graph_closeness_approx", "corpus_train_val_split", "skew_salted_join",
-    "events_transition_matrix", "dedup_semantic_clusters",
-    "token_budget_select", "events_rollup", "graph_hits",
-    "corpus_vocab_stats", "dedup_minhash_incremental", "ann_pq_topk",
-    "emb_similarity_histogram", "mm_avi_frames", "events_outliers",
-    "corpus_length_regression", "ann_pq_exact", "pack_sequences_sharded",
-    "mm_wav_features", "dedup_minhash_exact", "dedup_simhash_exact",
-    "ann_lsh_exact", "pack_sequences", "sample_temperature",
-    "quality_percentile", "bpe_pair_stats", "emb_label_centroids",
-    "graph_triangle_count", "stream_event_dedup", "corpus_length_deciles",
-    "graph_label_propagation", "graph_jaccard_neighbors",
-    "funnel_conversion", "graph_kcore",
-    # freshest row is round 2
-    "a7_usage_count", "ann_ivf_topk", "asof_prior_click",
+    # round-5 additions (never graded yet)
+    "ann_ivf_exact",
+    # round-4 red row, reworked (space-count tokens, ordered output)
+    "token_budget_select",
+    # implementation changed this round: gates/ranks now quantized
+    "dedup_semantic_clusters", "emb_hard_negatives",
+    "dedup_embedding_cosine", "ann_cosine_topk",
+    # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
+    "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
     "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
     "f7_json_props", "j3_callees", "j8_chain_payloads", "m1_merge_upsert",
@@ -68,6 +58,8 @@ _PRIORITY = [
     "text_rolling_fingerprint", "text_tfidf_topterms", "value_histogram",
     "w_session_30m", "w_sliding_1h_30m", "w_tumbling_1h",
     "x3_auto_complete",
+    # rows-only approximate families (fresh r4 rows, twin-oracled)
+    "ann_ivf_topk", "ann_pq_topk",
 ]
 
 
