@@ -515,6 +515,10 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                 pre = body[: cm.start()].rstrip()
                 if pre.endswith("new"):  # object creation, not invocation
                     continue
+                if pre.endswith("record"):
+                    # a LOCAL record's positional header (`record Pair(int
+                    # a, int b)`) is a declaration, not an invocation
+                    continue
                 sites[cm.start(1)] = callee
             for cm in _CHAIN_CALL_RE.finditer(body):
                 callee = cm.group(1)

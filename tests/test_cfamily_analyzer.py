@@ -551,3 +551,71 @@ def test_java_initializer_blocks_not_entities():
     rows = parse_java_source("Boot.java", src)
     ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
     assert ents == {("Class", "Boot"), ("Method", "compute"), ("Method", "register")}
+
+
+def test_java_sealed_permits_and_local_declarations():
+    """tree-sitter parity tranche (r4 verdict item 5): sealed/non-sealed
+    with permits clauses, local classes and local records inside method
+    bodies, and an annotation on a lambda parameter — none of which may
+    break spans, invent methods, or leak declaration headers as calls."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "public sealed interface Shape permits Circle, Square {\n"
+        "    double area();\n"
+        "}\n"
+        "public non-sealed class Circle extends Shape {\n"
+        "    public double area() { return Math.pow(2, 2); }\n"
+        "    java.util.List<String> names(java.util.List<String> in) {\n"
+        "        return in.stream().map((@Nullable var x) -> x.trim()).toList();\n"
+        "    }\n"
+        "    void local() {\n"
+        "        class Helper { int h() { return 1; } }\n"
+        "        record Pair(int a, int b) {}\n"
+        "        new Helper().h();\n"
+        "    }\n"
+        "}\n"
+        "public sealed class Vehicle permits Car {}\n"
+    )
+    rows = parse_java_source("S.java", java)
+    ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert ("Interface", "Shape") in ents
+    assert ("Class", "Circle") in ents and ("Class", "Vehicle") in ents
+    assert ("Class", "Helper") in ents and ("Class", "Pair") in ents
+    assert ("Method", "h") in ents  # local class member found
+    calls = {r[9] for r in rows if r[0] == "call"}
+    # annotated-lambda body scanned; record header is NOT an invocation
+    assert {"stream", "map", "trim", "toList", "pow", "h"} <= calls
+    assert "Pair" not in calls and "Helper" not in calls
+    # the lambda didn't truncate the enclosing method's span
+    names_span = next(r for r in rows if r[0] == "entity" and r[2] == "names")
+    assert names_span[5] > names_span[4]
+
+
+def test_csharp_expression_bodied_properties_not_methods():
+    """Expression-bodied PROPERTIES / indexers / operators are not
+    method_declaration nodes in tree-sitter, so the reference emits no
+    entity for them (csharp/analyzer.py:33-46) — neither do we; the
+    sibling expression-bodied METHOD still is one."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public class Calc {\n"
+        "    private int[] a;\n"
+        "    public int Count => Compute(a);\n"
+        "    public string Name => \"x\";\n"
+        "    public int this[int i] => a[i];\n"
+        "    public static Calc operator +(Calc l, Calc r) => Merge(l, r);\n"
+        "    public int Twice(int v) => Scale(v) * 2;\n"
+        "}\n"
+        "public sealed record Box(int W) {\n"
+        "    public int Area => W * W;\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("C.cs", cs)
+    methods = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert methods == {"Twice"}
+    ents = {r[2]: r[1] for r in rows if r[0] == "entity"}
+    assert ents.get("Box") == "Class" and ents.get("Calc") == "Class"
+    calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Twice"}
+    assert calls == {"Scale"}
