@@ -38,6 +38,11 @@ from pyspark.sql.types import (
 
 from ..graph.model import node_id_expr
 
+# __init__ re-export chains are followed through this many facade hops
+# (an unrolled bounded fixpoint — see graph_from_parsed); resolved rows
+# pass through surplus hops unchanged, so the cap only bounds DEPTH.
+_REEXPORT_HOPS = 5
+
 PARSE_SCHEMA = StructType(
     [
         StructField("kind", StringType(), False),  # entity|call|extends|returns|params|import
@@ -309,15 +314,17 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     # __init__ re-export chains: `from pkg import f` landing on
     # pkg/__init__.py which itself does `from .a import f` — follow that
     # file's import row to the true def-site (the reference's LSP resolves
-    # the chain natively, analyzer.py:49-54). The hop join is bounded and
-    # repeated: hop 1 covers the standard package facade, hop 2 the
-    # facade-of-a-subpackage (`pkg/__init__` → `pkg/sub/__init__` →
-    # module); deeper chains fall back to ranked resolution. Each hop is a
-    # left-outer join against the (broadcast-sized) imports table, and a
-    # non-matching row passes through unchanged — re-export under a new
-    # name (`from .a import f as g`) chains through the alias coalesce.
+    # the chain natively, analyzer.py:49-54). The hop join is a BOUNDED
+    # FIXPOINT unrolled to _REEXPORT_HOPS levels: a fully-resolved row
+    # stops matching and passes through every remaining hop unchanged, so
+    # the unroll converges exactly like iterate-until-no-new-bindings for
+    # any chain within the cap (5 covers `pkg.sub.sub2 → ... → module`
+    # facades; real-world chains deeper than that are vanishingly rare —
+    # they fall back to ranked resolution). Each hop is a left-outer join
+    # against the broadcast request-sized imports table; re-export under a
+    # new name (`from .a import f as g`) chains through the alias coalesce.
     refs_eff = refs_recv.withColumnRenamed("imp_suffix1", "imp_suffix")
-    for i in (3, 4):
+    for i in range(3, 3 + _REEXPORT_HOPS):
         hop = imports.select(
             F.col("ipath").alias(f"ipath{i}"), F.col("alias").alias(f"alias{i}"),
             F.col("iorig").alias(f"iorig{i}"), F.col("isuffix").alias(f"isuffix{i}"),
@@ -325,7 +332,7 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         prev_cols = refs_eff.columns
         refs_eff = (
             refs_eff.join(
-                hop,
+                F.broadcast(hop),
                 (F.col(f"ipath{i}")
                  == F.regexp_replace(
                      F.regexp_replace(F.col("imp_suffix"), r"^/", ""),

@@ -299,3 +299,26 @@ def test_init_reexport_two_hops_with_rename(spark):
     calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
     assert (by_key[("use", "user.py")], by_key[("f", "pkg/sub/impl.py")]) in calls
     assert (by_key[("use", "user.py")], by_key[("g", "decoy.py")]) not in calls
+
+
+def test_init_reexport_four_hops_with_renames(spark):
+    """Bounded-fixpoint chain following (r4 verdict item 6): a four-level
+    facade chain pkg → pkg.a → pkg.a.b → pkg.a.b.c with two renames lands
+    on the true def-site; the previous two-hop unroll stopped short."""
+    files = {
+        "pkg/__init__.py": "from .a import h as top\n",
+        "pkg/a/__init__.py": "from .b import g as h\n",
+        "pkg/a/b/__init__.py": "from .c import f as g\n",
+        "pkg/a/b/c/__init__.py": "from .impl import f\n",
+        "pkg/a/b/c/impl.py": "def f():\n    return 1\n",
+        "user.py": (
+            "from pkg import top\n\n"
+            "def use():\n    return top()\n"
+        ),
+        "decoy.py": "def top():\n    return 2\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("use", "user.py")], by_key[("f", "pkg/a/b/c/impl.py")]) in calls
+    assert (by_key[("use", "user.py")], by_key[("top", "decoy.py")]) not in calls
