@@ -22,6 +22,7 @@ from code_graph_backend_spark import registry_ext5  # noqa: F401  (registers on 
 from code_graph_backend_spark import registry_ext6  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext7  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext8  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext9  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,7 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration order (fresh round-3/4 rows).
 _PRIORITY = [
     # round-5 additions (never graded yet)
-    "ann_ivf_exact",
+    "ann_ivf_exact", "gopher_quality_gates", "corpus_mixture_plan",
+    "bpe_fertility_by_lang", "text_bigram_logprob", "dedup_lsh_eval",
     # round-4 red row, reworked (space-count tokens, ordered output)
     "token_budget_select",
     # implementation changed this round: gates/ranks now quantized

@@ -289,3 +289,61 @@ def bpe_apply_token_counts_sql(n_merges: int = 4) -> str:
     FROM tk JOIN wl USING (word)
     GROUP BY tk.doc_id
     """
+
+
+def bpe_fertility_by_lang_sql(n_merges: int = 4) -> str:
+    """DuckDB twin of the per-language fertility rollup: the
+    bpe_apply_token_counts chain grouped by `lang` with integer-milli
+    fertility (BPE symbols emitted per whitespace word — the tokenizer
+    efficiency metric every multilingual run tracks per language)."""
+    return _bpe_cte_chain(n_merges) + f"""
+    , wl AS (
+        SELECT word, CAST(len(string_split(w, ' ')) AS BIGINT) AS n_sym
+        FROM w{n_merges}
+    ),
+    tk AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT tk.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_tokens,
+           (1000 * CAST(SUM(wl.n_sym) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+               AS fertility_milli
+    FROM tk JOIN wl USING (word)
+    GROUP BY tk.lang
+    """
+
+
+def bpe_fertility_by_lang(
+    docs: DataFrame,
+    n_merges: int = 4,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language tokenizer fertility under the trained BPE: explode
+    words WITH their language tag, join the vocabulary-sized per-word
+    symbol counts (broadcast — the trained vocab is small by
+    construction), one lang-cardinality agg. Fertility is integer-milli
+    floor division so both engines agree bit-exactly."""
+    _, wt = bpe_train(docs, n_merges, text_col)
+    wl = wt.select(
+        "word", F.size(F.split("w", " ")).cast("long").alias("n_sym")
+    )
+    from ..session import fan_out
+
+    tk = fan_out(docs.select(lang_col, text_col)).select(
+        lang_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    return (
+        tk.join(F.broadcast(wl), "word")
+        .groupBy(lang_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            lang_col, "n_words", "n_bpe_tokens",
+            ((F.lit(1000) * F.col("n_bpe_tokens")) / F.col("n_words"))
+            .cast("long").alias("fertility_milli"),
+        )
+    )

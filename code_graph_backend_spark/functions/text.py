@@ -272,3 +272,70 @@ def vocab_stats(docs, group_col: str = "lang", text_col: str = "text"):
             F.round(F.col("hapax_count") / F.col("vocab_size"), 6).alias("hapax_share"),
         )
     )
+
+
+_GOPHER_STOPWORDS = ("the", "a")  # the corpus's English function words
+
+
+def gopher_gates_kernel(id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style per-document quality gates (Rae et al. 2021 §A1.1,
+    adapted to the whitespace-token corpus): token count, mean token
+    length, stopword hits, and top-token dominance, each an INTEGER
+    (milli-units via floor division) so the DuckDB oracle replays every
+    gate bit-exactly; `passes` is the conjunction of the classic rules
+    (enough tokens, sane mean word length, at least two stopwords, no
+    single token dominating).
+
+    Same scale shape as token_repetition_kernel: per-row math over the
+    whole text ⇒ map-only Arrow kernel, no token-stream shuffle; the
+    oracle's corpus-wide explode is the plan refused at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            n_tok = np.zeros(n, dtype=np.int64)
+            mean_len = np.zeros(n, dtype=np.int64)
+            stop_hits = np.zeros(n, dtype=np.int64)
+            top_frac = np.zeros(n, dtype=np.int64)
+            for row, text in enumerate(pdf[text_col]):
+                # literal single-space split, empties kept — pinned to
+                # string_split(text, ' ') like every other text kernel
+                toks = (text or "").split(" ")
+                if not toks:
+                    continue
+                arr = np.array(toks)
+                _, counts = np.unique(arr, return_counts=True)
+                nt = len(arr)
+                n_tok[row] = nt
+                mean_len[row] = (1000 * int(np.char.str_len(arr).sum())) // nt
+                stop_hits[row] = int(np.isin(arr, _GOPHER_STOPWORDS).sum())
+                top_frac[row] = (1000 * int(counts.max())) // nt
+            passes = (
+                (n_tok >= 10)
+                & (mean_len >= 2000) & (mean_len <= 8000)
+                & (stop_hits >= 2)
+                & (top_frac <= 250)
+            )
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "n_tokens": n_tok,
+                "mean_len_milli": mean_len, "stop_hits": stop_hits,
+                "top_frac_milli": top_frac, "passes": passes,
+            })
+
+    return kernel
+
+
+def gopher_quality_gates(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Apply the Gopher gates corpus-wide (see gopher_gates_kernel)."""
+    from ..session import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
+        gopher_gates_kernel(id_col, text_col),
+        f"{id_col} long, n_tokens long, mean_len_milli long, stop_hits long, "
+        "top_frac_milli long, passes boolean",
+    )

@@ -1,0 +1,282 @@
+"""Round-5 extension queries: corpus-quality and planning operators a
+100 TB training-data pipeline runs alongside dedup/selection — Gopher-rule
+quality gates, temperature-mixture token planning, per-language tokenizer
+fertility, a bigram-LM perplexity proxy, and a candidate-quality
+evaluation of the LSH dedup path against exact Jaccard truth.
+
+Every entry carries a DuckDB oracle; decisions are integer (milli-unit
+floor divisions, md5 hash families) or follow the established
+ROUND(avg, 6) float contract of text_unigram_logprob."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import read_table
+
+
+@register(
+    "gopher_quality_gates",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    base AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(length(tok)) AS sum_len,
+               SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS stop_hits
+        FROM tok GROUP BY doc_id
+    ),
+    topf AS (
+        SELECT doc_id, MAX(c) AS top FROM (
+            SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ) GROUP BY doc_id
+    ),
+    g AS (
+        SELECT b.doc_id, b.n_tokens,
+               (1000 * b.sum_len) // b.n_tokens AS mean_len_milli,
+               b.stop_hits,
+               (1000 * t.top) // b.n_tokens AS top_frac_milli
+        FROM base b JOIN topf t USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(mean_len_milli AS BIGINT) AS mean_len_milli,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CAST(top_frac_milli AS BIGINT) AS top_frac_milli,
+           (n_tokens >= 10 AND mean_len_milli BETWEEN 2000 AND 8000
+            AND stop_hits >= 2 AND top_frac_milli <= 250) AS passes
+    FROM g
+    """,
+)
+def gopher_quality_gates_q(spark, sf_dir):
+    """Gopher-style per-doc quality gates (functions/text.py
+    gopher_quality_gates): token count, mean token length, stopword
+    hits, top-token dominance — each integer-milli — and the conjunction
+    `passes`. Map-only Arrow kernel (one pass per doc, no token-stream
+    shuffle); the oracle's corpus-wide explode is the plan refused at
+    100 TB."""
+    from .functions.text import gopher_quality_gates
+
+    return gopher_quality_gates(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_mixture_plan",
+    """
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *, CAST(round(sqrt(n_tokens) * 1000) AS BIGINT) AS s1000
+        FROM s
+    ),
+    t AS (SELECT SUM(s1000) AS tot FROM w)
+    SELECT source, n_docs, n_tokens,
+           CAST((1000000 * s1000) // (SELECT tot FROM t) AS BIGINT)
+               AS quota_tokens,
+           CAST((1000 * ((1000000 * s1000) // (SELECT tot FROM t))) // n_tokens
+                AS BIGINT) AS epochs_milli
+    FROM w
+    """,
+)
+def corpus_mixture_plan_q(spark, sf_dir):
+    """Temperature-mixture token planning (alpha = 0.5): per source, the
+    share of a 1M-token budget proportional to sqrt(n_tokens) — the
+    up/down-weighting table every multilingual/multi-source run computes
+    before sampling (quota > n_tokens means epochs_milli > 1000: the
+    source repeats). sqrt is IEEE-correctly-rounded in both engines and
+    everything after the round(.. * 1000) quantization is BIGINT floor
+    division, so the plan is bit-exact. One source-cardinality agg + one
+    1-row broadcast join; the n·sqrt overflow headroom holds to ~1e13
+    tokens per source — past that swap the quota multiply to
+    DECIMAL(38), same plan."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        + F.lit(1)
+    )
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "s1000", F.round(F.sqrt(F.col("n_tokens")) * 1000).cast("long")
+    )
+    tot = w.agg(F.sum("s1000").alias("tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "quota_tokens",
+            F.expr("(1000000 * s1000) div tot").cast("long"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "quota_tokens",
+            F.expr("(1000 * quota_tokens) div n_tokens").cast("long")
+            .alias("epochs_milli"),
+        )
+    )
+
+
+def _fertility_sql() -> str:
+    from .functions.bpe import bpe_fertility_by_lang_sql
+
+    return bpe_fertility_by_lang_sql(n_merges=4)
+
+
+@register("bpe_fertility_by_lang", _fertility_sql())
+def bpe_fertility_by_lang_q(spark, sf_dir):
+    """Per-language tokenizer fertility under the trained 4-rule BPE
+    (functions/bpe.py bpe_fertility_by_lang): BPE symbols per whitespace
+    word, integer-milli — the tokenizer-efficiency metric every
+    multilingual run tracks per language before fixing a mixture. Reuses
+    the session-scoped trained model (one training run shared with
+    bpe_apply/bpe_train); corpus application is the vocabulary-sized
+    broadcast join + one lang-cardinality agg."""
+    from .functions.bpe import bpe_fertility_by_lang
+
+    return bpe_fertility_by_lang(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+    scored AS (
+        SELECT bg.doc_id, -log2(c2.n2 / c1.n1) AS nll
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nll), 6) AS avg_nll_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob_q(spark, sf_dir):
+    """Bigram-LM perplexity proxy (the CCNet/KenLM-style quality filter
+    one rung above text_unigram_logprob): each doc's mean negative log2
+    of P(w2 | w1) under the CORPUS bigram MLE. Plan: JVM-side
+    slice/zip builds the bigram stream map-only (no UDF), one hash-agg
+    builds the model, context counts derive FROM the bigram table (no
+    second corpus pass), broadcast model join, per-doc agg. Same
+    ROUND(avg, 6) float contract as the green unigram row. The model is
+    observed-bigram-sized; at open-web scale the broadcast becomes a
+    shuffle join on (w1, w2) — identical semantics."""
+    from .session import fan_out
+
+    docs = read_table(spark, sf_dir, "documents")
+    arr = fan_out(docs).select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = arr.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    model = F.broadcast(c2.join(c1, "w1"))
+    return (
+        bg.join(model, ["w1", "w2"])
+        .select("doc_id", (-F.log2(F.col("n2") / F.col("n1"))).alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll_bits"),
+        )
+    )
+
+
+@register(
+    "dedup_lsh_eval",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    m AS (
+        SELECT doc_id, u.seed,
+               MIN(md5(CAST(u.seed AS VARCHAR) || ':' || s)) AS mh
+        FROM sh, UNNEST(generate_series(0, 15)) u(seed)
+        GROUP BY doc_id, u.seed
+    ),
+    b AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+        FROM m GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+        FROM b a JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS i, b2.doc_id AS j, COUNT(*) AS c
+        FROM sh a JOIN sh b2 ON a.s = b2.s AND a.doc_id < b2.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT i, j FROM common
+        JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+        WHERE c / (na.n_sh + nb.n_sh - c) >= 0.8
+    ),
+    tp AS (SELECT COUNT(*) AS n FROM cand JOIN truth USING (i, j)),
+    nc AS (SELECT COUNT(*) AS n FROM cand),
+    ntr AS (SELECT COUNT(*) AS n FROM truth)
+    SELECT CAST(nc.n AS BIGINT) AS n_candidates,
+           CAST(ntr.n AS BIGINT) AS n_truth,
+           CAST(tp.n AS BIGINT) AS n_tp,
+           CAST(CASE WHEN nc.n > 0 THEN (1000 * tp.n) // nc.n END AS BIGINT)
+               AS precision_milli,
+           CAST(CASE WHEN ntr.n > 0 THEN (1000 * tp.n) // ntr.n END AS BIGINT)
+               AS recall_milli
+    FROM nc, ntr, tp
+    """,
+)
+def dedup_lsh_eval_q(spark, sf_dir):
+    """Candidate-quality evaluation of the banded-LSH dedup path:
+    precision/recall (integer-milli) of the md5 MinHash-LSH candidate
+    pairs (dedup_minhash_exact's machinery) against exact n-gram-Jaccard
+    >= 0.8 truth (dedup_ngram_jaccard's machinery) — the measure-don't-
+    guess gate you run before trusting an LSH configuration at 100 TB,
+    where the truth join is only affordable on a sample. Three counts
+    crossed via 1-row broadcast joins; no pair list leaves the plan."""
+    from .functions import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates_exact(docs, k=16, bands=4)
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select("i", "j")
+    tp = cand.join(truth, ["i", "j"]).agg(F.count("*").alias("n_tp"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    ntr = truth.agg(F.count("*").alias("n_truth"))
+    return (
+        nc.crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_tp").cast("long").alias("n_tp"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("(1000 * n_tp) div n_candidates"),
+            ).cast("long").alias("precision_milli"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr("(1000 * n_tp) div n_truth"),
+            ).cast("long").alias("recall_milli"),
+        )
+    )
