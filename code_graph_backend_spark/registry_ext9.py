@@ -141,39 +141,18 @@ def bpe_fertility_by_lang_q(spark, sf_dir):
     return bpe_fertility_by_lang(read_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_bigram_logprob",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    bg AS (
-        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
-        WHERE len(t) >= 2
-    ),
-    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
-    c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY 1),
-    scored AS (
-        SELECT bg.doc_id, -log2(c2.n2 / c1.n1) AS nll
-        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(nll), 6) AS avg_nll_bits
-    FROM scored GROUP BY doc_id
-    """,
-)
-def text_bigram_logprob_q(spark, sf_dir):
-    """Bigram-LM perplexity proxy (the CCNet/KenLM-style quality filter
-    one rung above text_unigram_logprob): each doc's mean negative log2
-    of P(w2 | w1) under the CORPUS bigram MLE. Plan: JVM-side
-    slice/zip builds the bigram stream map-only (no UDF), one hash-agg
-    builds the model, context counts derive FROM the bigram table (no
-    second corpus pass), broadcast model join, per-doc agg. Same
-    ROUND(avg, 6) float contract as the green unigram row. The model is
+def bigram_nll(docs):
+    """(doc_id, n_bigrams, avg_nll_bits): each doc's mean negative log2
+    of P(w2 | w1) under the CORPUS bigram MLE — shared by
+    text_bigram_logprob and the v3 curation gate. JVM-side slice/zip
+    builds the bigram stream map-only (no UDF); one hash-agg builds the
+    model; context counts derive FROM the bigram table (no second corpus
+    pass); broadcast model join; per-doc agg. ROUND(avg, 6) float
+    contract as the green unigram row. The model is
     observed-bigram-sized; at open-web scale the broadcast becomes a
     shuffle join on (w1, w2) — identical semantics."""
     from .session import fan_out
 
-    docs = read_table(spark, sf_dir, "documents")
     arr = fan_out(docs).select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 2
     )
@@ -198,6 +177,33 @@ def text_bigram_logprob_q(spark, sf_dir):
             F.round(F.avg("nll"), 6).alias("avg_nll_bits"),
         )
     )
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+    scored AS (
+        SELECT bg.doc_id, -log2(c2.n2 / c1.n1) AS nll
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nll), 6) AS avg_nll_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob_q(spark, sf_dir):
+    """Bigram-LM perplexity proxy (the CCNet/KenLM-style quality filter
+    one rung above text_unigram_logprob) — see bigram_nll for the plan
+    shape."""
+    return bigram_nll(read_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -279,4 +285,223 @@ def dedup_lsh_eval_q(spark, sf_dir):
                 F.expr("(1000 * n_tp) div n_truth"),
             ).cast("long").alias("recall_milli"),
         )
+    )
+
+
+_V3_SQL = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    -- 1. near-dup clustering (3-gram Jaccard >= 0.5) -> canonicals
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i, j FROM common
+        JOIN sizes na ON na.doc_id = i
+        JOIN sizes nb ON nb.doc_id = j
+        WHERE c / (na.n_sh + nb.n_sh - c) >= 0.5
+    ),
+    sym AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, m) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.m FROM sym s JOIN reach r ON r.node = s.v
+    ),
+    cc AS (SELECT node, MIN(m) AS component FROM reach GROUP BY node),
+    canon AS (
+        SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        WHERE d.doc_id = COALESCE(cc.component, d.doc_id)
+    ),
+    -- 2. repetition/length quality gate
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    st AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i] || ' ' || t[i+1] AS b
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+    ),
+    bgs AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS ndb FROM bg GROUP BY 1),
+    quality AS (
+        SELECT st.doc_id FROM st LEFT JOIN bgs USING (doc_id)
+        WHERE st.n_tokens >= 30
+          AND ROUND(COALESCE(1.0 - ndb / CAST(nb AS DOUBLE), 0.0), 6) <= 0.05
+    ),
+    -- 3. Gopher-rule gate (integer-milli decisions)
+    gop_base AS (
+        SELECT doc_id, COUNT(*) AS n, SUM(length(tok)) AS sl,
+               SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS shits
+        FROM tok GROUP BY 1
+    ),
+    gop_top AS (
+        SELECT doc_id, MAX(c) AS top FROM (
+            SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ) GROUP BY 1
+    ),
+    gopher_ok AS (
+        SELECT b.doc_id FROM gop_base b JOIN gop_top t USING (doc_id)
+        WHERE n >= 10 AND (1000 * sl) // n BETWEEN 2000 AND 8000
+          AND shits >= 2 AND (1000 * top) // n <= 250
+    ),
+    -- 4. bigram-LM perplexity gate (corpus MLE, ROUND(avg, 6) contract)
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+    lm AS (
+        SELECT bg.doc_id, AVG(-log2(c2.n2 / c1.n1)) AS nll
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1
+    ),
+    lm_ok AS (SELECT doc_id FROM lm WHERE ROUND(nll, 6) <= 4.9),
+    -- 5. boilerplate gate: <= 50% of distinct 5-gram shingles source-common
+    b5 AS (
+        SELECT DISTINCT d.doc_id, d.source,
+               md5(list_aggregate(tk.t[u.i:u.i+4], 'string_agg', ' ')) AS g
+        FROM documents d JOIN toks tk USING (doc_id),
+             UNNEST(generate_series(1, len(tk.t) - 4)) u(i)
+    ),
+    nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1),
+    dfq AS (SELECT source, g, COUNT(*) AS df FROM b5 GROUP BY 1, 2),
+    boiler AS (
+        SELECT b5.doc_id,
+               SUM(CASE WHEN dfq.df * 4 >= nd.n_docs THEN 1 ELSE 0 END) AS n_b,
+               COUNT(*) AS n_s
+        FROM b5 JOIN dfq USING (source, g) JOIN nd USING (source)
+        GROUP BY b5.doc_id
+    ),
+    boiler_ok AS (SELECT doc_id FROM boiler WHERE n_b * 2 <= n_s),
+    -- 6. duplicated-span coverage gate
+    gp AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               md5(list_aggregate(t[u.i:u.i+12], 'string_agg', ' ')) AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 12)) u(i)
+    ),
+    dupg AS (
+        SELECT g FROM (SELECT DISTINCT g, doc_id FROM gp)
+        GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    anchors AS (SELECT doc_id, pos FROM gp JOIN dupg USING (g)),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        FROM anchors
+    ),
+    spans AS (
+        SELECT doc_id, MAX(pos) + 12 - MIN(pos) + 1 AS span_tokens
+        FROM runs GROUP BY doc_id, run
+    ),
+    cover AS (SELECT doc_id, SUM(span_tokens) AS covered FROM spans GROUP BY 1),
+    span_ok AS (
+        SELECT st.doc_id FROM st LEFT JOIN cover USING (doc_id)
+        WHERE COALESCE(cover.covered, 0) * 2 <= st.n_tokens
+    ),
+    -- 7. 13-gram benchmark decontamination
+    psh AS (SELECT g AS s FROM gp WHERE doc_id % 97 = 0),
+    contam AS (SELECT DISTINCT gp.doc_id FROM gp JOIN psh ON gp.g = psh.s),
+    surv AS (
+        SELECT d.doc_id, d.n_chars, st.n_tokens
+        FROM documents d
+        JOIN canon USING (doc_id)
+        JOIN quality USING (doc_id)
+        JOIN gopher_ok USING (doc_id)
+        JOIN lm_ok USING (doc_id)
+        JOIN boiler_ok USING (doc_id)
+        JOIN span_ok USING (doc_id)
+        JOIN st ON st.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    -- 8. greedy best-first token-budget cut
+    cum AS (
+        SELECT doc_id, n_chars, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY n_chars DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM surv
+    )
+    SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 15000
+    ORDER BY cum_tokens ASC, doc_id ASC
+"""
+
+
+@register("curation_pipeline_v3", _V3_SQL)
+def curation_pipeline_v3_q(spark, sf_dir):
+    """The FineWeb-generation DAG grown to EIGHT gates — v2's six
+    (cluster-canonicals, repetition quality, boilerplate, span coverage,
+    decontamination, token-budget cut) plus this round's Gopher-rule gate
+    and bigram-LM perplexity gate — still ONE Catalyst plan, no driver
+    materialization between gates. Each gate is an already-verified
+    operator composed via semi/anti joins on doc_id; the two new gates
+    are integer-milli (gopher) and ROUND(avg,6) (LM) decisions, so the
+    eight-stage DuckDB WITH chain replays the whole pipeline
+    hash-exactly. Ordered output like token_budget_select."""
+    from pyspark.sql.window import Window
+
+    from .functions.boilerplate import boilerplate_stats, duplicated_spans
+    from .functions.dedup import ngram_jaccard_pairs
+    from .functions.sampling import contamination_ngram
+    from .functions.text import gopher_quality_gates, token_count, token_repetition
+    from .operators.components import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    canon = dedup_clusters(
+        spark, docs, ngram_jaccard_pairs(docs, threshold=0.5)
+    ).filter(F.col("is_canonical")).select("doc_id")
+    quality = (
+        token_repetition(docs)
+        .filter((F.col("n_tokens") >= 30) & (F.col("dup_bigram_ratio") <= 0.05))
+        .select("doc_id")
+    )
+    gopher_ok = gopher_quality_gates(docs).filter(F.col("passes")).select("doc_id")
+    lm_ok = bigram_nll(docs).filter(F.col("avg_nll_bits") <= 4.9).select("doc_id")
+    boiler_ok = (
+        boilerplate_stats(docs, n=5)
+        .filter(F.col("n_boiler") * 2 <= F.col("n_shingles"))
+        .select("doc_id")
+    )
+    ntok = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    cover = (
+        duplicated_spans(docs, n=13)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("covered"))
+    )
+    span_ok = (
+        ntok.join(cover, "doc_id", "left")
+        .filter(F.coalesce("covered", F.lit(0)) * 2 <= F.col("n_tokens"))
+        .select("doc_id")
+    )
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
+    )
+    contam = contamination_ngram(docs, probes).select("doc_id").distinct()
+    surv = (
+        docs.select("doc_id", "n_chars")
+        .join(canon, "doc_id")
+        .join(quality, "doc_id")
+        .join(gopher_ok, "doc_id")
+        .join(lm_ok, "doc_id")
+        .join(boiler_ok, "doc_id")
+        .join(span_ok, "doc_id")
+        .join(contam, "doc_id", "left_anti")
+        .join(ntok, "doc_id")
+    )
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        surv.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 15000)
+        .select(
+            "doc_id", "n_chars",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy(F.col("cum_tokens").asc(), F.col("doc_id").asc())
     )

