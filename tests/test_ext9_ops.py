@@ -94,9 +94,8 @@ def test_bigram_logprob_hand_computed(spark):
     with tempfile.TemporaryDirectory() as td:
         d.write.parquet(os.path.join(td, "documents.parquet"))
         out = {r["doc_id"]: r for r in QUERIES["text_bigram_logprob"](spark, td).collect()}
-    # corpus bigrams: (a,b) x3, (b,a) x2 → P(b|a)=3/3=1, P(a|b)=2/2=1
-    # wait: contexts: a→b 3 times (docs 1,1,2), b→a 2 times (docs 1,3)
-    # c1(a)=3, c1(b)=2 → every bigram has P=1 → nll 0
+    # corpus bigrams: (a,b) x3, (b,a) x2; contexts c1(a)=3, c1(b)=2,
+    # so P(b|a) = P(a|b) = 1 and every nll is exactly 0
     assert out[1]["n_bigrams"] == 3 and out[1]["avg_nll_bits"] == 0.0
     assert out[2]["n_bigrams"] == 1 and out[3]["avg_nll_bits"] == 0.0
 
