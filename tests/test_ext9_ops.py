@@ -9,6 +9,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+import code_graph_backend_spark.registry_ext8  # noqa: F401  (registers queries)
 import code_graph_backend_spark.registry_ext9  # noqa: F401  (registers queries)
 
 SF_DIR = "/root/testdata/sf0.001"
