@@ -26,6 +26,9 @@ Supported (the reference's read surface):
           reference's LLM-prompt idiom, prompts.py:24), optionally
           followed by WHERE on the aliases; an aggregate-free WITH is the
           reference's re-scoping no-op;
+  UNWIND nodes(p) AS n after a var-length path (the prompt's "return
+          individual node properties from a path" idiom) — n binds as a
+          full node var;
   ORDER BY / SKIP / LIMIT / DISTINCT. WHERE also supports parenthesized
   boolean grouping. Keyword-shaped identifiers (a property or variable
   named `call`, `yield`, `contains`, ...) are accepted wherever the
@@ -141,6 +144,7 @@ class Query:
     call: tuple | None = None  # (proc_name, [args], [yield names])
     with_items: list[RetItem] | None = None  # one WITH-aggregation stage
     post_conds: list[Cond] = field(default_factory=list)  # WHERE after WITH
+    unwind: tuple | None = None  # (path_var, new_var) for UNWIND nodes(p)
 
 
 # -- parser ------------------------------------------------------------------
@@ -187,6 +191,7 @@ class _Parser:
         call = None
         with_items = None
         post_conds: list = []
+        unwind = None
         while True:
             t = self.peek()
             if t[1] in ("MATCH", "OPTIONAL MATCH"):
@@ -221,12 +226,30 @@ class _Parser:
                 while self.at(","):
                     self.take()
                     with_items.append(self._ret_item())
+            elif t[0] == "name" and t[1].upper() == "UNWIND":
+                # the LLM-prompt idiom (prompts.py: "Use UNWIND ... to
+                # return individual node properties from a path"):
+                # UNWIND nodes(p) AS n — other list sources are the
+                # mutation templates' $param lists, which the typed
+                # mutation layer handles (graph.py:295,417)
+                if unwind is not None:
+                    raise CypherError("only one UNWIND supported")
+                self.take()
+                fn = self.take_name()
+                if fn.lower() != "nodes":
+                    raise CypherError("only UNWIND nodes(path) supported")
+                self.take(text="(")
+                src_var = self.take_name()
+                self.take(text=")")
+                self.take(text="AS")
+                unwind = (src_var, self.take_name())
             elif t[1] == "RETURN":
                 self.take()
                 q = self._returns(matches, conds)
                 q.call = call
                 q.with_items = with_items
                 q.post_conds = post_conds
+                q.unwind = unwind
                 return q
             else:
                 raise CypherError(f"unexpected {t[:2]}")
@@ -624,6 +647,9 @@ def run_cypher(graph, query: str, params: dict | None = None) -> DataFrame:
             raise CypherError("WITH aggregation over a var-length pattern unsupported")
         return _compile_var_length(b, var_length_chain, q, params)
 
+    if q.unwind is not None:
+        raise CypherError("UNWIND nodes(p) requires a var-length path p")
+
     if q.with_items:
         _apply_with(b, q.with_items)
     for c in q.post_conds:
@@ -859,8 +885,30 @@ def _compile_var_length(b: _Binder, chain: MatchChain, q: Query, params):
         raise CypherError("var-length pattern needs both endpoints bound to single ids")
     paths = find_paths(b.graph.spark, b.graph.edges, src_id, dst_id,
                        edge_type=e.etype, max_depth=12)
-    out = paths.select(F.col("path").alias(f"{chain.path_var or 'p'}_nodes"),
-                       F.col("depth").alias(f"{chain.path_var or 'p'}_depth"))
+    pvar = chain.path_var or "p"
+    if q.unwind is not None:
+        # UNWIND nodes(p) AS n: per-path expansion of the node-id array,
+        # rebound as a full node var so RETURN n / n.prop / ID(n) and the
+        # aggregate forms all work (the LLM-prompt idiom). Path order is
+        # preserved per row via posexplode; duplicates across paths stay,
+        # as Cypher's per-row UNWIND semantics require.
+        src_var, new_var = q.unwind
+        if src_var != pvar:
+            raise CypherError(f"UNWIND nodes({src_var}): unknown path {src_var}")
+        ex = paths.select(
+            F.posexplode(F.col("path")).alias("_pos", "_nid")
+        )
+        nd = _prefix(b.graph.nodes, new_var, NODE_FIELDS)
+        b2 = _Binder(b.graph, params)
+        b2.df = ex.join(nd, F.col("_nid") == F.col(f"{new_var}_id")).drop("_nid")
+        b2.vars = {new_var: "node"}
+        if q.with_items:
+            _apply_with(b2, q.with_items)
+        for cnd in q.post_conds:
+            b2.df = _apply_cond(b2, cnd)
+        return _project(b2, q, params)
+    out = paths.select(F.col("path").alias(f"{pvar}_nodes"),
+                       F.col("depth").alias(f"{pvar}_depth"))
     if q.limit is not None:
         out = out.limit(int(_resolve(q.limit, params)))
     return out

@@ -507,3 +507,37 @@ def test_call_fulltext_yield_score(g):
     assert rows and all(0 < r["score"] <= 1.0 for r in rows)
     for r in rows:
         assert r["score"] == 1.0 / (1.0 + len(r["node_name"]) - len("Customer#"))
+
+
+def test_unwind_nodes_of_path(g):
+    # prompts.py — "Use UNWIND to expand a list into individual rows when
+    # you need to return individual node properties from a path" +
+    # "Use nodes(path) to get the list of nodes along a path": the
+    # LLM-generated shape over the find_paths template (api/graph.py:564)
+    rows = run_cypher(
+        g,
+        "MATCH (src), (dest) WHERE ID(src) = $a AND ID(dest) = $b "
+        "WITH src, dest MATCH p=(src)-[:NEXT*]->(dest) "
+        "UNWIND nodes(p) AS n RETURN n.name",
+        {"a": 40000002, "b": 40000009},
+    ).collect()
+    # the single NEXT chain 40000002..40000009 has 8 nodes
+    assert len(rows) == 8
+    names = {r["n_name"] for r in rows}
+    assert {"NATION_2", "NATION_9"} <= names
+
+
+def test_unwind_nodes_with_count(g):
+    rows = run_cypher(
+        g,
+        "MATCH (src), (dest) WHERE ID(src) = $a AND ID(dest) = $b "
+        "WITH src, dest MATCH p=(src)-[:NEXT*]->(dest) "
+        "UNWIND nodes(p) AS n RETURN count(n) AS path_len",
+        {"a": 40000002, "b": 40000009},
+    ).collect()
+    assert rows[0]["path_len"] == 8
+
+
+def test_unwind_without_path_rejected(g):
+    with pytest.raises(CypherError):
+        run_cypher(g, "MATCH (n:Nation) UNWIND nodes(p) AS x RETURN x")
