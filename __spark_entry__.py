@@ -26,8 +26,14 @@ from code_graph_backend_spark import registry_ext9  # noqa: F401  (registers on 
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["flagship_region_revenue"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is curation_pipeline_v3: the eight-gate FineWeb-
+    generation DAG (near-dup canonicals -> repetition quality -> Gopher
+    rules -> bigram-LM perplexity -> boilerplate -> span coverage ->
+    decontamination -> greedy token-budget cut) composed as ONE Catalyst
+    plan — the end-to-end corpus-curation path this engine exists for."""
+    return registry.QUERIES["curation_pipeline_v3"](spark, "/root/testdata/sf0.001")
 
 
 # Grading-order rotation (the driver caps correctness rows per round,
