@@ -64,8 +64,17 @@ _METHOD_RE = re.compile(
 # nested-aware `<...>` spans, for erasing generic parameter sections from
 # type-declaration headers before inheritance-clause matching
 _GENERIC_SPAN_RE = re.compile(r"<(?:[^<>]|<[^<>]*>)*>")
-_CTOR_RE = re.compile(r"(?<![\w.$>\]])([A-Za-z_]\w*)\s*\(")
-_CALL_RE = re.compile(r"(?<![\w.$])(?:[\w.$\[\]]+\s*\.\s*)?([A-Za-z_]\w*)\s*\(")
+# the `~` in the lookbehind rejects C# destructors (`~Box()` is a
+# destructor_declaration in tree-sitter, not constructor_declaration)
+_CTOR_RE = re.compile(r"(?<![\w.$>\]~])([A-Za-z_]\w*)\s*\(")
+# the optional `<...>` admits generic invocations (`repo.FetchAll<T>(ct)`,
+# tree-sitter's invocation_expression with type arguments); the character
+# class inside the angle brackets excludes operators so a comparison pair
+# `a < b && c > (d)` can't be misread as a call with type arguments
+_CALL_RE = re.compile(
+    r"(?<![\w.$])(?:[\w.$\[\]]+\s*\.\s*)?([A-Za-z_]\w*)\s*"
+    r"(?:<[\w\s,.?\[\]<>]{0,60}>)?\s*\("
+)
 # fluent-chain continuation: an invocation whose receiver is a call result
 # (`stream().filter(...)`) — _CALL_RE's lookbehind rejects the `.` after
 # `)`, so these are matched separately and unioned by callee offset
@@ -232,6 +241,17 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         kind, name = m.group(1), m.group(2)
         if kind == "struct" and not is_cs:
             continue
+        if kind == "interface":
+            # Java `@interface X` is an annotation_type_declaration in
+            # tree-sitter, NOT interface_declaration — the reference emits
+            # no entity for it (java/analyzer.py:68), and its element
+            # "methods" (`int value() default 0;`) are filtered out by the
+            # body-depth check once the decl itself is skipped
+            k = m.start() - 1
+            while k >= 0 and cleaned[k].isspace():
+                k -= 1
+            if k >= 0 and cleaned[k] == "@":
+                continue
         open_off = cleaned.find("{", m.end())
         if kind == "record":
             semi = cleaned.find(";", m.end())
@@ -337,6 +357,10 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
             continue  # `public Task(` is a constructor, not a method `Task`
         if ret_base == "record":
             continue  # `record Point(int x, int y)` is a type, not a method
+        if ret_base == "operator":
+            # `implicit operator string(...)` is a conversion_operator_
+            # declaration in tree-sitter — no method entity
+            continue
         owner = enclosing_type(m.start())
         if owner is None or depth_at[m.start()] != body_depth(owner):
             continue  # only members declared directly in a type body
@@ -442,7 +466,8 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
             ret, name = m.group(1), m.group(2)
             ret_base = ret.split("<")[0].split(".")[-1].strip()
             if (ret_base in keywords or name in keywords
-                    or ret_base in _MODIFIERS or ret_base == "record"):
+                    or ret_base in _MODIFIERS or ret_base == "record"
+                    or ret_base == "operator"):
                 continue
             if innermost_class_like(m.start()) is None:
                 continue

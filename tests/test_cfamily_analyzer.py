@@ -619,3 +619,57 @@ def test_csharp_expression_bodied_properties_not_methods():
     assert ents.get("Box") == "Class" and ents.get("Calc") == "Class"
     calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Twice"}
     assert calls == {"Scale"}
+
+
+def test_java_annotation_type_not_an_interface():
+    """`@interface X` is tree-sitter's annotation_type_declaration, not
+    interface_declaration — no entity, and its element "methods" are not
+    methods (java/analyzer.py:68 captures only the five decl types)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "public class User {\n"
+        "    public @interface Marker { int value() default 0; }\n"
+        "    interface Repo { User find(long id); }\n"
+        "}\n"
+    )
+    rows = parse_java_source("U.java", java)
+    ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert ("Interface", "Marker") not in ents
+    assert not any(r[0] == "entity" and r[2] == "value" for r in rows)
+    assert ("Interface", "Repo") in ents  # plain nested interface stays
+
+
+def test_csharp_destructor_and_conversion_operator_not_entities():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public class Box {\n"
+        "    ~Box() { Cleanup(); }\n"
+        "    public static implicit operator string(Box b) => b.ToString();\n"
+        "    public Box() { Init(); }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("B.cs", cs)
+    ents = [(r[1], r[2]) for r in rows if r[0] == "entity"]
+    assert ents.count(("Constructor", "Box")) == 1  # the real ctor only
+    assert not any(lbl == "Method" for lbl, _ in ents)
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert "Init" in calls and "Cleanup" not in calls
+
+
+def test_generic_invocation_captured_comparison_not():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public class S {\n"
+        "    public void Go(int a, int b, int d) {\n"
+        "        repo.FetchAll<int>(d);\n"
+        "        if (a < b && a > (d)) { Run(); }\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("S.cs", cs)
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert "FetchAll" in calls and "Run" in calls
+    assert "a" not in calls  # `a < ... > (d)` is a comparison, not a call
