@@ -1029,6 +1029,22 @@ def _project(b: _Binder, q: Query, params) -> DataFrame:
         cols = []
         for r in q.returns:
             cols.extend(_ret_cols(b, r))
+        # a WITH-stage alias used only for ordering (`WITH f, count(1) AS
+        # usage_count RETURN f ORDER BY usage_count` — the reference's
+        # most-called idiom) must survive the projection: carry it
+        # through and drop it after the sort
+        sort_carry = None
+        if q.order_by is not None and not q.order_by[1]:
+            ob_var = q.order_by[0]
+            names = set()
+            for r in q.returns:
+                if r.kind == "var":
+                    names.add(r.alias or r.var)
+                else:
+                    names.add(r.alias or "")
+            if ob_var not in names and ob_var in df.columns:
+                cols.append(F.col(ob_var))
+                sort_carry = ob_var
         df = df.select(*cols)
         if q.distinct:
             df = df.distinct()
@@ -1046,6 +1062,8 @@ def _project(b: _Binder, q: Query, params) -> DataFrame:
             # count(n) ORDER BY n.name is invalid in Cypher too)
             raise CypherError(f"ORDER BY {var}.{prop or ''} not in RETURN scope")
         df = df.orderBy(col.desc() if desc else col.asc())
+        if sort_carry is not None:
+            df = df.drop(sort_carry)
     if q.skip is not None:
         df = df.offset(int(_resolve(q.skip, params)))
     if q.limit is not None:

@@ -541,3 +541,26 @@ def test_unwind_nodes_with_count(g):
 def test_unwind_without_path_rejected(g):
     with pytest.raises(CypherError):
         run_cypher(g, "MATCH (n:Nation) UNWIND nodes(p) AS x RETURN x")
+
+
+def test_order_by_with_alias_not_in_return(g):
+    # the reference-shaped most-called idiom: ORDER BY a WITH alias that
+    # is NOT projected by RETURN — the sort key is carried through the
+    # projection and dropped after the sort
+    rows = run_cypher(
+        g,
+        "MATCH ()-[:SUPPLIES]->(f) WITH f, count(1) AS usage_count "
+        "RETURN f ORDER BY usage_count DESC LIMIT 10",
+    ).collect()
+    assert len(rows) == 10
+    assert "usage_count" not in rows[0].asDict()
+    # ordering agrees with the typed computation
+    top = (
+        g.edges.filter(F.col("type") == "SUPPLIES").groupBy("dst").count()
+        .orderBy(F.col("count").desc()).limit(1).collect()[0]
+    )
+    assert rows[0]["f_id"] in {
+        r["dst"] for r in g.edges.filter(F.col("type") == "SUPPLIES")
+        .groupBy("dst").count()
+        .filter(F.col("count") == top["count"]).collect()
+    }
