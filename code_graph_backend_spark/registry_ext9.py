@@ -505,3 +505,142 @@ def curation_pipeline_v3_q(spark, sf_dir):
         )
         .orderBy(F.col("cum_tokens").asc(), F.col("doc_id").asc())
     )
+
+
+@register(
+    "pack_boundary_stats",
+    """
+    WITH t AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN (cum - n_tokens) % 256 + n_tokens > 256
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+           CAST(SUM(n_tokens) % 256 AS BIGINT) AS tail_tokens
+    FROM c GROUP BY shard
+    """,
+)
+def pack_boundary_stats_q(spark, sf_dir):
+    """Packing-layout diagnostics for the sharded concat-and-chunk path
+    (functions/packing.py pack_sequences_sharded): per shard — docs,
+    tokens, windows, how many docs STRADDLE a window boundary (the
+    attention-mask-relevant count), and the partial-tail size (the only
+    padding the sharded layout can waste). One per-shard cumsum window +
+    one shard-cardinality agg; every column integer."""
+    from .functions.packing import pack_sequences_sharded
+
+    packed = pack_sequences_sharded(
+        read_table(spark, sf_dir, "documents"), budget=256, n_shards=16
+    )
+    return (
+        packed.select(
+            (F.col("seq_id") / F.lit(1 << 40)).cast("long").alias("shard"),
+            "n_tokens",
+            ((F.col("tok_offset") + F.col("n_tokens")) > 256).alias("_straddle"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.expr("(sum(n_tokens) + 255) div 256").cast("long").alias("n_windows"),
+            F.sum(F.col("_straddle").cast("long")).cast("long").alias("n_straddle"),
+            F.expr("sum(n_tokens) % 256").cast("long").alias("tail_tokens"),
+        )
+    )
+
+
+@register(
+    "dsir_importance_select",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cn AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tn AS (
+        SELECT t.tok, COUNT(*) AS c FROM tok t
+        JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY t.tok
+    ),
+    tots AS (
+        SELECT (SELECT SUM(c) FROM cn) AS c_tot,
+               (SELECT COALESCE(SUM(c), 0) FROM tn) AS t_tot,
+               (SELECT COUNT(*) FROM cn) AS v
+    ),
+    scored AS (
+        SELECT tok.doc_id,
+               log2(((COALESCE(tn.c, 0) + 1) / CAST(tots.t_tot + tots.v AS DOUBLE))
+                    / ((cn.c + 1) / CAST(tots.c_tot + tots.v AS DOUBLE))) AS llr
+        FROM tok JOIN cn USING (tok) LEFT JOIN tn USING (tok) CROSS JOIN tots
+    ),
+    d AS (SELECT doc_id, ROUND(AVG(llr), 6) AS weight FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, docs.lang, d.weight
+    FROM (
+        SELECT doc_id, weight,
+               ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rn
+        FROM d
+    ) d JOIN documents docs USING (doc_id)
+    WHERE rn <= 100
+    ORDER BY d.weight DESC, d.doc_id
+    """,
+)
+def dsir_importance_select_q(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023 shape): per-doc mean
+    log importance ratio between a TARGET unigram model (the lang='en'
+    slice) and the corpus model, Laplace-smoothed over the corpus
+    vocabulary; top-100 by (weight desc, id). This is the
+    domain-reweighting selection step run before mixing pretraining data
+    toward a target distribution. Plan: one token explode feeds both
+    models (two vocabulary-sized aggs), scalars cross from a 1-row
+    broadcast, model broadcast back onto the token stream, one per-doc
+    agg + one rank window. Rank and emission both on ROUND(avg, 6) —
+    the established float contract."""
+    from .session import fan_out
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cn = tok.groupBy("tok").agg(F.count("*").alias("c_all"))
+    tn = (
+        tok.join(docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("tok").agg(F.count("*").alias("c_tgt"))
+    )
+    tots = (
+        cn.agg(
+            F.sum("c_all").alias("c_tot"), F.count("*").alias("v")
+        ).crossJoin(F.broadcast(tn.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tot"))))
+    )
+    model = F.broadcast(
+        cn.join(tn, "tok", "left").crossJoin(F.broadcast(tots))
+    )
+    llr = F.log2(
+        ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1) / (F.col("t_tot") + F.col("v")))
+        / ((F.col("c_all") + 1) / (F.col("c_tot") + F.col("v")))
+    )
+    d = (
+        tok.join(model, "tok")
+        .select("doc_id", llr.alias("llr"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("llr"), 6).alias("weight"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("weight").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "weight")
+        .orderBy(F.col("weight").desc(), F.col("doc_id"))
+    )

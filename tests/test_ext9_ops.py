@@ -146,3 +146,48 @@ def test_curation_v3_subset_of_v2_survivors(spark):
                QUERIES["curation_pipeline_v3"](spark, SF_DIR).collect()}
     for d in v3_rows.keys() & v2.keys():
         assert v3_rows[d] == v2[d]
+
+
+def test_pack_boundary_stats_reconciles_with_packing(docs, spark):
+    from code_graph_backend_spark.functions.packing import pack_sequences_sharded
+    from code_graph_backend_spark.registry import QUERIES
+
+    stats = {r["shard"]: r for r in QUERIES["pack_boundary_stats"](spark, SF_DIR).collect()}
+    packed = pack_sequences_sharded(docs, budget=256, n_shards=16).collect()
+    by_shard = {}
+    for r in packed:
+        s = r["seq_id"] >> 40
+        by_shard.setdefault(s, []).append(r)
+    assert set(stats) == set(by_shard)
+    for s, rows in by_shard.items():
+        st = stats[s]
+        assert st["n_docs"] == len(rows)
+        total = sum(r["n_tokens"] for r in rows)
+        assert st["total_tokens"] == total
+        assert st["n_windows"] == (total + 255) // 256
+        assert st["n_straddle"] == sum(
+            1 for r in rows if r["tok_offset"] + r["n_tokens"] > 256
+        )
+        assert st["tail_tokens"] == total % 256
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from code_graph_backend_spark.registry import QUERIES
+    import tempfile, os
+
+    # target slice speaks 'aa bb'; the off-target doc speaks 'zz'
+    d = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb", "en", "s", 11),
+            (2, "aa bb aa aa", "en", "s", 11),
+            (3, "aa bb bb aa", "de", "s", 11),  # looks like target
+            (4, "zz zz zz zz", "de", "s", 11),  # does not
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = QUERIES["dsir_importance_select"](spark, td).collect()
+    w = {r["doc_id"]: r["weight"] for r in rows}
+    assert w[3] > w[4]  # target-like doc outranks the off-target one
+    assert rows == sorted(rows, key=lambda r: (-r["weight"], r["doc_id"]))
