@@ -246,3 +246,150 @@ def hll_merge_sql(table_expr: str, shard_col: str, item_expr: str) -> str:
                  / (SELECT COUNT(DISTINCT i) FROM it), 6) AS rel_err
     FROM fin
     """
+
+
+def quantile_summary(
+    docs: DataFrame,
+    k: int = 32,
+    n_shards: int = 8,
+    pcts: tuple = (10, 25, 50, 75, 90),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mergeable rank-based quantile summary (the GK/KLL family's
+    deterministic exact-twin): per shard keep every ⌈n_s/k⌉-th order
+    statistic of the doc token counts WITH the row span it represents,
+    merge the fixed-size summaries, and answer percentiles from the
+    merged cumulative weights. Also reports the EXACT rank statistic and
+    the absolute error — bounded by the per-shard step, the classic
+    summary guarantee.
+
+    The at-scale story mirrors corpus_hll_merge: each shard ships k rows
+    regardless of shard size (a 100 TB shard contributes 32 rows to the
+    merge), while the oracle's global sort is exactly the plan the
+    summary exists to avoid. Everything is integers + deterministic
+    (value, id) ordering, so the DuckDB twin replays construction, merge,
+    and error bit-exactly.
+
+    Returns (pct, est, exact, abs_err), one row per requested percentile.
+    """
+    from pyspark.sql.window import Window
+
+    from ..session import fan_out
+
+    toks = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        + F.lit(1)
+    )
+    vals = fan_out(docs).select(
+        F.col(id_col).alias("i"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        toks.cast("long").alias("v"),
+    )
+    w_s = Window.partitionBy("shard").orderBy("v", "i")
+    ranked = vals.select(
+        "shard", "v", "i",
+        F.row_number().over(w_s).alias("rn"),
+        F.count("*").over(Window.partitionBy("shard")).alias("n_s"),
+    )
+    step = F.expr(f"(n_s + {k - 1}) div {k}")
+    kept = ranked.filter(((F.col("rn") - 1) % step == 0) | (F.col("rn") == F.col("n_s")))
+    w_k = Window.partitionBy("shard").orderBy("rn")
+    kept = kept.select(
+        "shard", "v", "rn", "n_s",
+        (F.coalesce(F.lead("rn").over(w_k), F.col("n_s") + 1) - F.col("rn")).alias("w"),
+    )
+    w_g = Window.orderBy("v", "shard", "rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = kept.select(
+        "v", "shard", "rn", F.sum("w").over(w_g).alias("cumw")
+    )
+    n_total = vals.agg(F.count("*").alias("n")).collect()[0][0]
+    # exact rank statistics from the full data (the oracle-side plan the
+    # summary avoids at scale — here it doubles as the error report)
+    w_all = Window.orderBy("v", "i")
+    exact_ranked = vals.select("v", F.row_number().over(w_all).alias("rg"))
+    spark = docs.sparkSession
+    pct_df = spark.createDataFrame([(int(p),) for p in pcts], "pct long").select(
+        "pct", ((F.col("pct") * n_total + 99) / 100).cast("long").alias("target")
+    )
+    est = (
+        merged.crossJoin(F.broadcast(pct_df))
+        .filter(F.col("cumw") >= F.col("target"))
+        .groupBy("pct")
+        .agg(F.min(F.struct("cumw", "v")).alias("first"))
+        .select("pct", F.col("first.v").alias("est"))
+    )
+    exact = (
+        exact_ranked.crossJoin(F.broadcast(pct_df))
+        .filter(F.col("rg") == F.col("target"))
+        .select("pct", F.col("v").alias("exact"))
+    )
+    return (
+        est.join(exact, "pct")
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("est").cast("long").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+            F.abs(F.col("est") - F.col("exact")).cast("long").alias("abs_err"),
+        )
+        .orderBy("pct")
+    )
+
+
+def quantile_summary_sql(
+    k: int = 32, n_shards: int = 8, pcts: tuple = (10, 25, 50, 75, 90)
+) -> str:
+    """DuckDB twin of quantile_summary over the `documents` view."""
+    pct_rows = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+    WITH vals AS (
+        SELECT doc_id AS i, doc_id % {n_shards} AS shard,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS v
+        FROM documents
+    ),
+    ranked AS (
+        SELECT shard, v, i,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v, i) AS rn,
+               COUNT(*) OVER (PARTITION BY shard) AS n_s
+        FROM vals
+    ),
+    kept0 AS (
+        SELECT shard, v, rn, n_s FROM ranked
+        WHERE (rn - 1) % ((n_s + {k - 1}) // {k}) = 0 OR rn = n_s
+    ),
+    kept AS (
+        SELECT shard, v, rn,
+               COALESCE(LEAD(rn) OVER (PARTITION BY shard ORDER BY rn), n_s + 1)
+                   - rn AS w
+        FROM kept0
+    ),
+    merged AS (
+        SELECT v, shard, rn,
+               SUM(w) OVER (ORDER BY v, shard, rn ROWS UNBOUNDED PRECEDING) AS cumw
+        FROM kept
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM vals),
+    pctt AS (
+        SELECT pct, (pct * (SELECT n_total FROM n) + 99) // 100 AS target
+        FROM (VALUES {pct_rows}) p(pct)
+    ),
+    est AS (
+        SELECT pct, arg_min(v, cumw) AS est
+        FROM merged CROSS JOIN pctt WHERE cumw >= target GROUP BY pct
+    ),
+    exact_ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, i) AS rg FROM vals
+    ),
+    ex AS (
+        SELECT pct, v AS exact FROM exact_ranked JOIN pctt ON rg = target
+    )
+    SELECT CAST(est.pct AS BIGINT) AS pct, CAST(est AS BIGINT) AS est,
+           CAST(exact AS BIGINT) AS exact,
+           CAST(ABS(est - exact) AS BIGINT) AS abs_err
+    FROM est JOIN ex USING (pct)
+    ORDER BY pct
+    """

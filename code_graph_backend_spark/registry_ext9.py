@@ -644,3 +644,25 @@ def dsir_importance_select_q(spark, sf_dir):
         .select("doc_id", "lang", "weight")
         .orderBy(F.col("weight").desc(), F.col("doc_id"))
     )
+
+
+def _quantile_summary_sql() -> str:
+    from .functions.sketches import quantile_summary_sql
+
+    return quantile_summary_sql(k=32, n_shards=8)
+
+
+@register("corpus_quantile_summary", _quantile_summary_sql())
+def corpus_quantile_summary_q(spark, sf_dir):
+    """Mergeable rank-based quantile summary (functions/sketches.py
+    quantile_summary): per-shard fixed-size order-statistic summaries
+    (k=32 rows per shard on the wire, like corpus_hll_merge's registers)
+    merged into global percentile estimates, reported beside the exact
+    rank statistics with the absolute error — the GK/KLL-family shape
+    under a hash-exact oracle. The exact side's global sort is precisely
+    the plan the summary avoids at 100 TB."""
+    from .functions.sketches import quantile_summary
+
+    return quantile_summary(
+        read_table(spark, sf_dir, "documents"), k=32, n_shards=8
+    )

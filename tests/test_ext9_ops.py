@@ -191,3 +191,42 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     w = {r["doc_id"]: r["weight"] for r in rows}
     assert w[3] > w[4]  # target-like doc outranks the off-target one
     assert rows == sorted(rows, key=lambda r: (-r["weight"], r["doc_id"]))
+
+
+def test_quantile_summary_error_bounded_by_step(docs, spark):
+    """The summary's defining guarantee: |est - exact| rank displacement
+    is at most one per-shard step, so the VALUE error is bounded by the
+    values spanned by ~2 steps of ranks. Verify the rank-level bound
+    directly: the estimate's exact rank is within sum-of-steps of the
+    target rank."""
+    from code_graph_backend_spark.functions.sketches import quantile_summary
+
+    out = quantile_summary(docs, k=32, n_shards=8).collect()
+    assert [r["pct"] for r in out] == [10, 25, 50, 75, 90]
+    vals = sorted(
+        len(r["text"].split(" ")) for r in docs.select("text").collect()
+    )
+    n = len(vals)
+    max_step = (n // 8 + 31) // 32 + 1
+    for r in out:
+        # the estimate must be an actual corpus value, close in rank
+        import bisect
+        target = (r["pct"] * n + 99) // 100
+        lo = bisect.bisect_left(vals, r["est"])
+        hi = bisect.bisect_right(vals, r["est"])
+        assert lo - 8 * max_step <= target <= hi + 8 * max_step
+        assert r["abs_err"] == abs(r["est"] - r["exact"])
+
+
+def test_quantile_summary_exact_matches_sorted_rank(docs, spark):
+    from code_graph_backend_spark.functions.sketches import quantile_summary
+
+    out = {r["pct"]: r for r in quantile_summary(docs, k=32, n_shards=8).collect()}
+    vals = sorted(
+        (len(r["text"].split(" ")), r["doc_id"])
+        for r in docs.select("text", "doc_id").collect()
+    )
+    n = len(vals)
+    for pct, r in out.items():
+        target = (pct * n + 99) // 100
+        assert r["exact"] == vals[target - 1][0]
