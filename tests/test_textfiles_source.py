@@ -1,0 +1,74 @@
+"""JSONL / CSV / text-directory corpus ingestion: every reader lands on
+the canonical documents schema and feeds the documents operators
+unchanged (the parquet tables are the driver's fixture, not the only
+door into the engine)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from code_graph_backend_spark.sources.textfiles import (
+    DOCUMENTS_SCHEMA, read_documents_csv, read_documents_jsonl,
+    read_documents_textdir,
+)
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, tmp_path):
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = os.path.join(str(tmp_path), "docs.jsonl")
+    with open(p, "w") as f:
+        for r in src.collect():
+            f.write(json.dumps({
+                "doc_id": r["doc_id"], "text": r["text"], "lang": r["lang"],
+                "source": r["source"], "n_chars": r["n_chars"],
+            }) + "\n")
+    got = read_documents_jsonl(spark, p)
+    # name+type identical (nullability flags differ between a parquet
+    # scan and a coalesce projection — immaterial to consumers)
+    assert got.dtypes == src.select(*[f.name for f in DOCUMENTS_SCHEMA]).dtypes
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_missing_fields_are_derived(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "bare.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"text": "hello spark world"}) + "\n")
+        f.write(json.dumps({"text": "another doc"}) + "\n")
+    got = read_documents_jsonl(spark, p).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["n_chars"] == len(r["text"])
+        assert r["lang"] == "und" and r["source"] == "jsonl"
+        assert r["doc_id"] is not None
+    # content-stable id: re-reading yields identical ids
+    again = {r["text"]: r["doc_id"] for r in read_documents_jsonl(spark, p).collect()}
+    assert all(again[r["text"]] == r["doc_id"] for r in got)
+
+
+def test_csv_reader_quoted_text(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "docs.csv")
+    with open(p, "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        f.write('1,"a b c",en,s0,5\n')
+        f.write('2,"with, comma",de,s1,11\n')
+    got = {r["doc_id"]: r for r in read_documents_csv(spark, p).collect()}
+    assert got[2]["text"] == "with, comma" and got[2]["lang"] == "de"
+
+
+def test_textdir_reader_and_operator_compat(spark, tmp_path):
+    d = os.path.join(str(tmp_path), "corpus")
+    os.makedirs(d)
+    for i, body in enumerate(["the cat sat", "a dog ran far"]):
+        with open(os.path.join(d, f"doc{i}.txt"), "w") as f:
+            f.write(body)
+    docs = read_documents_textdir(spark, d)
+    rows = docs.collect()
+    assert {r["source"] for r in rows} == {"doc0.txt", "doc1.txt"}
+    # the ingested frame feeds a documents operator unchanged
+    from code_graph_backend_spark.functions.text import gopher_quality_gates
+
+    gates = gopher_quality_gates(docs).collect()
+    assert {g["n_tokens"] for g in gates} == {3, 4}
