@@ -930,6 +930,8 @@ def _agg_alias(r: RetItem) -> str:
 def _agg_expr(b: _Binder, r: RetItem) -> Column:
     """One aggregate RetItem as an aliased aggregate Column (shared by the
     RETURN aggregation and the WITH stage)."""
+    if r.var is not None and r.var not in b.vars:
+        raise CypherError(f"unbound aggregate var {r.var}")
     if r.kind in ("sum", "min", "max", "avg"):
         target = b.prop(r.var, r.prop)
         if r.kind in ("sum", "avg"):

@@ -564,3 +564,39 @@ def test_order_by_with_alias_not_in_return(g):
         .groupBy("dst").count()
         .filter(F.col("count") == top["count"]).collect()
     }
+
+
+def test_parser_never_crashes_on_with_unwind_samples(g):
+    """Fuzz the round-5 surface: WITH stages (re-scope + aggregation +
+    post-WHERE), UNWIND, and keyword-shaped identifiers — compile or
+    CypherError, never an unhandled exception."""
+    import itertools
+
+    withs = ["", " WITH n", " WITH n, count(1) AS c", " WITH n, count(m) AS c",
+             " WITH n, sum(e.pos) AS c", " WITH n, count(1) AS c WHERE c >= 1",
+             " WITH call, count(1) AS yield"]
+    edges = ["", "-[:IN_REGION]->(m)", "-[e]->(m)"]
+    rets = ["n", "count(n)", "n.name, c", "c", "n ORDER BY c DESC LIMIT 2"]
+    params = {}
+    n_ok = 0
+    for wh, ed, re_ in itertools.product(withs, edges, rets):
+        q = f"MATCH (n:Nation){ed}{wh} RETURN {re_}"
+        try:
+            run_cypher(g, q, params).limit(1).collect()
+            n_ok += 1
+        except CypherError:
+            pass
+    # UNWIND shapes
+    for q in [
+        "MATCH (src), (dest) WHERE ID(src) = 40000002 AND ID(dest) = 40000009 "
+        "WITH src, dest MATCH p=(src)-[:NEXT*]->(dest) "
+        "UNWIND nodes(p) AS n RETURN DISTINCT n.name",
+        "MATCH (n) UNWIND nodes(q) AS x RETURN x",
+        "UNWIND nodes(p) AS x RETURN x",
+    ]:
+        try:
+            run_cypher(g, q, params).limit(1).collect()
+            n_ok += 1
+        except CypherError:
+            pass
+    assert n_ok >= 30
