@@ -117,6 +117,11 @@ def fan_out(df, min_parts: int | None = None):
     input is already at least as parallel as the session — a 100 TB scan
     with thousands of splits never reshuffles.
     """
+    if df.isStreaming:
+        # streaming frames can't expose .rdd; micro-batch parallelism is
+        # the source's (maxFilesPerTrigger etc.), so pass through — the
+        # map-only kernels downstream run unchanged in append mode
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -426,3 +426,44 @@ def test_sigma_gate_stream_batch_parity(spark, tmp_path):
         "select * from sigma_gate_test").collect()}
     q.stop()
     assert stream_ids == batch
+
+
+def test_stream_gopher_gates_parity(spark, tmp_path):
+    """Quality gating on the INGEST stream: gopher_quality_gates is a
+    map-only Arrow kernel, so the identical function runs over
+    readStream (append mode, no state) — the shape a 100 TB pipeline
+    uses to gate documents as they land rather than in a second pass."""
+    from code_graph_backend_spark.functions.text import gopher_quality_gates
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    src.limit(200).write.parquet(data_dir)
+
+    batch = {r["doc_id"]: r for r in gopher_quality_gates(
+        spark.read.parquet(data_dir)).collect()}
+
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    q = (
+        gopher_quality_gates(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gopher_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    stream_rows = {r["doc_id"]: r for r in
+                   spark.sql("select * from gopher_stream_test").collect()}
+    q.stop()
+    assert set(stream_rows) == set(batch)
+    for d, r in batch.items():
+        s = stream_rows[d]
+        assert (s["n_tokens"], s["mean_len_milli"], s["stop_hits"],
+                s["top_frac_milli"], s["passes"]) == (
+            r["n_tokens"], r["mean_len_milli"], r["stop_hits"],
+            r["top_frac_milli"], r["passes"])
