@@ -23,6 +23,7 @@ from code_graph_backend_spark import registry_ext6  # noqa: F401  (registers on 
 from code_graph_backend_spark import registry_ext7  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext8  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext9  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext10  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -49,7 +50,7 @@ _PRIORITY = [
     "ann_ivf_exact", "gopher_quality_gates", "corpus_mixture_plan",
     "bpe_fertility_by_lang", "text_bigram_logprob", "dedup_lsh_eval",
     "curation_pipeline_v3", "pack_boundary_stats", "dsir_importance_select",
-    "corpus_quantile_summary",
+    "corpus_quantile_summary", "contamination_bloom", "corpus_heavy_hitters",
     # round-4 red row, reworked (space-count tokens, ordered output)
     "token_budget_select",
     # implementation changed this round: gates/ranks now quantized

@@ -393,3 +393,130 @@ def quantile_summary_sql(
     FROM est JOIN ex USING (pct)
     ORDER BY pct
     """
+
+
+# Count-Min sketch constants: d = 4 hash rows x w = 1024 counters. For a
+# token stream of N occurrences the overcount per probe is <= 2N/w with
+# probability 1 - (1/2)^d (Cormode & Muthukrishnan 2005); both constants
+# appear in the DuckDB oracle via cms_pos_sql below.
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_pos(tok_col, j_col):
+    """Counter column for token/row pair: first 32 bits of
+    md5('cm' || j || ':' || tok) mod w — engine-identical like the HLL
+    register family above."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cm"), j_col, F.lit(":"), tok_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+def cms_pos_sql(tok_expr: str, j_expr: str) -> str:
+    """DuckDB twin of _cms_pos, kept adjacent so the layout cannot
+    drift."""
+    return (
+        f"(('0x' || substring(md5('cm' || {j_expr} || ':' || {tok_expr}),"
+        f" 1, 8))::BIGINT % {_CMS_W})"
+    )
+
+
+def _j_array():
+    return F.array(*[F.lit(str(j)) for j in range(_CMS_D)])
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    per_shard: int = 16,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus heavy hitters from a Count-Min sketch, with the exact-count
+    calibration twin: top_k tokens ranked by their CMS estimate, each
+    beside its true count and overcount.
+
+    Pipeline (all deterministic, all replayable in ANSI SQL):
+      1. counters: token stream -> (j, pos, +1) -> ONE hash-agg to at
+         most d*w = 4096 rows, whatever the corpus size. Map-side
+         partial aggregation means the shuffle carries <= 4096 rows per
+         map partition — this bounded table IS the sketch, and it merges
+         across ingest shards by plain addition.
+      2. candidates: per ingest shard (doc_id mod n_shards), the exact
+         local top-`per_shard` tokens (count desc, token asc — packed
+         deterministic tie-break). Bounded at n_shards*per_shard rows; a
+         global heavy hitter is necessarily a local one in some shard.
+      3. estimate: candidates x d probes -> broadcast-join the counter
+         table -> min over the d rows (the CMS upper-bound estimate).
+      4. report: top_k by (estimate desc, token), beside the exact count
+         (test-scale calibration; at 100 TB you drop the exact join and
+         keep sketch + shard-local candidates only).
+
+    No reference analogue (beyond-parity, SURVEY.md §2.12); sibling of
+    the HLL family above — HLL answers "how many distinct", CMS answers
+    "how often is THIS one" under the same bounded-state contract.
+    """
+    from ..session import fan_out
+    from ..scratch import scratch_persist
+
+    toks = fan_out(docs).select(
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    # vocabulary-sized exact counts per shard drive BOTH the candidate
+    # top-k and (summed) the calibration twin — one scan, one agg
+    shard_counts = scratch_persist(
+        toks.groupBy("shard", "tok").agg(F.count("*").alias("c"))
+    )
+
+    counters = (
+        toks.select(
+            F.explode(_j_array()).alias("j"),
+            F.col("tok"),
+        )
+        .select("j", _cms_pos(F.col("tok"), F.col("j")).alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("tok"))
+    candidates = (
+        shard_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_shard)
+        .select("tok")
+        .distinct()
+    )
+
+    probes = candidates.select(
+        "tok", F.explode(_j_array()).alias("j")
+    ).select("tok", "j", _cms_pos(F.col("tok"), F.col("j")).alias("pos"))
+    est = (
+        probes.join(F.broadcast(counters), ["j", "pos"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+    exact = shard_counts.groupBy("tok").agg(F.sum("c").alias("exact_count"))
+    ranked = (
+        est.join(exact, "tok")
+        .orderBy(F.desc("est_count"), F.asc("tok"))
+        .limit(top_k)
+    )
+    return ranked.select(
+        F.col("tok").alias("token"),
+        F.col("est_count").cast("bigint").alias("est_count"),
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        (F.col("est_count") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overcount"),
+    )

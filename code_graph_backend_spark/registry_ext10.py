@@ -1,0 +1,123 @@
+"""Round-5b extension queries: bounded-index decontamination and
+mergeable-sketch heavy hitters — the two sketch shapes (Bloom membership,
+Count-Min frequency) a 100 TB pipeline uses where the exact structures
+(probe-shingle broadcast, full token groupBy) stop fitting.
+
+Both follow the repo's exact-oracle discipline: every bit/counter is a
+deterministic md5 function of the input, so DuckDB replays the WHOLE
+sketch and the driver hash-checks the estimates themselves (see
+functions/sketches.py for the HLL precedent). No reference analogue
+(the reference's aggregation surface is count/collect, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import read_table
+from .functions.sampling import bloom_positions_sql
+
+
+@register(
+    "contamination_bloom",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dsh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 12)) u(i)
+    ),
+    psh AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 97 = 0),
+    bits AS (
+        SELECT DISTINCT j, {bloom_positions_sql('s', 'j')} AS pos
+        FROM psh, UNNEST(['0','1','2','3']) u(j)
+    ),
+    dpos AS (
+        SELECT doc_id, s, j, {bloom_positions_sql('s', 'j')} AS pos
+        FROM dsh, UNNEST(['0','1','2','3']) u(j)
+    ),
+    hits AS (
+        SELECT doc_id, s, COUNT(*) AS k_hit
+        FROM dpos JOIN bits USING (j, pos)
+        GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT doc_id, COUNT(*) AS n_flagged FROM hits
+        WHERE k_hit = 4 GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           COALESCE(f.n_flagged, 0) > 0 AS flagged
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN flagged f USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def contamination_bloom_q(spark, sf_dir):
+    """Bloom-filter decontamination (functions/sampling.py
+    contamination_bloom): per doc, how many of its 13-gram shingles the
+    probe-set Bloom filter (M=2^16 bits, k=4 md5 hashes) flags. The
+    broadcast side is bounded by M regardless of probe-corpus size —
+    the index you ship when the benchmark suite outgrows
+    contamination_ngram's shingle broadcast. Zero false negatives by
+    construction; the oracle replays the exact bit layout."""
+    from .functions.sampling import contamination_bloom
+
+    docs = read_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("text").alias("probe_text")
+    )
+    return contamination_bloom(docs, probes)
+
+
+from .functions.sketches import cms_pos_sql  # noqa: E402
+
+
+@register(
+    "corpus_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT doc_id % 8 AS shard, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    sc AS (SELECT shard, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    counters AS (
+        SELECT j, pos, COUNT(*) AS cnt FROM (
+            SELECT j, {cms_pos_sql('tok', 'j')} AS pos
+            FROM toks, UNNEST(['0','1','2','3']) u(j)
+        ) GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT tok FROM (
+            SELECT shard, tok,
+                   ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY c DESC, tok) AS rn
+            FROM sc
+        ) WHERE rn <= 16
+    ),
+    est AS (
+        SELECT tok, MIN(cnt) AS est_count FROM (
+            SELECT cand.tok, j, {cms_pos_sql('tok', 'j')} AS pos
+            FROM cand, UNNEST(['0','1','2','3']) u(j)
+        ) p JOIN counters USING (j, pos) GROUP BY tok
+    ),
+    exact AS (SELECT tok, SUM(c) AS exact_count FROM sc GROUP BY tok)
+    SELECT e.tok AS token, CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(x.exact_count AS BIGINT) AS exact_count,
+           CAST(e.est_count - x.exact_count AS BIGINT) AS overcount
+    FROM est e JOIN exact x USING (tok)
+    ORDER BY est_count DESC, token
+    LIMIT 20
+    """,
+)
+def corpus_heavy_hitters_q(spark, sf_dir):
+    """Count-Min heavy hitters (functions/sketches.py cms_heavy_hitters):
+    top-20 tokens by CMS estimate (d=4 x w=1024 md5 counters) beside the
+    exact count and overcount. The counter table is bounded at 4096 rows
+    whatever the corpus size and merges across shards by addition;
+    candidates come from per-shard exact top-16 (a global heavy hitter is
+    a local one somewhere). The oracle replays counters, candidates and
+    the min-probe estimate bit-for-bit."""
+    from .functions.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(read_table(spark, sf_dir, "documents"))
