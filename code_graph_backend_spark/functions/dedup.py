@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-token shingles.
 
@@ -74,12 +75,19 @@ def ngram_jaccard_pairs(
     sizes, so the result is exact Jaccard over the non-boilerplate shingle
     space (the standard stop-shingle semantics). Default None = off, exact
     Jaccard over all shingles.
+
+    `shingles_df` (columns [id_col, s], already persisted by the caller)
+    lets a composed pipeline that needs the shingle table more than once
+    (e.g. dedup_lsh_eval: LSH path + truth path) build it ONE time.
     """
-    sh = scratch_persist(fan_out(docs).select(
-        F.col(id_col).alias("i"), F.explode(shingles(text_col, n)).alias("s")
-    ))  # the inverted index feeds both self-join sides AND the
-    # per-doc sizes — materialize once (MEMORY_AND_DISK, spills at scale)
-    # instead of re-exploding the corpus three times
+    if shingles_df is not None:
+        sh = shingles_df.select(F.col(id_col).alias("i"), F.col("s"))
+    else:
+        sh = scratch_persist(fan_out(docs).select(
+            F.col(id_col).alias("i"), F.explode(shingles(text_col, n)).alias("s")
+        ))  # the inverted index feeds both self-join sides AND the
+        # per-doc sizes — materialize once (MEMORY_AND_DISK, spills at
+        # scale) instead of re-exploding the corpus three times
     if max_df is not None:
         # Hot shingles are few by definition (high df ⇒ boilerplate), so the
         # stop-list broadcast-anti-joins against the index without a shuffle.
@@ -296,15 +304,21 @@ def simhash_near_dup_pairs(
 
 
 def _banded_md5(
-    docs: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
+    docs: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(i, band, bh) banded md5-minhash signatures — the ANSI-replicable
     hash family shared by the exact twin and the incremental variant:
-    explode shingles → one hash-agg computing all k mins → md5 band keys."""
+    explode shingles → one hash-agg computing all k mins → md5 band keys.
+    `shingles_df` (columns [id_col, s]) skips the explode when the caller
+    already built the table."""
     rows = k // bands
-    sh = fan_out(docs).select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
-    )
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        sh = fan_out(docs).select(
+            F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
+        )
     sig = sh.groupBy(id_col).agg(
         F.array(
             *[
@@ -331,12 +345,15 @@ def minhash_lsh_candidates_exact(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact twin of `minhash_lsh_candidates`: identical explode → one
     hash-agg k-mins → banded equi-join plan, but hash = md5(seed ':' s)
     compared as hex strings and band key = md5 of the '|'-joined band
     slice — every step replicable in ANSI SQL. Output (i, j) pairs."""
-    banded = scratch_persist(_banded_md5(docs, id_col, text_col, n, k, bands))
+    banded = scratch_persist(
+        _banded_md5(docs, id_col, text_col, n, k, bands, shingles_df)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -260,12 +260,21 @@ def dedup_lsh_eval_q(spark, sf_dir):
     >= 0.8 truth (dedup_ngram_jaccard's machinery) — the measure-don't-
     guess gate you run before trusting an LSH configuration at 100 TB,
     where the truth join is only affordable on a sample. Three counts
-    crossed via 1-row broadcast joins; no pair list leaves the plan."""
+    crossed via 1-row broadcast joins; no pair list leaves the plan. Both
+    paths read ONE scratch-persisted shingle table (the corpus is
+    exploded once, not twice)."""
     from .functions import dedup
+    from .scratch import scratch_persist
+    from .session import fan_out
 
     docs = read_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates_exact(docs, k=16, bands=4)
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select("i", "j")
+    sh = scratch_persist(
+        fan_out(docs).select(
+            F.col("doc_id"), F.explode(dedup.shingles("text", 3)).alias("s")
+        )
+    )
+    cand = dedup.minhash_lsh_candidates_exact(docs, k=16, bands=4, shingles_df=sh)
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8, shingles_df=sh).select("i", "j")
     tp = cand.join(truth, ["i", "j"]).agg(F.count("*").alias("n_tp"))
     nc = cand.agg(F.count("*").alias("n_candidates"))
     ntr = truth.agg(F.count("*").alias("n_truth"))
