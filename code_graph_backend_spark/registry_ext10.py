@@ -121,3 +121,52 @@ def corpus_heavy_hitters_q(spark, sf_dir):
     from .functions.sketches import cms_heavy_hitters
 
     return cms_heavy_hitters(read_table(spark, sf_dir, "documents"))
+
+
+from .operators.scc import scc_bounded_sql  # noqa: E402
+
+_SCC_EDGE_SQL = """
+    SELECT src, dst FROM (
+        SELECT l_orderkey AS src,
+               LEAD(l_orderkey) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_quantity, l_orderkey, l_linenumber
+               ) AS dst
+        FROM lineitem
+    ) WHERE dst IS NOT NULL
+"""
+
+
+@register(
+    "graph_scc_bounded",
+    scc_bounded_sql(_SCC_EDGE_SQL, trim_rounds=2, hops=10)
+    + "\nORDER BY node",
+)
+def graph_scc_bounded_q(spark, sf_dir):
+    """Bounded strongly-connected components (operators/scc.py): the
+    directed sibling of graph_wcc_bounded and the mutual-recursion shape
+    a code graph asks of CALLS edges. Test graph: the per-part order
+    succession chain (LEAD by quantity within part) — parts order the
+    same order-pairs differently, so the graph is genuinely cyclic.
+    Trim rounds peel provable singleton SCCs; 10 agreement rounds of
+    joint fwd/bwd min-label propagation confirm SCC membership where
+    f=b (never a false merge); the residual is honestly 'unresolved'.
+    The oracle unrolls all 12 rounds as chained CTEs — every one of the
+    ~14.7k assignments at sf0.01 is hash-checked."""
+    from pyspark.sql import Window
+
+    from .operators.scc import scc_bounded
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    )
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("src"),
+            F.lead("l_orderkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    return scc_bounded(spark, edges).orderBy("node")

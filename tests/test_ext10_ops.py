@@ -156,3 +156,146 @@ class TestCmsHeavyHitters:
         ).collect()[0]["n"]
         for r in cms_heavy_hitters(docs).collect():
             assert 0 <= r["overcount"] <= 2 * n_tokens / _CMS_W
+
+
+class TestSccBounded:
+    def _run(self, spark, edge_rows, **kw):
+        from code_graph_backend_spark.operators.scc import scc_bounded
+
+        e = spark.createDataFrame(edge_rows, "src long, dst long")
+        return {
+            r["node"]: (r["scc_id"], r["status"])
+            for r in scc_bounded(spark, e, **kw).collect()
+        }
+
+    def test_two_cycles_bridge_tendril(self, spark):
+        """1->2->3->1 and 10->11->10, bridged 3->10, tendril 10->20:
+        two confirmed SCCs, tendril + nothing else merged. The
+        downstream cycle sees b=1 via the bridge, so it needs the second
+        peel (Multistep) to agree."""
+        out = self._run(
+            spark,
+            [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10), (20, 21)],
+            trim_rounds=2, hops=4, peels=2,
+        )
+        assert out[1] == (1, "core") and out[2] == (1, "core")
+        assert out[3] == (1, "core")
+        assert out[10] == (10, "core") and out[11] == (10, "core")
+        # 20/21 are on no cycle: trimmed as provable singletons
+        assert out[20] == (20, "singleton")
+        assert out[21] == (21, "singleton")
+
+    def test_trim_is_exact_never_on_cycle(self, spark):
+        """A chain into a cycle: chain nodes trim (singletons), cycle
+        confirms — and no trimmed node ever gets a shared scc_id."""
+        out = self._run(
+            spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 3)],
+            trim_rounds=2, hops=4,
+        )
+        assert out[1] == (1, "singleton") and out[2] == (2, "singleton")
+        assert out[3] == (3, "core") and out[4] == (3, "core")
+        assert out[5] == (3, "core")
+
+    def test_hop_budget_residual_is_unresolved(self, spark):
+        """A 6-cycle with hops=2: the min anchor can't round-trip within
+        the budget for far nodes — they must be 'unresolved', NEVER
+        wrongly confirmed."""
+        ring = [(i, (i % 6) + 1) for i in range(1, 7)]
+        out = self._run(spark, ring, trim_rounds=1, hops=2)
+        for v, (sid, st) in out.items():
+            if st == "core":
+                assert sid == 1
+            else:
+                assert (sid, st) == (-1, "unresolved")
+        # f(1)=b(1)=1 within any budget; every other ring node has
+        # f=own-side min but b=1 (or vice versa) -> unresolved
+        assert out[1] == (1, "core")
+        assert out[2] == (-1, "unresolved")
+        assert out[4] == (-1, "unresolved")
+
+    def test_matches_tarjan_on_random_graph(self, spark):
+        """Every 'core'/'singleton' claim agrees with an in-process
+        Tarjan ground truth on a deterministic pseudo-random graph."""
+        import hashlib
+
+        edges = []
+        for i in range(300):
+            h = hashlib.md5(f"scc{i}".encode()).hexdigest()
+            a, b = int(h[:4], 16) % 60, int(h[4:8], 16) % 60
+            if a != b:
+                edges.append((a, b))
+        out = self._run(spark, edges, trim_rounds=2, hops=10)
+
+        from collections import defaultdict
+
+        g = defaultdict(list)
+        for s, d in set(edges):
+            g[s].append(d)
+        index, low, onstk, stk, sccs = {}, {}, set(), [], {}
+        counter = [0]
+
+        def strongconnect(v0):
+            work = [(v0, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stk.append(v)
+                    onstk.add(v)
+                recurse = False
+                for i in range(pi, len(g[v])):
+                    w = g[v][i]
+                    if w not in index:
+                        work[-1] = (v, i + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if w in onstk:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stk.pop()
+                        onstk.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        sccs[w] = (m, len(comp))
+                work.pop()
+                if work:
+                    u, _ = work[-1]
+                    low[u] = min(low[u], low[v])
+
+        nodes = {v for e in edges for v in e}
+        for v in nodes:
+            if v not in index:
+                strongconnect(v)
+        for v, (sid, st) in out.items():
+            truth_id, truth_size = sccs[v]
+            if st == "core":
+                assert sid == truth_id, (v, sid, truth_id)
+            elif st == "singleton":
+                assert truth_size == 1, (v, truth_size)
+
+    def test_local_and_distributed_paths_agree(self, spark, monkeypatch):
+        """The numpy fast path and the shuffle loop are the same
+        recurrence — their outputs must be identical row-for-row."""
+        import hashlib
+
+        import code_graph_backend_spark.operators.scc as scc_mod
+
+        edges = []
+        for i in range(200):
+            h = hashlib.md5(f"par{i}".encode()).hexdigest()
+            a, b = int(h[:4], 16) % 40, int(h[4:8], 16) % 40
+            if a != b:
+                edges.append((a, b))
+        local = self._run(spark, edges, trim_rounds=2, hops=6, peels=2)
+        monkeypatch.setattr(scc_mod, "_LOCAL_EDGE_ROWS", 0)
+        dist = self._run(spark, edges, trim_rounds=2, hops=6, peels=2)
+        assert local == dist
