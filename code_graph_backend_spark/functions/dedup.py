@@ -116,6 +116,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    n: int = 3,
+    threshold_milli: int = 800,
+    max_df: int | None = None,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment C(i→j) = |S_i ∩ S_j| / |S_i| —
+    the long-document near-dup channel Jaccard misses: a short doc
+    pasted verbatim inside a long one scores tiny Jaccard (union is
+    huge) but containment ~1.0 in the short→long direction (the gate
+    Lee et al. 2022 / CCNet apply beside symmetric similarity).
+
+    Same inverted-shingle-index machinery as `ngram_jaccard_pairs`
+    (one explode, self-join on shingle, never all-pairs; `max_df`
+    stop-shingle cap available identically) but the pair join keeps
+    BOTH directions (i≠j, not i<j) and divides by the CONTAINED side
+    only. The decision and the reported score are integer-milli
+    (c*1000 div n_i), so the result is engine-exact with no float
+    channel. Output (i, j, cont_milli): i is contained in j.
+    """
+    if shingles_df is not None:
+        sh = shingles_df.select(F.col(id_col).alias("i"), F.col("s"))
+    else:
+        sh = scratch_persist(fan_out(docs).select(
+            F.col(id_col).alias("i"), F.explode(shingles(text_col, n)).alias("s")
+        ))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = scratch_persist(sh.join(F.broadcast(hot), "s", "left_anti"))
+    sizes = sh.groupBy(F.col("i").alias("_id")).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.i") != F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("_id").alias("i"), F.col("n_sh").alias("n_i"))
+    return (
+        common.join(na, "i")
+        .filter(F.col("c") * 1000 >= F.lit(threshold_milli) * F.col("n_i"))
+        .select(
+            F.col("i").cast("long"),
+            F.col("j").cast("long"),
+            # integer floor-div, not float-divide-then-cast: a double
+            # quotient a hair under an integer rounds UP to it and the
+            # cast then overstates the floor ((h) in the exactness notes)
+            F.expr("CAST((c * 1000) DIV n_i AS BIGINT)").alias("cont_milli"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col="doc_id", text_col="text", n: int = 3, k: int = 32
 ) -> DataFrame:

@@ -198,3 +198,76 @@ def quality_percentile_filter(
         .filter(F.col("_pr") < keep_top)
         .select(id_col, group_col, score_col)
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    target_tokens: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Token-balanced contiguous export shards (the WebDataset / MDS
+    shard-writing shape): walking the corpus in id order, doc d goes to
+    shard floor(cum_tokens_before_d / target_tokens) — shards are
+    contiguous id ranges holding ~target_tokens each (one oversized doc
+    may push a shard past target; docs are never split). Returns the
+    per-shard manifest (shard, n_docs, total_tokens, min_id, max_id).
+
+    The global cumsum is TWO-LEVEL, not one single-partition window:
+    (1) per-bucket cumsum, bucket = id div bucket_width (order-
+    preserving by construction); (2) a window over the BUCKET TOTALS —
+    bucket-count-sized, thousands of rows where the corpus has
+    millions — yields each bucket's starting offset, broadcast back.
+    cum_before = bucket_offset + within_bucket_cum_before. That is the
+    scalable global-prefix-sum recipe; the DuckDB oracle replays it as
+    ONE flat cumsum, and their equality at every scale is exactly the
+    two-level decomposition's correctness proof.
+
+    Token count is the engine-exact space-count arithmetic; every
+    output column BIGINT."""
+    toks = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        + F.lit(1)
+    )
+    d = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        toks.cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.expr("id DIV " + str(int(bucket_width))))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("cum_in_bucket", F.sum("n_tokens").over(wb))
+    totals = d.groupBy("bucket").agg(F.max("cum_in_bucket").alias("btot"))
+    wo = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(wo), F.lit(0))
+    ).select("bucket", "offset")
+    assigned = (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "shard",
+            F.expr(
+                "(offset + cum_in_bucket - n_tokens) DIV "
+                + str(int(target_tokens))
+            ),
+        )
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .select(
+            F.col("shard").cast("long"),
+            "n_docs", "total_tokens", "min_id", "max_id",
+        )
+    )

@@ -170,3 +170,75 @@ def graph_scc_bounded_q(spark, sf_dir):
         .filter(F.col("dst").isNotNull())
     )
     return scc_bounded(spark, edges).orderBy("node")
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST((c * 1000) // na.n_sh AS BIGINT) AS cont_milli
+    FROM common JOIN sizes na ON na.doc_id = i
+    WHERE c * 1000 >= 800 * na.n_sh
+    ORDER BY i, j
+    """,
+)
+def dedup_containment_q(spark, sf_dir):
+    """Directional shingle containment (functions/dedup.py
+    containment_pairs): |S_i∩S_j|/|S_i| >= 0.8 flags i as contained in
+    j — the long-doc near-dup channel symmetric Jaccard misses. Same
+    inverted-index join as dedup_ngram_jaccard, both directions kept,
+    integer-milli decision and score (no float channel)."""
+    from .functions import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs).orderBy("i", "j")
+
+
+@register(
+    "shard_manifest",
+    """
+    WITH toks AS (
+        SELECT doc_id AS id,
+               CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS cum_before
+        FROM toks
+    ),
+    assigned AS (SELECT id, n_tokens, cum_before // 1000 AS shard FROM cum)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM assigned GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def shard_manifest_q(spark, sf_dir):
+    """Token-balanced contiguous export shards (functions/packing.py
+    shard_manifest): shard = cum_tokens_before DIV 1000 in id order,
+    computed as a TWO-LEVEL prefix sum (per-bucket windows + a
+    bucket-totals window + broadcast offsets) — no single-partition
+    corpus-wide window anywhere in the plan. The oracle replays it as
+    one flat cumsum; equality IS the decomposition proof."""
+    from .functions.packing import shard_manifest
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, target_tokens=1000).orderBy("shard")

@@ -299,3 +299,91 @@ class TestSccBounded:
         monkeypatch.setattr(scc_mod, "_LOCAL_EDGE_ROWS", 0)
         dist = self._run(spark, edges, trim_rounds=2, hops=6, peels=2)
         assert local == dist
+
+
+class TestContainmentPairs:
+    def test_short_inside_long_directional(self, spark):
+        """A short doc pasted verbatim into a long one: Jaccard tiny
+        (union huge) but containment 1.0 short->long — and only in that
+        direction."""
+        from code_graph_backend_spark.functions.dedup import (
+            containment_pairs, ngram_jaccard_pairs,
+        )
+
+        short = " ".join(f"s{i}" for i in range(10))
+        long_ = short + " " + " ".join(f"l{i}" for i in range(200))
+        docs = _docs(spark, [(1, short), (2, long_), (3, "x y z w v u")])
+        cont = {
+            (r["i"], r["j"]): r["cont_milli"]
+            for r in containment_pairs(docs).collect()
+        }
+        assert cont == {(1, 2): 1000}
+        jac = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+        assert jac == []  # symmetric similarity misses it
+
+    def test_integer_milli_floor(self, spark):
+        """Score is floor((c*1000)/n_i): 7 of 8 shingles shared -> 875."""
+        from code_graph_backend_spark.functions.dedup import containment_pairs
+
+        a = " ".join(f"w{i}" for i in range(10))          # 8 shingles
+        b = " ".join(f"w{i}" for i in range(9)) + " zz"   # shares 7
+        docs = _docs(spark, [(1, a), (2, b)])
+        rows = {
+            (r["i"], r["j"]): r["cont_milli"]
+            for r in containment_pairs(docs, threshold_milli=800).collect()
+        }
+        assert rows[(1, 2)] == 875 and rows[(2, 1)] == 875
+
+
+class TestShardManifest:
+    def test_matches_flat_cumsum_reference(self, spark):
+        """Two-level prefix sum == flat Python cumsum, including sparse
+        ids, empty buckets, and a doc bigger than the whole target."""
+        import hashlib
+
+        rows = []
+        for i in range(150):
+            h = int(hashlib.md5(f"sm{i}".encode()).hexdigest()[:6], 16)
+            doc_id = i * 7 + (h % 5) * 97          # sparse, gappy ids
+            ntok = 1 + h % 40
+            if i == 50:
+                ntok = 5000                         # oversized doc
+            rows.append((doc_id, " ".join("t" * 1 for _ in range(ntok))))
+        rows = {r[0]: r for r in rows}.values()     # unique ids
+        from code_graph_backend_spark.functions.packing import shard_manifest
+
+        docs = _docs(spark, list(rows))
+        out = {
+            r["shard"]: (r["n_docs"], r["total_tokens"], r["min_id"], r["max_id"])
+            for r in shard_manifest(
+                docs, target_tokens=200, bucket_width=64
+            ).collect()
+        }
+        # flat reference
+        from collections import defaultdict
+
+        ref = defaultdict(lambda: [0, 0, None, None])
+        cum = 0
+        for doc_id, text in sorted(rows):
+            ntok = text.count(" ") + 1
+            sh = cum // 200
+            cum += ntok
+            e = ref[sh]
+            e[0] += 1
+            e[1] += ntok
+            e[2] = doc_id if e[2] is None else min(e[2], doc_id)
+            e[3] = doc_id if e[3] is None else max(e[3], doc_id)
+        assert out == {k: tuple(v) for k, v in ref.items()}
+
+    def test_shards_are_contiguous_id_ranges(self, spark):
+        """min/max id ranges of consecutive shards never overlap."""
+        from code_graph_backend_spark.functions.packing import shard_manifest
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rows = sorted(
+            shard_manifest(docs, target_tokens=500).collect(),
+            key=lambda r: r["shard"],
+        )
+        assert len(rows) > 5
+        for a, b in zip(rows, rows[1:]):
+            assert a["max_id"] < b["min_id"]
