@@ -679,15 +679,17 @@ def _bind_call(b: _Binder, call: tuple, params) -> None:
     proc, args, yields = call
     name = proc.lower()
     if name == "db.idx.fulltext.querynodes":
-        # PARITY NOTE (documented narrowing): RediSearch fulltext does
-        # token-level prefix matching with its own query syntax and a
-        # relevance score; here the query is lowered to a WHOLE-NAME
-        # prefix scan (one trailing '*' stripped) — exact for the
-        # reference's single-token entity names (api/graph.py:345), but a
-        # multi-token name like 'my Customer' does NOT match 'Customer*'.
-        # `YIELD node, score` is accepted for signature parity; the score
-        # is the nominal 1/(1+|name|-|prefix|) length-closeness (longer
-        # completions rank lower), not a BM25.
+        # RediSearch-faithful TOKEN-LEVEL prefix matching: the name is
+        # whitespace-tokenized and the query (one trailing '*' stripped)
+        # prefix-matches ANY token — a node named 'my Customer' matches
+        # 'Customer*', as it does on the reference's store. Exactly
+        # whole-name-startswith for single-token names (the reference's
+        # entities, api/graph.py:345), a superset for multi-token ones.
+        # Documented residual narrowing: RediSearch's richer query
+        # syntax (boolean operators, fields, fuzzy) is not parsed, and
+        # `YIELD node, score` returns the nominal
+        # 1/(1+|name|-|prefix|) length-closeness (longer completions
+        # rank lower), not a BM25.
         if len(args) != 2 or not 1 <= len(yields) <= 2:
             raise CypherError("queryNodes(label, query) YIELD node [, score]")
         label = str(_resolve(args[0], params))
@@ -696,7 +698,12 @@ def _bind_call(b: _Binder, call: tuple, params) -> None:
         var = yields[0]
         nd = (
             b.graph.nodes.filter(F.array_contains("labels", label))
-            .filter(F.col("name").startswith(prefix))
+            .filter(
+                F.exists(
+                    F.split(F.col("name"), " "),
+                    lambda t: t.startswith(F.lit(prefix)),
+                )
+            )
             .orderBy("name", "id")
         )
         b.df = _prefix(nd, var, NODE_FIELDS)
@@ -711,6 +718,44 @@ def _bind_call(b: _Binder, call: tuple, params) -> None:
                 ).cast("double"),
             )
             b.vars[score_var] = "scalar"
+        return
+    if name == "algo.scc":
+        # Beyond-parity sibling of algo.wcc for DIRECTED subgraphs
+        # (mutual recursion over CALLS edges), lowered onto the verified
+        # bounded kernel (operators/scc.py). YIELD node, sccId: confirmed
+        # members carry their SCC's min node id, trimmed singletons their
+        # own id, unresolved -1 (the kernel's honest round-budget
+        # residual).
+        if len(yields) != 2:
+            raise CypherError("algo.scc YIELD node, sccId")
+        node_var, val_var = yields
+        nodes, edges = b.graph.nodes, b.graph.edges
+        if len(args) >= 1 and args[0]:
+            label = str(_resolve(args[0], params))
+            nodes = nodes.filter(F.array_contains("labels", label))
+            ids = nodes.select(F.col("id"))
+            edges = edges.join(
+                ids.withColumnRenamed("id", "src"), "src", "semi"
+            ).join(ids.withColumnRenamed("id", "dst"), "dst", "semi")
+        if len(args) >= 2 and args[1]:
+            edges = edges.filter(F.col("type") == str(_resolve(args[1], params)))
+        from .operators.scc import scc_bounded
+
+        res = scc_bounded(b.graph.spark, edges.select("src", "dst"))
+        nd = _prefix(nodes, node_var, NODE_FIELDS)
+        b.df = nd.join(
+            res.select(
+                F.col("node").alias(f"{node_var}_id"),
+                F.col("scc_id").alias(val_var),
+            ),
+            f"{node_var}_id",
+            # nodes with no edges at all have no kernel row: singletons
+            "left",
+        ).withColumn(
+            val_var, F.coalesce(F.col(val_var), F.col(f"{node_var}_id"))
+        )
+        b.vars[node_var] = "node"
+        b.vars[val_var] = "scalar"
         return
     if name in ("algo.pagerank", "algo.wcc"):
         if len(yields) != 2:

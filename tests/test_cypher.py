@@ -600,3 +600,47 @@ def test_parser_never_crashes_on_with_unwind_samples(g):
         except CypherError:
             pass
     assert n_ok >= 30
+
+
+def test_call_fulltext_token_level_prefix(g):
+    """RediSearch parity: the query prefix matches ANY whitespace token
+    of the name — Part names are multi-token, so a prefix taken from a
+    SECOND token of some part name must surface that part."""
+    # find a part whose name's second token is unique enough to probe
+    parts = [
+        r for r in g.nodes.collect()
+        if "Part" in r["labels"] and " " in r["name"]
+    ]
+    target = parts[0]
+    second_tok = target["name"].split(" ")[1]
+    out = run_cypher(
+        g,
+        "CALL db.idx.fulltext.queryNodes('Part', $p) YIELD node "
+        "RETURN node",
+        {"p": second_tok + "*"},
+    ).collect()
+    names = [r["node_name"] for r in out]
+    assert target["name"] in names
+    # every hit has SOME token with the prefix (not necessarily the first)
+    assert all(
+        any(t.startswith(second_tok) for t in n.split(" ")) for n in names
+    )
+
+
+def test_call_algo_scc_chain_has_no_false_merges(g):
+    """The Nation NEXT chain is acyclic: algo.scc must never assign two
+    nodes one positive sccId — every yield is own-id (provable
+    singleton) or -1 (round-budget residual)."""
+    out = run_cypher(
+        g,
+        "CALL algo.scc('Nation', 'NEXT') YIELD node, sccId "
+        "RETURN node, sccId",
+    ).collect()
+    assert len(out) == 25
+    pos = {}
+    for r in out:
+        sid = r["sccId"]
+        assert sid == -1 or sid == r["node_id"]
+        if sid != -1:
+            assert sid not in pos
+            pos[sid] = r["node_id"]
