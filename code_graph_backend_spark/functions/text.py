@@ -339,3 +339,87 @@ def gopher_quality_gates(docs, id_col: str = "doc_id", text_col: str = "text"):
         f"{id_col} long, n_tokens long, mean_len_milli long, stop_hits long, "
         "top_frac_milli long, passes boolean",
     )
+
+
+_QLS_BUCKETS = 4096  # fasttext-style feature-hash width
+
+
+def linear_weight_table(spark, buckets: int = _QLS_BUCKETS):
+    """(bucket, w) weight table for `linear_quality_score`: md5-derived
+    integers in [-500, 500] standing in for a trained model (the
+    production path loads real trained weights into the same shape; the
+    md5 family keeps the registered query engine-exact). Broadcast-sized
+    by construction: `buckets` rows regardless of corpus size."""
+    return spark.range(buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w:"), F.col("id"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 1001
+            - 500
+        ).alias("w"),
+    )
+
+
+def linear_quality_score(
+    docs,
+    weights=None,
+    buckets: int = _QLS_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """fastText-shape linear classifier INFERENCE at corpus scale (the
+    quality-classifier pass of CCNet/FineWeb pipelines): features are
+    hashed unigrams + bigrams (the hashing trick, bucket = first 32 md5
+    bits mod `buckets`), the model is a `buckets`-row (bucket, w) table
+    joined BROADCAST onto the exploded feature stream, score is the
+    per-doc mean weight in integer-milli. One shuffle (the per-doc sum);
+    the model side never scales with the corpus.
+
+    Integer-milli mean via non-negative floor-div only: w >= -500, so
+    (sum + 500*n) is non-negative and `(1000*(sum+500n)) div n - 500000`
+    is engine-exact ((h) in the exactness notes: Spark DIV truncates,
+    DuckDB // floors — they only agree for non-negative operands).
+
+    Returns (doc_id, n_features, logit_milli, keep): keep = sum >= 0.
+    """
+    from ..session import fan_out
+
+    if weights is None:
+        weights = linear_weight_table(docs.sparkSession, buckets)
+    t = F.split(F.col(text_col), " ")
+    bigrams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 1, 1)), "
+        f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
+        f"element_at(split({text_col}, ' '), i + 1)))"
+    )
+    feats = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(t) >= 2, F.concat(t, bigrams)).otherwise(t)
+        ).alias("f"),
+    )
+    hashed = feats.select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("bigint")
+            % buckets
+        ).alias("bucket"),
+    )
+    per_doc = (
+        hashed.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_features"), F.sum("w").alias("s"))
+    )
+    return per_doc.select(
+        F.col(id_col).cast("long"),
+        F.col("n_features").cast("long"),
+        (
+            F.expr("(1000 * (s + 500 * n_features)) DIV n_features")
+            - F.lit(500000)
+        ).cast("long").alias("logit_milli"),
+        (F.col("s") >= 0).alias("keep"),
+    )

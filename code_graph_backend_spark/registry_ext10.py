@@ -242,3 +242,51 @@ def shard_manifest_q(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return shard_manifest(docs, target_tokens=1000).orderBy("shard")
+
+
+@register(
+    "quality_linear_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+    bi AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2
+    ),
+    feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+        FROM feats
+    ),
+    weights AS (
+        SELECT range AS bucket,
+               ('0x' || substring(md5('w:' || range), 1, 8))::BIGINT
+                   % 1001 - 500 AS w
+        FROM range(4096)
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_features, SUM(w) AS s
+        FROM hashed JOIN weights USING (bucket) GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_features AS BIGINT) AS n_features,
+           CAST((1000 * (s + 500 * n_features)) // n_features - 500000
+                AS BIGINT) AS logit_milli,
+           s >= 0 AS keep
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def quality_linear_score_q(spark, sf_dir):
+    """fastText-shape linear quality classifier inference
+    (functions/text.py linear_quality_score): hashed unigram+bigram
+    features (md5 hashing trick, 4096 buckets) scored against a
+    broadcast weight table — the CCNet/FineWeb classifier pass with an
+    md5-derived stand-in model so the oracle replays it exactly.
+    Integer-milli mean via non-negative floor-div only."""
+    from .functions.text import linear_quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return linear_quality_score(docs).orderBy("doc_id")

@@ -387,3 +387,48 @@ class TestShardManifest:
         assert len(rows) > 5
         for a, b in zip(rows, rows[1:]):
             assert a["max_id"] < b["min_id"]
+
+
+class TestLinearQualityScore:
+    def test_hand_computed_with_injected_weights(self, spark):
+        """Features are unigrams + bigrams; score is the integer-milli
+        mean of their bucket weights under a caller-supplied model."""
+        from code_graph_backend_spark.functions.text import (
+            _QLS_BUCKETS, linear_quality_score,
+        )
+
+        # weight 7 for every bucket: logit == 7000 regardless of text
+        w = spark.range(_QLS_BUCKETS).selectExpr(
+            "id AS bucket", "CAST(7 AS BIGINT) AS w"
+        )
+        docs = _docs(spark, [(1, "a b c"), (2, "solo")])
+        rows = {r["doc_id"]: r for r in linear_quality_score(docs, w).collect()}
+        # 'a b c': 3 unigrams + 2 bigrams = 5 features
+        assert rows[1]["n_features"] == 5
+        assert rows[1]["logit_milli"] == 7000 and rows[1]["keep"]
+        # single token: no bigrams
+        assert rows[2]["n_features"] == 1
+
+    def test_negative_mean_floor_division(self, spark):
+        """Floor semantics on a negative mean: weights -3 over 2 feats
+        of one doc -> logit exactly -3000; keep False."""
+        from code_graph_backend_spark.functions.text import (
+            _QLS_BUCKETS, linear_quality_score,
+        )
+
+        w = spark.range(_QLS_BUCKETS).selectExpr(
+            "id AS bucket", "CAST(-3 AS BIGINT) AS w"
+        )
+        docs = _docs(spark, [(1, "x y")])
+        r = linear_quality_score(docs, w).collect()[0]
+        assert r["n_features"] == 3  # x, y, 'x y'
+        assert r["logit_milli"] == -3000 and not r["keep"]
+
+    def test_default_model_deterministic(self, spark):
+        """The md5 stand-in model gives identical scores across runs."""
+        from code_graph_backend_spark.functions.text import linear_quality_score
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        a = sorted(map(tuple, linear_quality_score(docs).collect()))
+        b = sorted(map(tuple, linear_quality_score(docs).collect()))
+        assert a == b and len(a) == 50
