@@ -372,3 +372,31 @@ def test_train_val_split_single_agg(spark, qs):
     plan = _plan(qs["corpus_train_val_split"](spark, SF))
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Scan parquet") <= 1
+
+
+def test_linear_score_broadcasts_weight_table(spark, qs):
+    """The 4096-row model side must broadcast onto the exploded feature
+    stream — a shuffled weight join would re-key the whole corpus on
+    bucket."""
+    plan = _plan(qs["quality_linear_score"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_manifest_windows_are_bucketed(spark, qs):
+    """Two-level prefix sum: the corpus-wide window must be PARTITIONED
+    (per-bucket); only the bucket-totals window (bucket-count-sized
+    input) may be global. No join other than the broadcast offsets."""
+    plan = _plan(qs["shard_manifest"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both windows present; the per-doc one keys on bucket
+    assert plan.count("Window") >= 2, plan[:1500]
+
+
+def test_containment_no_nested_loop(spark, qs):
+    """The containment pair join is an equi-join on the shingle key —
+    never a cartesian pair scan."""
+    plan = _plan(qs["dedup_containment"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
