@@ -290,3 +290,49 @@ def quality_linear_score_q(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return linear_quality_score(docs).orderBy("doc_id")
+
+
+from .operators.walks import random_walks_sql  # noqa: E402
+
+_WALK_NODES_SQL = f"""
+    SELECT src AS id FROM ({_SCC_EDGE_SQL})
+    UNION SELECT dst FROM ({_SCC_EDGE_SQL})
+"""
+
+
+@register(
+    "graph_random_walks",
+    random_walks_sql(_WALK_NODES_SQL, _SCC_EDGE_SQL, walk_len=8, seed_mod=7)
+    + "\nORDER BY walk_id, step",
+)
+def graph_random_walks_q(spark, sf_dir):
+    """Deterministic DeepWalk corpus (operators/walks.py): 8-step
+    md5-chosen walks from every 7th node of the order-succession graph
+    (the cyclic graph the SCC kernel runs on, so walks run full length
+    in the core and truncate on tendrils). One edge join + one arg-min
+    agg per STEP for all walks at once; the oracle unrolls the steps
+    with the identical md5 choices."""
+    from pyspark.sql import Window
+
+    from .operators.walks import random_walks
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    )
+    # NOTE: self-loops are kept (a part chain can repeat an order) —
+    # a walker may legitimately stay put for a step, and the oracle's
+    # edge set keeps them identically.
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        F.lead("l_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return random_walks(nodes, edges, walk_len=8, seed_mod=7).orderBy(
+        "walk_id", "step"
+    )

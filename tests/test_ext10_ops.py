@@ -432,3 +432,66 @@ class TestLinearQualityScore:
         a = sorted(map(tuple, linear_quality_score(docs).collect()))
         b = sorted(map(tuple, linear_quality_score(docs).collect()))
         assert a == b and len(a) == 50
+
+
+class TestRandomWalks:
+    def _graph(self, spark, edge_rows):
+        e = spark.createDataFrame(edge_rows, "src long, dst long")
+        n = e.selectExpr("src AS id").union(e.selectExpr("dst AS id")).distinct()
+        return n, e
+
+    def test_walks_follow_edges_and_truncate(self, spark):
+        """Every consecutive pair is an edge; a dead end ends the walk."""
+        from code_graph_backend_spark.operators.walks import random_walks
+
+        # ring 0->7->14->21->0 (ids divisible by 7 so all are seeds)
+        # plus a tendril 28->35->42 (42 dead-ends)
+        ring = [(0, 7), (7, 14), (14, 21), (21, 0), (28, 35), (35, 42)]
+        n, e = self._graph(spark, ring)
+        rows = random_walks(n, e, walk_len=5, seed_mod=7).collect()
+        eset = set(ring)
+        walks = {}
+        for r in rows:
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        for wid, steps in walks.items():
+            assert steps[0] == wid
+            for s in range(1, max(steps) + 1):
+                assert (steps[s - 1], steps[s]) in eset
+        # ring walks run the full 5 steps; 42's walk stops at step 0
+        assert max(walks[0]) == 5
+        assert max(walks[42]) == 0
+        assert max(walks[28]) == 2  # 28 -> 35 -> 42, then dead end
+        # out-degree 1 everywhere: the md5 pick has no choice
+        assert walks[0] == {0: 0, 1: 7, 2: 14, 3: 21, 4: 0, 5: 7}
+
+    def test_deterministic_across_runs(self, spark):
+        from code_graph_backend_spark.operators.walks import random_walks
+
+        import hashlib
+
+        edges = []
+        for i in range(400):
+            h = hashlib.md5(f"rw{i}".encode()).hexdigest()
+            a, b = int(h[:4], 16) % 70, int(h[4:8], 16) % 70
+            edges.append((a, b))
+        n, e = self._graph(spark, edges)
+        r1 = sorted(map(tuple, random_walks(n, e, walk_len=6).collect()))
+        r2 = sorted(map(tuple, random_walks(n, e, walk_len=6).collect()))
+        assert r1 == r2
+        # branching exists: some walk must actually branch from the
+        # lexicographically-smallest successor at least once
+        from collections import defaultdict
+
+        out = defaultdict(set)
+        for a, b in edges:
+            out[a].add(b)
+        steps = defaultdict(dict)
+        for wid, st, node in r1:
+            steps[wid][st] = node
+        diverged = False
+        for wid, st in steps.items():
+            for s in range(1, max(st) + 1):
+                assert st[s] in out[st[s - 1]]
+                if st[s] != min(out[st[s - 1]]):
+                    diverged = True
+        assert diverged
