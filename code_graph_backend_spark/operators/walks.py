@@ -116,3 +116,31 @@ def random_walks_sql(
                CAST(node AS BIGINT) AS node
         FROM ({selects})""")
     return "\n".join(parts)
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n) skip-gram co-occurrence counts from a walk
+    corpus — the step between DeepWalk's walks and word2vec training:
+    every ordered pair of nodes within `window` positions on the same
+    walk, counted. Self-join on walk_id with a |step gap| <= window
+    band predicate (walks are length-bounded, so the band join is
+    per-walk constant work, never quadratic in the corpus), then ONE
+    hash-agg on the pair key."""
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("sa"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("sb"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.col("center").cast("long"), F.col("context").cast("long"), "n"
+        )
+    )

@@ -300,6 +300,48 @@ _WALK_NODES_SQL = f"""
 """
 
 
+def _succession_graph(spark, sf_dir):
+    """(nodes, edges) of the order-succession graph — the cyclic
+    directed graph the SCC / walk kernels run on. Self-loops kept (a
+    part chain can repeat an order); the oracle keeps them identically."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    )
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        F.lead("l_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return nodes, edges
+
+
+# Session-scoped walk-corpus memo (the BPE trained-model precedent):
+# graph_random_walks and walk_skipgram_pairs share one materialized walk
+# table per (session, sf_dir) — the 8 checkpointed rounds run once, the
+# skip-gram query only pays its band join. Bounded like _TRAIN_MEMO.
+_WALKS_MEMO: dict = {}
+
+
+def _walks_for(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _WALKS_MEMO:
+        from .operators.walks import random_walks
+
+        nodes, edges = _succession_graph(spark, sf_dir)
+        _WALKS_MEMO[key] = random_walks(nodes, edges, walk_len=8, seed_mod=7)
+        while len(_WALKS_MEMO) > 4:
+            _WALKS_MEMO.pop(next(iter(_WALKS_MEMO)))
+    return _WALKS_MEMO[key]
+
+
 @register(
     "graph_random_walks",
     random_walks_sql(_WALK_NODES_SQL, _SCC_EDGE_SQL, walk_len=8, seed_mod=7)
@@ -312,27 +354,39 @@ def graph_random_walks_q(spark, sf_dir):
     in the core and truncate on tendrils). One edge join + one arg-min
     agg per STEP for all walks at once; the oracle unrolls the steps
     with the identical md5 choices."""
-    from pyspark.sql import Window
+    return _walks_for(spark, sf_dir).orderBy("walk_id", "step")
 
-    from .operators.walks import random_walks
 
-    li = read_table(spark, sf_dir, "lineitem")
-    w = (
-        Window.partitionBy("l_partkey")
-        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+_WALKS_FULL_SQL = random_walks_sql(
+    _WALK_NODES_SQL, _SCC_EDGE_SQL, walk_len=8, seed_mod=7
+)
+
+
+@register(
+    "walk_skipgram_pairs",
+    f"""
+    WITH walks AS MATERIALIZED (
+        {_WALKS_FULL_SQL}
     )
-    # NOTE: self-loops are kept (a part chain can repeat an order) —
-    # a walker may legitimately stay put for a step, and the oracle's
-    # edge set keeps them identically.
-    edges = li.select(
-        F.col("l_orderkey").alias("src"),
-        F.lead("l_orderkey").over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    return random_walks(nodes, edges, walk_len=8, seed_mod=7).orderBy(
-        "walk_id", "step"
+    SELECT CAST(a.node AS BIGINT) AS center,
+           CAST(b.node AS BIGINT) AS context,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id
+     AND a.step <> b.step AND abs(a.step - b.step) <= 2
+    GROUP BY 1, 2
+    ORDER BY center, context
+    """,
+)
+def walk_skipgram_pairs_q(spark, sf_dir):
+    """Skip-gram (center, context) counts over the DeepWalk corpus
+    (operators/walks.py skipgram_pairs): window +-2 band self-join per
+    walk + ONE pair hash-agg — walks are length-bounded, so the band
+    join is per-walk constant work, never corpus-quadratic. This is the
+    co-occurrence table word2vec/GloVe training consumes; the walk table
+    itself is the session-memoized one graph_random_walks grades."""
+    from .operators.walks import skipgram_pairs
+
+    return skipgram_pairs(_walks_for(spark, sf_dir), window=2).orderBy(
+        "center", "context"
     )

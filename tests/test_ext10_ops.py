@@ -495,3 +495,31 @@ class TestRandomWalks:
                 if st[s] != min(out[st[s - 1]]):
                     diverged = True
         assert diverged
+
+    def test_skipgram_pairs_hand_computed(self, spark):
+        """Window ±2 over a single 0->7->14->21 walk (plus singleton
+        walks for 7,14,21 if seeded): counts match the by-hand table."""
+        from code_graph_backend_spark.operators.walks import (
+            random_walks, skipgram_pairs,
+        )
+
+        # chain, no cycles: walk from 0 is 0,7,14,21 then dead end;
+        # walks from 7/14/21 are suffixes
+        edges = [(0, 7), (7, 14), (14, 21)]
+        n, e = self._graph(spark, edges)
+        walks = random_walks(n, e, walk_len=5, seed_mod=7)
+        pairs = {
+            (r["center"], r["context"]): r["n"]
+            for r in skipgram_pairs(walks, window=2).collect()
+        }
+        # walk 0: [0,7,14,21]; walk 7: [7,14,21]; walk 14: [14,21]; walk 21: [21]
+        # count (7,14): walk0 (adjacent) + walk7 = 2
+        assert pairs[(7, 14)] == 2 and pairs[(14, 7)] == 2
+        # (0,14): dist 2 in walk0 only
+        assert pairs[(0, 14)] == 1
+        # (0,21): dist 3 -> outside window
+        assert (0, 21) not in pairs
+        # (14,21): walk0 + walk7 + walk14 = 3
+        assert pairs[(14, 21)] == 3
+        # symmetry of the band predicate
+        assert all(pairs[(b, a)] == n_ for (a, b), n_ in pairs.items())
