@@ -390,3 +390,28 @@ def walk_skipgram_pairs_q(spark, sf_dir):
     return skipgram_pairs(_walks_for(spark, sf_dir), window=2).orderBy(
         "center", "context"
     )
+
+
+from .functions.sketches import hll_sql  # noqa: E402
+
+
+@register(
+    "w_distinct_users_hll",
+    hll_sql(
+        "(SELECT date_trunc('hour', ts) AS window_start, user_id FROM events)",
+        "window_start",
+        "user_id",
+    ),
+)
+def w_distinct_users_hll_q(spark, sf_dir):
+    """Windowed distinct-user HLL (streaming/windows.py distinct_hll):
+    per-hour user cardinality as 256 md5-deterministic registers — the
+    register stage is a plain event-time window agg that streams under a
+    watermark with BOUNDED state (256 rows/window however many events);
+    estimator + exact twin run serving-side. The oracle replays the full
+    sketch so the estimate itself hash-checks (corpus_distinct_hll's
+    contract, now windowed)."""
+    from .streaming.windows import distinct_hll
+
+    events = read_table(spark, sf_dir, "events")
+    return distinct_hll(events, "1 hour", "user_id")

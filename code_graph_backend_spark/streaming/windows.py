@@ -114,3 +114,65 @@ def trending(events: DataFrame, width: str = "1 hour", k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("window_start", "event_type", "n_events", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def distinct_hll_registers(
+    events: DataFrame, width: str = "1 hour", item_col: str = "user_id"
+) -> DataFrame:
+    """The MODE-AGNOSTIC stage of windowed distinct-count sketching:
+    (window w, bucket, m) HLL register table per tumbling window — a
+    plain event-time window aggregation, so it streams under a watermark
+    exactly like `tumbling` (max() over rho is the same
+    multiset-insensitive accumulator that makes HLL mergeable; state per
+    window is bounded at 256 registers however many events arrive —
+    THE reason a 100 TB stream counts distincts with a sketch, not a
+    distinct())."""
+    from ..functions.sketches import _rho_sql
+
+    h = F.md5(F.col(item_col).cast("string"))
+    return (
+        events.select(
+            F.window("ts", width).alias("w"),
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+            F.expr(
+                _rho_sql(f"substring(md5(cast({item_col} as string)), 3, 12)")
+            ).cast("int").alias("rho"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def distinct_hll(
+    events: DataFrame, width: str = "1 hour", item_col: str = "user_id"
+) -> DataFrame:
+    """Per-window HLL distinct estimate beside the exact count (the
+    calibration view, hll_distinct's contract keyed by window_start):
+    (window_start, hll_est, exact_distinct, rel_err). The register stage
+    is `distinct_hll_registers` (streams); the estimator + exact twin
+    run serving-side over the 256-rows-per-window register table."""
+    from ..functions.sketches import _estimate
+
+    regs = distinct_hll_registers(events, width, item_col)
+    est = _estimate(
+        regs.select(F.col("w.start").alias("window_start"), "bucket", "m"),
+        ["window_start"],
+    )
+    exact = (
+        events.select(
+            F.window("ts", width).alias("w"), F.col(item_col).alias("i")
+        )
+        .select(F.col("w.start").alias("window_start"), "i")
+        .distinct()
+        .groupBy("window_start")
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    return est.join(exact, "window_start").select(
+        "window_start",
+        F.round("est", 4).alias("hll_est"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(
+            (F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )

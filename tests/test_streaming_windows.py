@@ -467,3 +467,47 @@ def test_stream_gopher_gates_parity(spark, tmp_path):
                 s["top_frac_milli"], s["passes"]) == (
             r["n_tokens"], r["mean_len_milli"], r["stop_hits"],
             r["top_frac_milli"], r["passes"])
+
+
+def test_windowed_hll_registers_stream_parity(spark, tmp_path):
+    """The HLL register stage streams: same (window, bucket, m) table
+    from readStream as from read — bounded state (<=256 registers per
+    window) is the whole reason the stream counts distincts this way."""
+    src = windows.normalize_event_time(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    data_dir = str(tmp_path / "ev")
+    src.limit(500).write.parquet(data_dir)
+
+    batch = windows.distinct_hll_registers(
+        windows.normalize_event_time(spark.read.parquet(data_dir)), "1 hour"
+    ).collect()
+
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(data_dir).schema
+    stream = windows.normalize_event_time(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    ).withWatermark("ts", "10 hours")
+    q = (
+        windows.distinct_hll_registers(stream, "1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    stream_rows = spark.sql("select * from hll_regs_test").collect()
+    q.stop()
+
+    key = lambda r: (r["w"]["start"], r["bucket"])  # noqa: E731
+    assert {key(r): r["m"] for r in batch} == {
+        key(r): r["m"] for r in stream_rows
+    }
+    # bounded state: never more than 256 registers per window
+    from collections import Counter
+
+    per_window = Counter(r["w"]["start"] for r in stream_rows)
+    assert max(per_window.values()) <= 256
