@@ -53,7 +53,8 @@ _PRIORITY = [
     "corpus_quantile_summary", "contamination_bloom", "corpus_heavy_hitters",
     "graph_scc_bounded", "dedup_containment", "shard_manifest",
     "quality_linear_score", "graph_random_walks", "walk_skipgram_pairs",
-    "w_distinct_users_hll",
+    "w_distinct_users_hll", "shard_manifest_incremental",
+    "corpus_vocab_coverage",
     # round-4 red row, reworked (space-count tokens, ordered output)
     "token_budget_select",
     # implementation changed this round: gates/ranks now quantized

@@ -271,3 +271,89 @@ def shard_manifest(
             "n_docs", "total_tokens", "min_id", "max_id",
         )
     )
+
+
+def shard_manifest_incremental(
+    docs: DataFrame,
+    watermark_id: int | None = None,
+    target_tokens: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Incremental-ingest extension of `shard_manifest`: docs with id >
+    `watermark_id` are a NEW BATCH appended to an already-manifested
+    corpus. Their shard assignment needs exactly ONE scalar of state —
+    the old corpus's total token count (in production read from the
+    stored manifest; derived here with one aggregate so the oracle can
+    replay it) — so the batch is assigned WITHOUT rescanning or
+    re-shuffling a single old document: cum_before = old_total +
+    batch_cumsum, shard = cum_before div target. The full-recompute
+    oracle restricted to batch docs proves the offset math: incremental
+    == recompute, which is what lets a 100 TB corpus absorb hourly
+    drops at per-drop cost.
+
+    `watermark_id` defaults to 4/5 of max id (scale-independent).
+    Returns the manifest rows the batch contributes (a boundary shard
+    already partially filled by old docs shows only its NEW docs/tokens
+    here; merging with the stored manifest row is an addition)."""
+    toks = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        + F.lit(1)
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    if watermark_id is None:
+        wmark = base.agg(
+            F.expr("CAST(max(id) * 4 DIV 5 AS BIGINT)").alias("_w")
+        )
+    else:
+        wmark = base.sparkSession.range(1).select(
+            F.lit(int(watermark_id)).cast("long").alias("_w")
+        )
+    based = base.crossJoin(F.broadcast(wmark))  # 1-row scalar join
+    old_total = (
+        based.filter(F.col("id") <= F.col("_w"))
+        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("old_total"))
+    )
+    batch = based.filter(F.col("id") > F.col("_w")).withColumn(
+        "bucket", F.expr(f"id DIV {int(bucket_width)}")
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    batch = batch.withColumn("cum_in_bucket", F.sum("n_tokens").over(wb))
+    totals = batch.groupBy("bucket").agg(F.max("cum_in_bucket").alias("btot"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(wo), F.lit(0))
+    ).select("bucket", "offset")
+    assigned = (
+        batch.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(old_total))
+        .withColumn(
+            "shard",
+            F.expr(
+                "(old_total + offset + cum_in_bucket - n_tokens) DIV "
+                + str(int(target_tokens))
+            ),
+        )
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .select(
+            F.col("shard").cast("long"),
+            "n_docs", "total_tokens", "min_id", "max_id",
+        )
+    )

@@ -415,3 +415,108 @@ def w_distinct_users_hll_q(spark, sf_dir):
 
     events = read_table(spark, sf_dir, "events")
     return distinct_hll(events, "1 hour", "user_id")
+
+
+@register(
+    "shard_manifest_incremental",
+    """
+    WITH toks AS (
+        SELECT doc_id AS id,
+               CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    wm AS (SELECT max(id) * 4 // 5 AS w FROM toks),
+    cum AS (
+        SELECT id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS cum_before
+        FROM toks
+    ),
+    assigned AS (
+        SELECT id, n_tokens, cum_before // 1000 AS shard
+        FROM cum, wm WHERE id > w
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM assigned GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def shard_manifest_incremental_q(spark, sf_dir):
+    """Incremental shard-manifest extension (functions/packing.py
+    shard_manifest_incremental): the batch past the id watermark is
+    assigned from ONE scalar of manifest state (old total tokens) +
+    a batch-only two-level cumsum — no old doc rescanned. The oracle is
+    the FULL recompute restricted to batch docs: incremental ==
+    recompute is the correctness claim."""
+    from .functions.packing import shard_manifest_incremental
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shard_manifest_incremental(docs, target_tokens=1000).orderBy("shard")
+
+
+@register(
+    "corpus_vocab_coverage",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk FROM freq
+    ),
+    tot AS (SELECT SUM(n) AS total FROM ranked),
+    cum AS (
+        SELECT rk, SUM(n) OVER (ORDER BY rk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM ranked
+    )
+    SELECT CAST(rk AS BIGINT) AS vocab_size,
+           CAST(c AS BIGINT) AS covered_tokens,
+           CAST((c * 1000) // total AS BIGINT) AS coverage_milli
+    FROM cum, tot
+    WHERE rk IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    ORDER BY vocab_size
+    """,
+)
+def corpus_vocab_coverage_q(spark, sf_dir):
+    """Vocabulary coverage curve (the tokenizer-design view: what
+    fraction of corpus tokens the top-k vocabulary covers — where this
+    flattens is where a vocab stops paying for itself). One vocab-sized
+    count agg, a rank + cumsum window over the VOCAB table (never the
+    token stream), probed at power-of-two sizes; integer-milli
+    coverage. Ties rank deterministically by token."""
+    from pyspark.sql import Window
+
+    from .session import fan_out
+
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    rk_w = Window.orderBy(F.desc("n"), F.asc("t"))
+    cum_w = rk_w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = freq.agg(F.sum("n").alias("total"))
+    probe = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+    return (
+        freq.withColumn("rk", F.row_number().over(rk_w))
+        .withColumn("c", F.sum("n").over(cum_w))
+        .filter(F.col("rk").isin(probe))
+        .crossJoin(F.broadcast(tot))  # 1-row scalar join
+        .select(
+            F.col("rk").cast("long").alias("vocab_size"),
+            F.col("c").cast("long").alias("covered_tokens"),
+            F.expr("CAST((c * 1000) DIV total AS BIGINT)").alias(
+                "coverage_milli"
+            ),
+        )
+        .orderBy("vocab_size")
+    )

@@ -523,3 +523,45 @@ class TestRandomWalks:
         assert pairs[(14, 21)] == 3
         # symmetry of the band predicate
         assert all(pairs[(b, a)] == n_ for (a, b), n_ in pairs.items())
+
+
+class TestShardManifestIncremental:
+    def test_incremental_equals_full_recompute(self, spark):
+        """Batch assignment from one scalar of state == the full
+        recompute's assignment of the same docs, boundary shard
+        included."""
+        from code_graph_backend_spark.functions.packing import (
+            shard_manifest_incremental,
+        )
+
+        import hashlib
+
+        rows = []
+        for i in range(120):
+            h = int(hashlib.md5(f"smi{i}".encode()).hexdigest()[:6], 16)
+            rows.append((i * 3 + h % 2, "t " * (1 + h % 50)))
+        rows = list({r[0]: (r[0], r[1].strip()) for r in rows}.values())
+        docs = _docs(spark, rows)
+        wm = max(r[0] for r in rows) * 4 // 5
+        inc = {
+            r["shard"]: (r["n_docs"], r["total_tokens"], r["min_id"], r["max_id"])
+            for r in shard_manifest_incremental(
+                docs, watermark_id=wm, target_tokens=150
+            ).collect()
+        }
+        # flat reference over the WHOLE corpus, restricted to batch docs
+        from collections import defaultdict
+
+        ref = defaultdict(lambda: [0, 0, None, None])
+        cum = 0
+        for doc_id, text in sorted(rows):
+            ntok = text.count(" ") + 1
+            sh = cum // 150
+            cum += ntok
+            if doc_id > wm:
+                e = ref[sh]
+                e[0] += 1
+                e[1] += ntok
+                e[2] = doc_id if e[2] is None else min(e[2], doc_id)
+                e[3] = doc_id if e[3] is None else max(e[3], doc_id)
+        assert inc == {k: tuple(v) for k, v in ref.items()}
