@@ -94,3 +94,16 @@ def read_documents_textdir(spark: SparkSession, path: str) -> DataFrame:
         )
     )
     return _normalize(raw, default_source="textdir")
+
+
+def stream_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING twin of `read_documents_jsonl`: a `readStream` file
+    source watching `path` for newly landed JSONL drops, normalized
+    through the SAME `_normalize` as the batch reader — every downstream
+    map-only documents operator (quality gates, PII redaction, language
+    ID, fingerprints) composes onto it unchanged, which is the
+    continuous-ingest half of the incremental pipeline beside
+    dedup_minhash_incremental / shard_manifest_incremental. Explicit
+    schema is mandatory on streams (no inference pass exists)."""
+    raw = spark.readStream.schema(DOCUMENTS_SCHEMA).json(path)
+    return _normalize(raw, default_source="jsonl")

@@ -72,3 +72,52 @@ def test_textdir_reader_and_operator_compat(spark, tmp_path):
 
     gates = gopher_quality_gates(docs).collect()
     assert {g["n_tokens"] for g in gates} == {3, 4}
+
+
+def test_stream_jsonl_incremental_drops(spark, tmp_path):
+    """The streaming reader picks up JSONL files as they land and a
+    map-only documents operator (gopher gates) composes onto the stream
+    unchanged — drained output == the batch reader over the same files."""
+    from code_graph_backend_spark.functions.text import gopher_quality_gates
+    from code_graph_backend_spark.sources.textfiles import (
+        stream_documents_jsonl,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = src.limit(60).collect()
+    data_dir = os.path.join(str(tmp_path), "drops")
+    os.makedirs(data_dir)
+    # two separate "drops"
+    for i, chunk in enumerate((rows[:30], rows[30:])):
+        with open(os.path.join(data_dir, f"drop{i}.jsonl"), "w") as f:
+            for r in chunk:
+                f.write(json.dumps({
+                    "doc_id": r["doc_id"], "text": r["text"],
+                    "lang": r["lang"], "source": r["source"],
+                }) + "\n")
+
+    stream = stream_documents_jsonl(spark, data_dir)
+    assert stream.isStreaming
+    q = (
+        gopher_quality_gates(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_ingest_test")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["passes"])
+        for r in spark.sql("select * from stream_ingest_test").collect()
+    }
+    from code_graph_backend_spark.sources.textfiles import read_documents_jsonl
+
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["passes"])
+        for r in gopher_quality_gates(
+            read_documents_jsonl(spark, data_dir)
+        ).collect()
+    }
+    assert got == want and len(got) == 60
