@@ -417,3 +417,48 @@ def test_hll_matches_python_reference(spark, n_items, seed):
     (row,) = hll_distinct(df, "grp", "i").collect()
     assert row.hll_est == _py_hll(items)
     assert row.exact_distinct == len(set(items))
+
+
+def _py_containment(texts, n=3, thr=800):
+    """Brute-force directional containment over n-token shingle sets."""
+    sh = {}
+    for i, t in texts:
+        toks = t.split(" ")
+        sh[i] = {
+            " ".join(toks[k:k + n]) for k in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+    out = {}
+    for i, si in sh.items():
+        if not si:
+            continue
+        for j, sj in sh.items():
+            if i == j:
+                continue
+            c = len(si & sj)
+            if c * 1000 >= thr * len(si):
+                out[(i, j)] = (c * 1000) // len(si)
+    return out
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "x"]),
+        min_size=0, max_size=12,
+    ).map(" ".join),
+    st.lists(
+        st.sampled_from(["a", "b", "c", "y"]),
+        min_size=0, max_size=12,
+    ).map(" ".join),
+    st.integers(300, 1000),
+)
+def test_containment_matches_python_oracle(spark, t1, t2, thr):
+    from code_graph_backend_spark.functions.dedup import containment_pairs
+
+    texts = [(1, t1), (2, t2), (3, t1 + " " + t2)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["i"], r["j"]): r["cont_milli"]
+        for r in containment_pairs(docs, threshold_milli=thr).collect()
+    }
+    assert got == _py_containment(texts, thr=thr)
