@@ -520,3 +520,38 @@ def corpus_vocab_coverage_q(spark, sf_dir):
         )
         .orderBy("vocab_size")
     )
+
+
+@register(
+    "graph_ffl_motifs",
+    f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({_SCC_EDGE_SQL}) WHERE src <> dst
+    ),
+    w AS MATERIALIZED (
+        SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM e a JOIN e b ON a.dst = b.src
+        WHERE a.src <> b.dst
+    ),
+    nw AS (SELECT COUNT(*) AS n_wedges FROM w),
+    nf AS (
+        SELECT COUNT(*) AS n_ffl
+        FROM w JOIN e ON w.x = e.src AND w.z = e.dst
+    )
+    SELECT CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_ffl AS BIGINT) AS n_ffl,
+           CAST(CASE WHEN n_wedges = 0 THEN 0
+                     ELSE (n_ffl * 1000) // n_wedges END AS BIGINT)
+               AS ffl_per_wedge_milli
+    FROM nw, nf
+    """,
+)
+def graph_ffl_motifs_q(spark, sf_dir):
+    """Directed feed-forward-loop census (operators/triangles.py
+    ffl_motif_stats) over the order-succession graph — the directed
+    motif count beside the undirected triangle kernel: two equi-joins
+    (wedge + close), no cartesian, integer-milli density."""
+    from .operators.triangles import ffl_motif_stats
+
+    _, edges = _succession_graph(spark, sf_dir)
+    return ffl_motif_stats(edges)

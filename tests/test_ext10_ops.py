@@ -565,3 +565,33 @@ class TestShardManifestIncremental:
                 e[2] = doc_id if e[2] is None else min(e[2], doc_id)
                 e[3] = doc_id if e[3] is None else max(e[3], doc_id)
         assert inc == {k: tuple(v) for k, v in ref.items()}
+
+
+class TestFflMotifs:
+    def test_hand_computed(self, spark):
+        """Graph with exactly one FFL (1->2, 2->3, 1->3) plus a
+        non-closing wedge (3->4, 4->5): wedges are (1,2,3) and (3,4,5);
+        only the first closes."""
+        from code_graph_backend_spark.operators.triangles import (
+            ffl_motif_stats,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        r = ffl_motif_stats(e).collect()[0]
+        # wedges: 1->2->3, 2->3->4, 1->3->4, 3->4->5
+        assert r["n_wedges"] == 4
+        assert r["n_ffl"] == 1
+        assert r["ffl_per_wedge_milli"] == 250
+
+    def test_two_cycle_is_not_a_wedge(self, spark):
+        """a->b, b->a produces no wedge (x == z is excluded) and no
+        FFL."""
+        from code_graph_backend_spark.operators.triangles import (
+            ffl_motif_stats,
+        )
+
+        e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        r = ffl_motif_stats(e).collect()[0]
+        assert r["n_wedges"] == 0 and r["n_ffl"] == 0
