@@ -54,7 +54,7 @@ _PRIORITY = [
     "graph_scc_bounded", "dedup_containment", "shard_manifest",
     "quality_linear_score", "graph_random_walks", "walk_skipgram_pairs",
     "w_distinct_users_hll", "shard_manifest_incremental",
-    "corpus_vocab_coverage", "graph_ffl_motifs",
+    "corpus_vocab_coverage", "graph_ffl_motifs", "mm_tga_features",
     # round-4 red row, reworked (space-count tokens, ordered output)
     "token_budget_select",
     # implementation changed this round: gates/ranks now quantized

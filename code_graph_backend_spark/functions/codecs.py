@@ -89,6 +89,75 @@ def bmp_stored_pixel_bytes(payload: bytes) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# TGA (Truevision TARGA, type 2: uncompressed true-color 24bpp)
+# --------------------------------------------------------------------------
+
+
+def encode_tga(pixels: np.ndarray, topdown: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> TGA bytes (type-2 uncompressed 24bpp).
+    TGA stores BGR with NO row padding; default origin is bottom-left,
+    `topdown=True` sets descriptor bit 5 (top-left origin)."""
+    h, w, _ = pixels.shape
+    desc = 0x20 if topdown else 0x00
+    header = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 24, desc
+    )
+    px = pixels[:, :, ::-1]  # RGB -> BGR
+    if not topdown:
+        px = px[::-1]
+    return header + np.ascontiguousarray(px).tobytes()
+
+
+def decode_tga(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """TGA bytes -> (width, height, (h, w, 3) uint8 RGB, top-down rows).
+
+    Honors the 18-byte header's id-field length, BGR storage, and both
+    bottom-left (default) and top-left (descriptor bit 5) origins. Only
+    type-2 (uncompressed true-color) 24bpp is supported — RLE (type 10)
+    is the compressed variant this container has no library for."""
+    if len(payload) < 18:
+        raise ValueError("not a TGA payload")
+    (id_len, cmap_type, img_type, _, _, _, _, _, w, h, bpp, desc) = (
+        struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    )
+    if cmap_type != 0 or img_type != 2:
+        raise NotImplementedError(
+            f"only type-2 uncompressed TGA supported (got type={img_type})"
+        )
+    if bpp != 24:
+        raise NotImplementedError(f"only 24bpp TGA supported (got {bpp})")
+    off = 18 + id_len
+    if off + w * h * 3 > len(payload):
+        raise ValueError("truncated TGA pixel data")
+    px = (
+        np.frombuffer(payload, np.uint8, w * h * 3, off)
+        .reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    )
+    if not (desc & 0x20):
+        px = px[::-1]  # bottom-up -> top-down
+    return w, h, np.ascontiguousarray(px)
+
+
+def tga_stored_pixel_bytes(payload: bytes) -> bytes:
+    """The TGA pixel region exactly as stored (rows in file order, BGR)
+    — the fingerprint target, like bmp_stored_pixel_bytes."""
+    id_len = payload[0]
+    (w,) = struct.unpack_from("<H", payload, 12)
+    (h,) = struct.unpack_from("<H", payload, 14)
+    off = 18 + id_len
+    return payload[off : off + w * h * 3]
+
+
+def image_stored_pixel_bytes(payload: bytes) -> bytes:
+    """Stored-pixel-region dispatch for the fingerprint hash: BMP by
+    magic, else TGA (which has no magic — the type/bpp bytes are
+    validated by decode_tga before anything trusts this region)."""
+    if (payload or b"")[:2] == b"BM":
+        return bmp_stored_pixel_bytes(payload)
+    return tga_stored_pixel_bytes(payload)
+
+
+# --------------------------------------------------------------------------
 # WAV (RIFF, PCM 16-bit little-endian)
 # --------------------------------------------------------------------------
 

@@ -79,8 +79,14 @@ def decode_image(payload: bytes) -> tuple[int, int, "object"]:
     if p[:8] == b"\x89PNG\r\n\x1a\n" or p[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
             "PNG/JPEG decode needs an image library not present in this "
-            "container; only uncompressed BMP decodes for real"
+            "container; only uncompressed BMP/TGA decode for real"
         )
+    # TGA has no magic: validate the header shape (type-2 true-color,
+    # no colormap, 24bpp) before trusting it
+    if len(p) >= 18 and p[1] == 0 and p[2] == 2 and p[16] == 24:
+        from .codecs import decode_tga
+
+        return decode_tga(p)
     raise ValueError("unrecognized image payload")
 
 
@@ -131,7 +137,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     def real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from .codecs import bmp_stored_pixel_bytes
+        from .codecs import image_stored_pixel_bytes
 
         for pdf in batches:
             out = {k: [] for k in
@@ -146,7 +152,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 out["height"].append(h)
                 out["px_sum"].append(int(px.sum(dtype="int64")))
                 out["feature_hash"].append(
-                    hashlib.md5(bmp_stored_pixel_bytes(p)).hexdigest()
+                    hashlib.md5(image_stored_pixel_bytes(p)).hexdigest()
                 )
             yield pd.DataFrame(out)
 
@@ -216,6 +222,40 @@ def bmp_media_from_text(docs: DataFrame, width: int = 4) -> DataFrame:
                     "media_id": ids,
                     "kind": "image",
                     "mime": "image/bmp",
+                    "payload": payloads,
+                    "meta_json": None,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def tga_media_from_text(docs: DataFrame, width: int = 4) -> DataFrame:
+    """Test-payload builder, TGA edition: each document's text bytes
+    become the pixel region of a REAL bottom-up type-2 24bpp TGA (18-byte
+    header, no row padding, so the stored region is exactly a text
+    prefix and every decoded feature stays SQL-expressible)."""
+    row_bytes = width * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads, ids = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                h = len(data) // row_bytes
+                data = data[: h * row_bytes]
+                header = struct.pack(
+                    "<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, width, h, 24, 0
+                )
+                payloads.append(header + data)
+                ids.append(str(mid))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/x-tga",
                     "payload": payloads,
                     "meta_json": None,
                 }

@@ -555,3 +555,33 @@ def graph_ffl_motifs_q(spark, sf_dir):
 
     _, edges = _succession_graph(spark, sf_dir)
     return ffl_motif_stats(edges)
+
+
+@register(
+    "mm_tga_features",
+    """
+    WITH b AS (
+        SELECT doc_id, text, CAST(length(text) // 12 AS INT) AS h FROM documents
+    ), s AS (
+        SELECT doc_id, CAST(SUM(ascii(substring(text, u.i, 1))) AS BIGINT) AS px_sum
+        FROM b, UNNEST(generate_series(1, h * 12)) u(i) GROUP BY doc_id
+    )
+    SELECT CAST(b.doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+           CAST(18 + 12 * h AS INT) AS n_bytes,
+           CAST(4 AS INT) AS width, h AS height,
+           s.px_sum, md5(substring(text, 1, 12 * h)) AS feature_hash
+    FROM b JOIN s ON b.doc_id = s.doc_id
+    """,
+)
+def mm_tga_features_q(spark, sf_dir):
+    """REAL TGA decode (functions/codecs.py decode_tga): the third
+    uncompressed container beside BMP/WAV/AVI — 18-byte header, BGR, no
+    row padding, bottom-left origin honored. Same synthesize-from-text
+    scheme as mm_media_features, so the oracle hash-checks the real
+    decode end-to-end; px_sum is invariant to the BGR/row-flip
+    normalization. Map-only Arrow pass."""
+    from .functions import multimodal
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.tga_media_from_text(docs)
+    return multimodal.extract_features(media, fake=False)

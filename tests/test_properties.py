@@ -462,3 +462,18 @@ def test_containment_matches_python_oracle(spark, t1, t2, thr):
         for r in containment_pairs(docs, threshold_milli=thr).collect()
     }
     assert got == _py_containment(texts, thr=thr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 9), w=st.integers(1, 9),
+    topdown=st.booleans(), seed=st.integers(0, 2**31 - 1),
+)
+def test_tga_roundtrip_property(h, w, topdown, seed):
+    """decode(encode(px)) == px for arbitrary sizes, both origins."""
+    from code_graph_backend_spark.functions.codecs import decode_tga, encode_tga
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    ww, hh, out = decode_tga(encode_tga(px, topdown=topdown))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(out, px)
