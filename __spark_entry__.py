@@ -24,6 +24,7 @@ from code_graph_backend_spark import registry_ext7  # noqa: F401  (registers on 
 from code_graph_backend_spark import registry_ext8  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext9  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext10  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext11  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:

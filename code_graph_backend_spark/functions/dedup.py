@@ -511,3 +511,55 @@ def simhash_signatures_exact(
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return voted.select(F.col(id_col), sig.alias("sig"))
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    n-gram shingles whose corpus-wide first occurrence (min doc id in
+    ingestion order) is this document. The marginal-new-content curve
+    data-ordering and crawl-dedup diagnostics plot (the complement of
+    Lee et al.'s duplicated-span mass, aggregated per doc instead of
+    per span).
+
+    Shape: one shingle explode (md5-keyed so the shuffle carries 32-byte
+    keys, never 13-gram text) -> ONE hash-agg computing min(doc_id) per
+    shingle -> join back to the per-doc shingle list -> per-doc count
+    rollup. Two shuffles total, both on bounded-width keys; no
+    self-join, no all-pairs. Docs with < n tokens have zero shingles and
+    report novelty 0 with n_shingles = 0 (integer-milli, floor-divide,
+    engine-exact).
+    """
+    sh = scratch_persist(
+        fan_out(docs)
+        .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("s"))
+        .select(id_col, F.md5(F.col("s")).alias("h"))
+    )
+    first_seen = sh.groupBy("h").agg(F.min(id_col).alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).cast("long"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.coalesce(
+                F.expr("(1000 * n_novel) DIV n_shingles"), F.lit(0)
+            ).cast("long").alias("novelty_milli"),
+        )
+        .orderBy(id_col)
+    )

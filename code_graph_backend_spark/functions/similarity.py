@@ -1361,3 +1361,207 @@ def power_iteration_exact_sql(rounds: int = 2) -> str:
     parts.append(f"""
     SELECT dim, CAST(v AS VARCHAR) AS w FROM v{rounds}""")
     return "".join(parts)
+
+
+# Max (rows × dims) collected by kcenter's local path; above this the
+# per-round broadcast-join loop runs instead.
+_KCENTER_LOCAL_CELLS = 2_000_000
+
+
+def kcenter_select_exact(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection with EXACT
+    cross-engine arithmetic — the diversity-selection primitive behind
+    coreset subsampling and facility-location-style data pruning
+    (pick the point farthest from everything already picked, k times).
+
+    Contract matches kmeans_assign_exact: dims quantized to integers
+    (round(x*1000)) so every distance is a BIGINT squared-L2 and the
+    argmax cannot flip between engines; seed = MIN(id) (deterministic,
+    no random init); ties at equal distance go to the smaller id.
+
+    Shape per round (k-1 rounds): ONE equi-join of the exploded dim
+    table against the new center's d rows (broadcast — a center is d
+    rows however big the corpus) + one per-id sum agg, then a running
+    `least` against the carried min-distance column, then one global
+    argmax agg. The incremental min-dist carry is what makes this
+    linear in k·n·d instead of the naive k·n·k recompute; no all-pairs
+    stage anywhere. Measured-size duality (the pagerank/sssp
+    convention): below _KCENTER_LOCAL_CELLS quantized cells the loop
+    runs over a driver-collected numpy matrix built from the SAME
+    Spark-quantized dim table (no rounding re-implementation to
+    reconcile); above it, per-round broadcast joins with eager
+    localCheckpoints that bound lineage AND re-evaluation — a lazy
+    chain re-runs the whole prefix each round, the same blowup the
+    DuckDB twin dodges with MATERIALIZED CTEs."""
+    d = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("q"),
+    )
+    d = scratch_persist(d)
+    seed = emb.groupBy().agg(F.min(id_col).alias("cid"))
+
+    def center_dims(center_df):
+        return (
+            d.join(F.broadcast(center_df), F.col(id_col) == F.col("cid"))
+            .select("dim", F.col("q").alias("cq"))
+        )
+
+    def dist_to(center_df):
+        return (
+            d.join(F.broadcast(center_dims(center_df)), "dim")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("nd")
+            )
+        )
+
+    spark = emb.sparkSession
+    n_cells = d.count()  # measured size, never assumed (duality gate)
+    if n_cells <= _KCENTER_LOCAL_CELLS:
+        # Local fast path (pagerank/sssp convention): the quantized dim
+        # table — ALREADY produced by the same Spark expression the
+        # distributed path scores with, so no rounding re-implementation
+        # to reconcile — collects to one numpy FPS loop. k sequential
+        # rounds over a driver-resident int matrix beat k broadcast
+        # joins by ~10x below the gate.
+        import numpy as np
+
+        pdf = d.toPandas()
+        ids = np.sort(pdf[id_col].unique().astype(np.int64))
+        n = len(ids)
+        if n == 0:
+            return spark.createDataFrame(
+                [], f"sel_order long, {id_col} long, dist long"
+            )
+        dim_ix = {v: i for i, v in enumerate(sorted(pdf["dim"].unique()))}
+        Q = np.zeros((n, len(dim_ix)), dtype=np.int64)
+        Q[
+            np.searchsorted(ids, pdf[id_col].to_numpy(np.int64)),
+            pdf["dim"].map(dim_ix).to_numpy(np.int64),
+        ] = pdf["q"].to_numpy(np.int64)
+        kk = min(k, n)
+        sel = [(0, int(ids[0]), 0)]
+        cur = 0
+        min_dist = ((Q - Q[cur]) ** 2).sum(axis=1)
+        for r in range(1, kk):
+            dist_masked = min_dist.copy()
+            for _, cid, _ in sel:
+                dist_masked[np.searchsorted(ids, cid)] = -1
+            order = np.lexsort((ids, -dist_masked))
+            cur = int(order[0])
+            sel.append((r, int(ids[cur]), int(dist_masked[cur])))
+            if r < kk - 1:
+                min_dist = np.minimum(min_dist, ((Q - Q[cur]) ** 2).sum(axis=1))
+        return spark.createDataFrame(
+            sel, f"sel_order long, {id_col} long, dist long"
+        )
+
+    # Distributed path: eager localCheckpoint per round bounds both
+    # lineage and re-evaluation (a lazy chain here re-runs the whole
+    # prefix per round — the CTE-inlining trap the oracle's MATERIALIZED
+    # CTEs dodge).
+    chosen = seed.select(
+        F.lit(0).cast("long").alias("sel_order"),
+        F.col("cid").cast("long").alias(id_col),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    min_dist = (
+        dist_to(seed).select(id_col, F.col("nd").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, k):
+        cand = min_dist.join(chosen.select(id_col), id_col, "left_anti")
+        nxt = (
+            cand.groupBy()
+            .agg(F.max(F.struct(F.col("dist"), -F.col(id_col))).alias("b"))
+            .select(
+                F.lit(r).cast("long").alias("sel_order"),
+                (-F.col("b.col2")).cast("long").alias(id_col),
+                F.col("b.dist").cast("long").alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        chosen = chosen.union(nxt).localCheckpoint(eager=True)
+        if r < k - 1:
+            nd = dist_to(nxt.select(F.col(id_col).alias("cid")))
+            min_dist = (
+                min_dist.join(nd, id_col)
+                .select(id_col, F.least("dist", "nd").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+    return chosen.orderBy("sel_order")
+
+
+def kcenter_select_exact_sql(k: int = 8) -> str:
+    """DuckDB twin of kcenter_select_exact over the `embeddings` view —
+    unrolled greedy rounds, identical integer arithmetic, identical
+    (dist DESC, id) tie-break and incremental LEAST min-dist carry.
+
+    Two DuckDB-planner traps shape this SQL (both observed, both
+    catastrophic at k=8 / 5000 vectors):
+    - every chained CTE is AS MATERIALIZED — default inlining
+      re-evaluates the whole prefix chain per round (exponential in k);
+    - the new center's dims come from a 1-ROW CROSS JOIN
+      (`d s, pX WHERE s.vec_id = pX.cid`), never a scalar subquery in a
+      join condition — `ON s.vec_id = (SELECT ...)` is evaluated as a
+      correlated per-row-pair predicate, turning the dim equi-join into
+      an O(|d|²) nested loop."""
+    parts = [
+        """
+    WITH d AS MATERIALIZED (
+        SELECT vec_id, CAST(u.dim AS BIGINT) AS dim,
+               CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(dim)
+    ),
+    p0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM embeddings),
+    md0 AS MATERIALIZED (
+        SELECT c.vec_id, SUM((c.q - s.q) * (c.q - s.q)) AS dist
+        FROM d c JOIN (
+            SELECT s.dim, s.q FROM d s, p0 WHERE s.vec_id = p0.cid
+        ) s ON s.dim = c.dim
+        GROUP BY 1
+    )"""
+    ]
+    for r in range(1, k):
+        prev = f"md{r - 1}"
+        chosen = " UNION ALL ".join(f"SELECT cid FROM p{j}" for j in range(r))
+        parts.append(f""",
+    p{r} AS MATERIALIZED (
+        SELECT m.vec_id AS cid, m.dist
+        FROM {prev} m WHERE m.vec_id NOT IN ({chosen})
+        ORDER BY m.dist DESC, m.vec_id LIMIT 1
+    )""")
+        if r < k - 1:
+            parts.append(f""",
+    nd{r} AS MATERIALIZED (
+        SELECT c.vec_id, SUM((c.q - s.q) * (c.q - s.q)) AS dist
+        FROM d c JOIN (
+            SELECT s.dim, s.q FROM d s, p{r} WHERE s.vec_id = p{r}.cid
+        ) s ON s.dim = c.dim
+        GROUP BY 1
+    ),
+    md{r} AS MATERIALIZED (
+        SELECT m.vec_id, LEAST(m.dist, n.dist) AS dist
+        FROM {prev} m JOIN nd{r} n USING (vec_id)
+    )""")
+    sels = [
+        "SELECT CAST(0 AS BIGINT) AS sel_order, CAST(cid AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS dist FROM p0"
+    ]
+    for r in range(1, k):
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT), CAST(cid AS BIGINT),"
+            f" CAST(dist AS BIGINT) FROM p{r}"
+        )
+    parts.append("\n    " + "\n    UNION ALL ".join(sels) + "\n    ORDER BY sel_order")
+    return "".join(parts)

@@ -423,3 +423,45 @@ def linear_quality_score(
         ).cast("long").alias("logit_milli"),
         (F.col("s") >= 0).alias("keep"),
     )
+
+
+def chunk_documents(
+    docs,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Fixed-size overlapping word-window chunker — the context-window
+    split every RAG indexer and long-context packing pipeline runs
+    before embedding (LangChain/LlamaIndex `TokenTextSplitter` shape,
+    re-expressed as one Catalyst map stage).
+
+    Chunk i covers words [i*stride, i*stride+size); starts are
+    0, stride, 2*stride, ... while start < n_words, so every document
+    emits >= 1 chunk and consecutive chunks overlap by size-stride
+    words. MAP-ONLY: sequence+explode inside the scan stage, no
+    shuffle, output ~n_words/stride rows per doc — the shape that
+    survives 100 TB because chunking never needs to see two documents
+    together. Emits a stable md5 of each chunk text so downstream
+    chunk-level dedup/linkage can key on content.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    chunked = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        toks.alias("_t"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)))
+        ).alias("chunk_id"),
+    )
+    words = F.slice(
+        F.col("_t"), (F.col("chunk_id") * stride + 1).cast("int"), size
+    )
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("long").alias("start_word"),
+        F.size(words).cast("long").alias("n_words"),
+        F.md5(F.array_join(words, " ")).alias("chunk_md5"),
+    ).orderBy(id_col, "chunk_id")

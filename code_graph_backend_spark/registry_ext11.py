@@ -1,0 +1,230 @@
+"""Round-5d extension queries: RAG/packing document chunking, per-doc
+n-gram novelty (marginal-new-content diagnostics), and a one-pass corpus
+data-quality profile — the serving-prep and audit operators a 100 TB
+training-data pipeline runs beside the curation DAG.
+
+All three follow the repo's exact-oracle discipline (BIGINT casts,
+deterministic final ordering, DuckDB replays the same arithmetic); no
+reference analogue (the reference's surface is graph templates,
+SURVEY.md §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import read_table
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id, i AS chunk_id, w[i*24+1 : i*24+32] AS cw
+        FROM t, UNNEST(generate_series(0, (len(w) - 1) // 24)) u(i)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 24 AS BIGINT) AS start_word,
+           CAST(len(cw) AS BIGINT) AS n_words,
+           md5(array_to_string(cw, ' ')) AS chunk_md5
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Fixed-size overlapping word-window chunker (functions/text.py
+    chunk_documents): size 32 / stride 24, the RAG-indexer split.
+    Map-only sequence+explode inside the scan stage — zero shuffles at
+    any corpus size; md5 content keys for downstream chunk linkage."""
+    from .functions.text import chunk_documents
+
+    return chunk_documents(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_ngram_novelty",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dsh AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+12], ' ')) AS h
+        FROM toks, UNNEST(generate_series(1, len(t) - 12)) u(i)
+        WHERE len(t) >= 13
+    ),
+    fs AS (SELECT h, MIN(doc_id) AS first_doc FROM dsh GROUP BY h),
+    pd AS (
+        SELECT d.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM dsh d JOIN fs f USING (h)
+        GROUP BY 1
+    )
+    SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE((1000 * n_novel) // n_shingles, 0) AS BIGINT)
+               AS novelty_milli
+    FROM (SELECT doc_id FROM documents) dd
+    LEFT JOIN pd ON dd.doc_id = pd.doc_id
+    ORDER BY doc_id
+    """,
+)
+def token_ngram_novelty_q(spark, sf_dir):
+    """Per-doc 13-gram novelty (functions/dedup.py ngram_novelty): the
+    fraction of a doc's distinct shingles first seen (min doc_id) in
+    that doc — the marginal-new-content curve for ingestion-order and
+    crawl-dedup diagnostics. md5-keyed explode + one min-agg + one
+    rollup; two bounded-width shuffles, no self-join."""
+    from .functions.dedup import ngram_novelty
+
+    return ngram_novelty(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_profile",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inconsistent,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST((1000 * SUM(n_chars)) // COUNT(*) AS BIGINT) AS avg_chars_milli
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_profile_q(spark, sf_dir):
+    """One-pass per-source data-quality profile: row counts, empty-text
+    and n_chars-vs-length(text) consistency audits, lang/id distinct
+    cardinalities, and integer-milli length stats. ONE hash-agg over the
+    scan (count-distincts expand map-side, still one shuffle on the
+    source key); the profile every ingest lands before curation runs."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("text").isNull() | (F.col("text") == "")).cast("long")
+            ).alias("n_empty"),
+            F.sum(
+                (F.col("n_chars") != F.length("text")).cast("long")
+            ).alias("n_inconsistent"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("doc_id").alias("n_ids"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.expr("(1000 * sum(n_chars)) DIV count(*)").alias("avg_chars_milli"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long"),
+            F.col("n_empty").cast("long"),
+            F.col("n_inconsistent").cast("long"),
+            F.col("n_langs").cast("long"),
+            F.col("n_ids").cast("long"),
+            F.col("total_chars").cast("long"),
+            F.col("min_chars").cast("long"),
+            F.col("max_chars").cast("long"),
+            F.col("avg_chars_milli").cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+def _kcenter_sql() -> str:
+    from .functions.similarity import kcenter_select_exact_sql
+
+    return kcenter_select_exact_sql(k=8)
+
+
+@register("emb_kcenter_select", _kcenter_sql())
+def emb_kcenter_select_q(spark, sf_dir):
+    """Greedy k-center coreset selection (functions/similarity.py
+    kcenter_select_exact): pick the 8 mutually-farthest embeddings —
+    the diversity-subsampling primitive for coreset pruning. Integer-
+    quantized squared-L2, MIN(id) seed, incremental min-dist carry:
+    one broadcast center join + one argmax agg per round, linear in
+    k·n·d, no all-pairs."""
+    from .functions.similarity import kcenter_select_exact
+
+    return kcenter_select_exact(read_table(spark, sf_dir, "embeddings"), k=8)
+
+
+_EWMA_TAPS = 16
+_EWMA_SQL_TERMS = " + ".join(
+    f"COALESCE(lag(v_milli, {j}) OVER w, 0) * {1 << (15 - j)}"
+    for j in range(_EWMA_TAPS)
+)
+
+
+@register(
+    "events_user_ewma",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 1000) AS BIGINT) AS v_milli
+        FROM events
+    ),
+    scored AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+               {_EWMA_SQL_TERMS} AS ewma_fp
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           CAST(ewma_fp AS BIGINT) AS ewma_fp
+    FROM scored WHERE rn = n_events
+    ORDER BY user_id
+    """,
+)
+def events_user_ewma_q(spark, sf_dir):
+    """Per-user exponentially-decayed engagement score at the user's
+    latest event — the recency-weighted activity feature behind churn
+    and engagement models. FIXED-POINT decay: 16 lag taps weighted
+    2^(15-lag) over milli-quantized values, all BIGINT (no float decay
+    drift channel between engines). ONE window per user partition
+    (shuffles once on user_id, every tap shares the frame); output is
+    user-cardinality."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ewma = None
+    for j in range(_EWMA_TAPS):
+        term = F.coalesce(F.lag("v_milli", j).over(w), F.lit(0)) * F.lit(
+            1 << (15 - j)
+        )
+        ewma = term if ewma is None else ewma + term
+    scored = e.select(
+        "user_id", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_events"),
+        ewma.alias("ewma_fp"),
+    )
+    return (
+        scored.filter(F.col("rn") == F.col("n_events"))
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("n_events").cast("long"),
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("ewma_fp").cast("long"),
+        )
+        .orderBy("user_id")
+    )

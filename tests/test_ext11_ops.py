@@ -1,0 +1,181 @@
+"""Round-5d operators: document chunking, n-gram novelty, corpus profile —
+semantics pinned on tiny hand-computable inputs (the driver oracle
+hash-checks the full corpus)."""
+
+from __future__ import annotations
+
+import code_graph_backend_spark.registry_ext11  # noqa: F401  (registers queries)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from code_graph_backend_spark.functions.text import chunk_documents
+
+        docs = _docs(spark, [(1, " ".join(f"w{i}" for i in range(50)))])
+        rows = chunk_documents(docs).collect()
+        # starts 0, 24, 48 (< 50); sizes clamp at the end
+        assert [(r["chunk_id"], r["start_word"], r["n_words"]) for r in rows] == [
+            (0, 0, 32),
+            (1, 24, 26),
+            (2, 48, 2),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        from code_graph_backend_spark.functions.text import chunk_documents
+
+        docs = _docs(spark, [(7, "a b c")])
+        rows = chunk_documents(docs).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_words"] == 3 and rows[0]["start_word"] == 0
+
+    def test_overlap_words_shared(self, spark):
+        """Consecutive chunks share exactly size-stride=8 words: the md5
+        of chunk 1's first 8 words equals the md5 over chunk 0's last 8."""
+        from code_graph_backend_spark.functions.text import chunk_documents
+
+        words = [f"w{i}" for i in range(40)]
+        docs = _docs(spark, [(1, " ".join(words))])
+        rows = {r["chunk_id"]: r for r in chunk_documents(docs).collect()}
+        import hashlib
+
+        assert rows[0]["chunk_md5"] == hashlib.md5(
+            " ".join(words[0:32]).encode()
+        ).hexdigest()
+        assert rows[1]["chunk_md5"] == hashlib.md5(
+            " ".join(words[24:40]).encode()
+        ).hexdigest()
+
+    def test_map_only_plan(self, spark):
+        """Chunking must not shuffle: no Exchange below the final sort."""
+        from code_graph_backend_spark.functions.text import chunk_documents
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+        # the only exchange allowed is the rangepartitioning for orderBy
+        body = [
+            ln for ln in plan.splitlines()
+            if "Exchange" in ln and "rangepartitioning" not in ln
+        ]
+        assert body == [], body
+
+
+class TestNgramNovelty:
+    def test_first_seen_attribution(self, spark):
+        from code_graph_backend_spark.functions.dedup import ngram_novelty
+
+        base = " ".join(f"w{i}" for i in range(20))  # 8 distinct 13-grams
+        docs = _docs(
+            spark,
+            [
+                (1, base),
+                (2, base + " x0 x1 x2 x3 x4 x5 x6 x7"),  # 8 old + 8 new
+                (3, "too short"),
+            ],
+        )
+        rows = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+        assert rows[1]["novelty_milli"] == 1000
+        assert rows[2]["n_shingles"] == 16 and rows[2]["n_novel"] == 8
+        assert rows[2]["novelty_milli"] == 500
+        assert rows[3]["n_shingles"] == 0 and rows[3]["novelty_milli"] == 0
+
+    def test_every_doc_reported(self, spark):
+        from code_graph_backend_spark.functions.dedup import ngram_novelty
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert ngram_novelty(docs).count() == docs.count()
+
+
+class TestCorpusProfile:
+    def test_audit_columns(self, spark):
+        from code_graph_backend_spark.registry import QUERIES
+
+        rows = QUERIES["corpus_profile"](spark, "/root/testdata/sf0.001").collect()
+        assert rows, "profile must emit one row per source"
+        for r in rows:
+            assert r["n_empty"] == 0 and r["n_inconsistent"] == 0
+            assert r["n_ids"] == r["n_docs"]  # ids unique within source
+            assert r["min_chars"] <= r["max_chars"]
+            assert r["avg_chars_milli"] * r["n_docs"] <= 1000 * r["total_chars"]
+
+
+class TestKCenterSelect:
+    def test_greedy_invariants(self, spark):
+        """Selection dists are non-increasing; seed is MIN(id); every
+        selected point is at its reported min-distance from the
+        earlier-chosen set."""
+        from code_graph_backend_spark.functions.similarity import (
+            kcenter_select_exact,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = kcenter_select_exact(emb, k=6).collect()
+        assert rows[0]["sel_order"] == 0 and rows[0]["dist"] == 0
+        assert rows[0]["vec_id"] == emb.agg({"vec_id": "min"}).first()[0]
+        dists = [r["dist"] for r in rows[1:]]
+        assert dists == sorted(dists, reverse=True)
+
+        import numpy as np
+
+        pdf = emb.toPandas().set_index("vec_id")
+        q = {
+            i: np.round(np.array(v, dtype=np.float64) * 1000).astype(np.int64)
+            for i, v in pdf["embedding"].items()
+        }
+        chosen = [rows[0]["vec_id"]]
+        for r in rows[1:]:
+            d = min(int(((q[r["vec_id"]] - q[c]) ** 2).sum()) for c in chosen)
+            assert d == r["dist"]
+            chosen.append(r["vec_id"])
+
+    def test_local_equals_distributed(self, spark):
+        """The numpy fast path and the broadcast-join loop are the same
+        algorithm: force the distributed path and compare exactly."""
+        import code_graph_backend_spark.functions.similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        loc = [tuple(r) for r in sim.kcenter_select_exact(emb, k=5).collect()]
+        old = sim._KCENTER_LOCAL_CELLS
+        try:
+            sim._KCENTER_LOCAL_CELLS = 0
+            dist = [tuple(r) for r in sim.kcenter_select_exact(emb, k=5).collect()]
+        finally:
+            sim._KCENTER_LOCAL_CELLS = old
+        assert loc == dist
+
+
+class TestEventsUserEwma:
+    def test_hand_computed_decay(self, spark):
+        """Three events for one user: ewma_fp = v3*2^15 + v2*2^14 + v1*2^13
+        in (ts, event_id) order."""
+        from code_graph_backend_spark.registry import QUERIES
+        import datetime as dt
+
+        rows = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 10), 7, "c", 1.0, "{}"),
+                (2, dt.datetime(2024, 1, 1, 11), 7, "c", 2.0, "{}"),
+                (3, dt.datetime(2024, 1, 1, 12), 7, "c", 4.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        # drive the registered callable through a temp parquet dir
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            rows.write.parquet(os.path.join(td, "events.parquet"))
+            got = {r["user_id"]: r for r in QUERIES["events_user_ewma"](spark, td).collect()}
+        r = got[7]
+        assert r["n_events"] == 3 and r["last_event_id"] == 3
+        assert r["ewma_fp"] == 4000 * 2**15 + 2000 * 2**14 + 1000 * 2**13
+
+    def test_one_row_per_user(self, spark):
+        from code_graph_backend_spark.registry import QUERIES
+
+        out = QUERIES["events_user_ewma"](spark, "/root/testdata/sf0.001")
+        users = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        assert out.count() == users.select("user_id").distinct().count()
