@@ -228,3 +228,128 @@ def events_user_ewma_q(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+from .graph.tpch import SQL_EDGES  # noqa: E402
+
+
+@register(
+    "graph_assortativity",
+    f"""
+    WITH edges AS ({SQL_EDGES}),
+    od AS (SELECT type, src, CAST(COUNT(*) AS BIGINT) AS xd
+           FROM edges GROUP BY 1, 2),
+    idg AS (SELECT type, dst, CAST(COUNT(*) AS BIGINT) AS yd
+            FROM edges GROUP BY 1, 2),
+    xy AS (
+        SELECT e.type, o.xd AS x, i.yd AS y
+        FROM edges e
+        JOIN od o ON o.type = e.type AND o.src = e.src
+        JOIN idg i ON i.type = e.type AND i.dst = e.dst
+    ),
+    s AS (
+        SELECT type, CAST(COUNT(*) AS HUGEINT) AS m,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM xy GROUP BY type
+    )
+    SELECT type, CAST(m AS BIGINT) AS m,
+           CASE WHEN (m * sxx - sx * sx) = 0 OR (m * syy - sy * sy) = 0
+                THEN NULL
+                ELSE ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+           END AS assortativity
+    FROM s
+    ORDER BY type
+    """,
+)
+def graph_assortativity_q(spark, sf_dir):
+    """Directed degree assortativity per edge type (Newman 2002): the
+    Pearson correlation of (out-degree of src, in-degree of dst) over
+    edges — do hubs link to hubs? Shape: two node-sized degree aggs,
+    two equi-joins back onto the edge list, ONE moments agg; closed
+    form from EXACT integer sums (the length_regression discipline),
+    cross products in DECIMAL(38)/HUGEINT — the events_outliers sf0.1
+    overflow lesson applied up front — then two correctly-rounded
+    divides. NULL where a degree variance is zero (constant-degree
+    types: a correlation does not exist, and both engines must agree
+    it does not)."""
+    from .graph.tpch import build_graph
+
+    g = build_graph(spark, sf_dir)
+    e = g.edges.select("type", "src", "dst")
+    od = e.groupBy("type", "src").agg(F.count("*").alias("xd"))
+    idg = e.groupBy("type", "dst").agg(F.count("*").alias("yd"))
+    xy = (
+        e.join(od, ["type", "src"])
+        .join(idg, ["type", "dst"])
+        .select("type", F.col("xd").alias("x"), F.col("yd").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    s = xy.groupBy("type").agg(
+        F.count("*").cast(dec).alias("m"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
+    )
+    varx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.round(
+        cov.cast("double")
+        / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+        6,
+    )
+    return s.select(
+        "type",
+        F.col("m").cast("long").alias("m"),
+        F.when((varx == 0) | (vary == 0), F.lit(None).cast("double"))
+        .otherwise(r)
+        .alias("assortativity"),
+    ).orderBy("type")
+
+
+@register(
+    "emb_int8_calibration",
+    """
+    WITH d AS (
+        SELECT CAST(u.dim AS BIGINT) AS dim,
+               CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(dim)
+    ),
+    sc AS (SELECT dim, MAX(ABS(q)) AS scale FROM d GROUP BY dim),
+    coded AS (
+        SELECT d.dim, d.q, sc.scale,
+               CASE WHEN sc.scale = 0 THEN 0
+                    ELSE CAST(round(CAST(d.q AS DOUBLE) * 127 / sc.scale)
+                              AS BIGINT)
+               END AS c
+        FROM d JOIN sc USING (dim)
+    )
+    SELECT dim, CAST(scale AS BIGINT) AS scale,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ABS(c) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_saturated,
+           CAST(CAST(SUM(CAST((127 * q - c * scale) * (127 * q - c * scale)
+                    AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS sum_sq_err,
+           CAST(MAX(ABS(127 * q - c * scale)) AS BIGINT) AS max_abs_err
+    FROM coded
+    GROUP BY dim, scale
+    ORDER BY dim
+    """,
+)
+def emb_int8_calibration_q(spark, sf_dir):
+    """Per-dimension symmetric int8 quantization calibration
+    (functions/similarity.py int8_calibration): maxabs scales,
+    saturation counts, and EXACT integer reconstruction error in
+    (127*milli)^2 units (DECIMAL(38)/HUGEINT sums, stringified for the
+    cross-engine hash). Two dim-keyed aggs + one broadcast — output is
+    dim-cardinality at any corpus size."""
+    from .functions.similarity import int8_calibration
+
+    return int8_calibration(read_table(spark, sf_dir, "embeddings"))

@@ -179,3 +179,78 @@ class TestEventsUserEwma:
         out = QUERIES["events_user_ewma"](spark, "/root/testdata/sf0.001")
         users = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         assert out.count() == users.select("user_id").distinct().count()
+
+
+class TestAssortativity:
+    def test_hand_computed_star_vs_chain(self, spark):
+        """A 4-chain has src-outdeg/dst-indeg all 1 -> zero variance ->
+        NULL; a graph where hubs point at leaves and leaves at hubs is
+        disassortative (r < 0)."""
+        from code_graph_backend_spark.registry import QUERIES
+        import math
+
+        rows = {
+            r["type"]: r
+            for r in QUERIES["graph_assortativity"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        # NEXT is the nation chain: every src outdeg=1, every dst indeg=1
+        assert rows["NEXT"]["assortativity"] is None
+        # IN_REGION: many nations -> few regions, constant outdeg 1 -> NULL
+        assert rows["IN_REGION"]["assortativity"] is None
+        # PLACED: customers -> unique orders (indeg const 1) -> NULL
+        assert rows["PLACED"]["assortativity"] is None
+        # CONTAINS has real degree variance on both ends
+        r = rows["CONTAINS"]["assortativity"]
+        assert r is not None and -1.0 <= r <= 1.0 and math.isfinite(r)
+
+    def test_matches_numpy_pearson(self, spark):
+        from code_graph_backend_spark.graph.tpch import build_graph
+        from code_graph_backend_spark.registry import QUERIES
+        import numpy as np
+
+        g = build_graph(spark, "/root/testdata/sf0.001")
+        e = g.edges.filter("type = 'CONTAINS'").select("src", "dst").toPandas()
+        od = e.groupby("src").size()
+        idg = e.groupby("dst").size()
+        x = e["src"].map(od).to_numpy(float)
+        y = e["dst"].map(idg).to_numpy(float)
+        want = round(float(np.corrcoef(x, y)[0, 1]), 6)
+        got = {
+            r["type"]: r["assortativity"]
+            for r in QUERIES["graph_assortativity"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }["CONTAINS"]
+        assert abs(got - want) < 2e-6
+
+
+class TestInt8Calibration:
+    def test_roundtrip_error_bound(self, spark):
+        """|127*q - c*scale| <= scale/2 by construction (nearest-code
+        rounding): the max_abs_err column must respect it; saturation
+        only at |q| = scale."""
+        from code_graph_backend_spark.registry import QUERIES
+
+        rows = QUERIES["emb_int8_calibration"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 64
+        for r in rows:
+            assert r["max_abs_err"] <= (r["scale"] + 1) // 2 + 1
+            assert 0 <= r["n_saturated"] <= r["n"]
+            assert int(r["sum_sq_err"]) >= r["max_abs_err"] ** 2
+
+    def test_hand_computed(self, spark):
+        """Two 1-dim vectors 0.5 and -1.0: scale=1000, codes 64 and -127,
+        errors |127*500-64*1000|=500 and 0."""
+        from code_graph_backend_spark.functions.similarity import int8_calibration
+
+        emb = spark.createDataFrame(
+            [(1, [0.5]), (2, [-1.0])], "vec_id long, embedding array<double>"
+        )
+        r = int8_calibration(emb).collect()[0]
+        assert r["scale"] == 1000 and r["n"] == 2
+        assert r["n_saturated"] == 1
+        assert r["max_abs_err"] == 500 and int(r["sum_sq_err"]) == 250000
