@@ -104,3 +104,92 @@ def pagerank(
             .localCheckpoint(eager=True)  # cut per-iteration lineage
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    seed_mod: int = 101,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restarts at a SEED SET
+    instead of uniformly — the seed-biased relevance walk behind
+    "similar entities to these" recommendations. Seeds are the
+    deterministic id % seed_mod == 0 subset (SQL-expressible, no
+    sampled seed list to reconcile).
+
+    Same recurrence/cost discipline as `pagerank` (which this mirrors,
+    including the measured-size local/distributed duality and the r3
+    node-count gate): r_t(v) = [v∈S]·(1-d)/|S| + d·Σ_{u→v} r_{t-1}(u)/deg(u);
+    dangling mass is dropped exactly as the uniform variant drops it,
+    so the two operators stay comparable. Returns every node's rank
+    (seeds included at their restart floor), ROUND 6."""
+    ent = _typed_edges(edges, None)
+    n_total = nodes.count()
+
+    if ent["pdf"] is not None and n_total <= _LOCAL_NODE_ROWS:
+        import numpy as np
+        import pandas as pd
+
+        ids = np.sort(
+            np.array([r["id"] for r in nodes.select("id").collect()], dtype=np.int64)
+        )
+        n = len(ids)
+        if n == 0:
+            return spark.createDataFrame([], "node long, rank double")
+        seed_mask = (ids % seed_mod) == 0
+        n_seed = int(seed_mask.sum())
+        if n_seed == 0:
+            return spark.createDataFrame([], "node long, rank double")
+        pdf = ent["pdf"]
+        s_raw = pdf["_s"].to_numpy(np.int64)
+        d_raw = pdf["_d"].to_numpy(np.int64)
+        src = np.searchsorted(ids, s_raw)
+        dst = np.searchsorted(ids, d_raw)
+        ok = (
+            (src < n) & (dst < n)
+            & (ids[src.clip(0, n - 1)] == s_raw)
+            & (ids[dst.clip(0, n - 1)] == d_raw)
+        )
+        src, dst = src[ok], dst[ok]
+        deg = np.bincount(src, minlength=n).astype(np.float64)
+        safe_deg = np.where(deg > 0, deg, 1.0)
+        base = np.where(seed_mask, (1.0 - damping) / n_seed, 0.0)
+        r = base / (1.0 - damping)  # r0: uniform over seeds, 0 elsewhere
+        for _ in range(iters):
+            contrib = r[src] / safe_deg[src]
+            r = base + damping * np.bincount(dst, weights=contrib, minlength=n)
+        return spark.createDataFrame(
+            pd.DataFrame({"node": ids, "rank": np.round(r, 6)})
+        )
+
+    e = ent["df"]
+    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    is_seed = (F.col("node") % seed_mod) == 0
+    n_seed_df = nodes.filter(F.col("id") % seed_mod == 0).count()
+    if n_seed_df == 0:
+        return spark.createDataFrame([], "node long, rank double")
+    base = F.when(is_seed, F.lit((1.0 - damping) / n_seed_df)).otherwise(F.lit(0.0))
+    ranks = nodes.select(F.col("id").alias("node")).withColumn(
+        "rank",
+        F.when(is_seed, F.lit(1.0 / n_seed_df)).otherwise(F.lit(0.0)),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["_s"] == F.col("node"))
+            .join(deg, "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+        )
+        ranks = (
+            nodes.select(F.col("id").alias("node"))
+            .join(contrib, "node", "left_outer")
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

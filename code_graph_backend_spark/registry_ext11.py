@@ -353,3 +353,183 @@ def emb_int8_calibration_q(spark, sf_dir):
     from .functions.similarity import int8_calibration
 
     return int8_calibration(read_table(spark, sf_dir, "embeddings"))
+
+
+from .graph.tpch import SQL_NODES  # noqa: E402
+
+
+def _ppr_sql(seed_mod: int = 101, iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank recurrence (the _pagerank_sql
+    shape, registry_ext4.py, with seed-restricted teleport mass)."""
+    k = f"(SELECT COUNT(*) FROM nodes WHERE id % {seed_mod} = 0)"
+    ctes = [
+        f"WITH nodes AS ({SQL_NODES}),",
+        f"edges AS ({SQL_EDGES}),",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),",
+        f"pr0 AS (SELECT id AS node, CASE WHEN id % {seed_mod} = 0 "
+        f"THEN 1.0/{k} ELSE 0.0 END AS rank FROM nodes),",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"pr{t} AS (SELECT n.id AS node, "
+            f"CASE WHEN n.id % {seed_mod} = 0 THEN {1.0 - damping!r}/{k} "
+            f"ELSE 0.0 END "
+            f"+ {damping!r} * COALESCE(SUM(p.rank / dg.d), 0) AS rank "
+            f"FROM nodes n LEFT JOIN edges e ON e.dst = n.id "
+            f"LEFT JOIN pr{t - 1} p ON p.node = e.src "
+            f"LEFT JOIN deg dg ON dg.src = e.src GROUP BY n.id),"
+        )
+    body = "\n".join(ctes).rstrip(",")
+    return f"{body}\nSELECT node, ROUND(rank, 6) AS rank FROM pr{iters}"
+
+
+@register("graph_ppr", _ppr_sql())
+def graph_ppr_q(spark, sf_dir):
+    """Personalized PageRank from the deterministic id%101 seed set
+    (operators/pagerank.py personalized_pagerank): seed-biased
+    relevance — the "entities related to THESE" walk. Same recurrence,
+    duality, and unrolled-CTE oracle discipline as graph_pagerank;
+    teleport mass restricted to the seeds."""
+    from .graph.tpch import build_graph
+    from .operators.pagerank import personalized_pagerank
+
+    g = build_graph(spark, sf_dir)
+    return personalized_pagerank(spark, g.nodes, g.edges)
+
+
+@register(
+    "chunk_dedup_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id,
+               md5(array_to_string(w[i*24+1 : i*24+32], ' ')) AS chunk_md5
+        FROM t, UNNEST(generate_series(0, (len(w) - 1) // 24)) u(i)
+    ),
+    df AS (
+        SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs
+        FROM c GROUP BY chunk_md5
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks,
+           CAST((1000 * SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS shared_milli
+    FROM c JOIN df USING (chunk_md5)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def chunk_dedup_stats_q(spark, sf_dir):
+    """Chunk-level cross-document duplication: how much of each doc's
+    RAG-chunk inventory (chunk_documents's md5 keys) appears in OTHER
+    documents too — the chunk-store dedup planning stat (shared chunks
+    are stored once, embedded once). Shape: the map-only chunker, one
+    chunk-keyed distinct-doc agg, one doc rollup; the md5 join key
+    bounds shuffle width at 32 bytes however long the chunks."""
+    from .functions.text import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    c = chunk_documents(docs).select("doc_id", "chunk_md5")
+    df = c.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        c.join(df, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared_chunks"),
+        )
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_chunks").cast("long"),
+            F.col("n_shared_chunks").cast("long"),
+            F.expr("(1000 * n_shared_chunks) DIV n_chunks")
+            .cast("long")
+            .alias("shared_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_lang_confusion",
+    """
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    pred AS (
+        SELECT lang,
+               CASE WHEN list_contains(toks, 'spark') OR list_contains(toks, 'query')
+                         OR list_contains(toks, 'vector') THEN 'tech'
+                    WHEN len(list_filter(toks, x -> x IN ('a', 'the'))) / len(toks) > 0.10
+                         THEN 'stop-heavy'
+                    ELSE 'plain' END AS lang_pred
+        FROM t
+    )
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+)
+def corpus_lang_confusion_q(spark, sf_dir):
+    """Label-vs-heuristic language confusion matrix: the eval table for
+    the lang_pred classifier against the corpus's lang column — where
+    the n-gram heuristic disagrees with ground truth is exactly where
+    a lang-ID model needs training data. ONE hash-agg after the
+    map-only prediction; output bounded by |langs| x |classes|."""
+    from .functions import text
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_pred().alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .select("lang", "lang_pred", F.col("n").cast("long"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "vocab_zipf_spectrum",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+    oct AS (
+        SELECT CAST(floor(log2(f)) AS BIGINT) AS octave, f FROM freq
+    )
+    SELECT octave,
+           CAST(POW(2, octave) AS BIGINT) AS freq_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(f) AS BIGINT) AS n_tokens
+    FROM oct GROUP BY octave
+    ORDER BY octave
+    """,
+)
+def vocab_zipf_spectrum_q(spark, sf_dir):
+    """Token frequency spectrum by power-of-two octave (the Zipf-curve
+    histogram tokenizer design reads: how many types occur [2^k, 2^k+1)
+    times, and how much token mass each band carries). Two vocabulary-
+    sized hash-aggs — the octave index is floor(log2(f)) on an INTEGER
+    count, exact in both engines (log2 of an exact power is exact IEEE;
+    floor cannot straddle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    return (
+        freq.select(F.floor(F.log2("f")).cast("long").alias("octave"), "f")
+        .groupBy("octave")
+        .agg(F.count("*").alias("n_types"), F.sum("f").alias("n_tokens"))
+        .select(
+            "octave",
+            F.pow(F.lit(2.0), F.col("octave")).cast("long").alias("freq_lo"),
+            F.col("n_types").cast("long"),
+            F.col("n_tokens").cast("long"),
+        )
+        .orderBy("octave")
+    )

@@ -254,3 +254,85 @@ class TestInt8Calibration:
         assert r["scale"] == 1000 and r["n"] == 2
         assert r["n_saturated"] == 1
         assert r["max_abs_err"] == 500 and int(r["sum_sq_err"]) == 250000
+
+
+class TestPersonalizedPagerank:
+    def test_seed_floor_and_mass(self, spark):
+        """Non-seed sinks only receive flowed mass; every seed holds at
+        least the restart floor (1-d)/|S|; total mass <= 1 (dangling
+        mass drops, same as the uniform variant)."""
+        from code_graph_backend_spark.graph.tpch import build_graph
+        from code_graph_backend_spark.operators.pagerank import (
+            personalized_pagerank,
+        )
+
+        g = build_graph(spark, "/root/testdata/sf0.001")
+        rows = personalized_pagerank(spark, g.nodes, g.edges).collect()
+        n_seed = g.nodes.filter("id % 101 = 0").count()
+        floor = round(0.15 / n_seed, 6)
+        seeds = {r["node"]: r["rank"] for r in rows if r["node"] % 101 == 0}
+        assert len(seeds) == n_seed
+        assert all(v >= floor - 1e-9 for v in seeds.values())
+        assert sum(r["rank"] for r in rows) <= 1.0 + 1e-6
+
+    def test_local_equals_distributed(self, spark):
+        import code_graph_backend_spark.operators.pagerank as pr
+        from code_graph_backend_spark.graph.tpch import build_graph
+
+        g = build_graph(spark, "/root/testdata/sf0.001")
+        loc = {
+            r["node"]: r["rank"]
+            for r in pr.personalized_pagerank(spark, g.nodes, g.edges).collect()
+        }
+        old = pr._LOCAL_NODE_ROWS
+        try:
+            pr._LOCAL_NODE_ROWS = 0
+            dist = {
+                r["node"]: r["rank"]
+                for r in pr.personalized_pagerank(spark, g.nodes, g.edges).collect()
+            }
+        finally:
+            pr._LOCAL_NODE_ROWS = old
+        assert loc.keys() == dist.keys()
+        assert all(abs(loc[k] - dist[k]) < 2e-6 for k in loc)
+
+
+class TestChunkDedupStats:
+    def test_identical_docs_fully_shared(self, spark):
+        from code_graph_backend_spark.registry import QUERIES
+        import tempfile, os
+
+        body = " ".join(f"w{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, body, "en", "a", len(body)),
+             (2, body, "en", "a", len(body)),
+             (3, "totally different words here", "en", "a", 28)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with tempfile.TemporaryDirectory() as td:
+            docs.write.parquet(os.path.join(td, "documents.parquet"))
+            rows = {r["doc_id"]: r for r in QUERIES["chunk_dedup_stats"](spark, td).collect()}
+        assert rows[1]["shared_milli"] == 1000 and rows[2]["shared_milli"] == 1000
+        assert rows[3]["n_shared_chunks"] == 0
+
+
+class TestLangConfusionAndZipf:
+    def test_confusion_marginals(self, spark):
+        from code_graph_backend_spark.registry import QUERIES
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = QUERIES["corpus_lang_confusion"](spark, "/root/testdata/sf0.001").collect()
+        assert sum(r["n"] for r in rows) == docs.count()
+
+    def test_zipf_bands(self, spark):
+        from code_graph_backend_spark.registry import QUERIES
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        total = docs.select(
+            F.sum(F.size(F.split("text", " "))).alias("n")
+        ).first()["n"]
+        rows = QUERIES["vocab_zipf_spectrum"](spark, "/root/testdata/sf0.001").collect()
+        assert sum(r["n_tokens"] for r in rows) == total
+        for r in rows:
+            assert r["freq_lo"] == 2 ** r["octave"]
