@@ -48,6 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration order (fresh round-3/4 rows).
 _PRIORITY = [
     # round-5 additions (never graded yet)
+    "chunk_documents", "token_ngram_novelty", "corpus_profile",
+    "emb_kcenter_select", "events_user_ewma", "graph_assortativity",
+    "emb_int8_calibration", "graph_ppr", "chunk_dedup_stats",
+    "corpus_lang_confusion", "vocab_zipf_spectrum",
     "ann_ivf_exact", "gopher_quality_gates", "corpus_mixture_plan",
     "bpe_fertility_by_lang", "text_bigram_logprob", "dedup_lsh_eval",
     "curation_pipeline_v3", "pack_boundary_stats", "dsir_importance_select",
