@@ -149,11 +149,13 @@ def tga_stored_pixel_bytes(payload: bytes) -> bytes:
 
 
 def image_stored_pixel_bytes(payload: bytes) -> bytes:
-    """Stored-pixel-region dispatch for the fingerprint hash: BMP by
+    """Stored-pixel-region dispatch for the fingerprint hash: BMP/PPM by
     magic, else TGA (which has no magic — the type/bpp bytes are
     validated by decode_tga before anything trusts this region)."""
     if (payload or b"")[:2] == b"BM":
         return bmp_stored_pixel_bytes(payload)
+    if (payload or b"")[:2] == b"P6":
+        return ppm_stored_pixel_bytes(payload)
     return tga_stored_pixel_bytes(payload)
 
 
@@ -345,3 +347,62 @@ def avi_stored_frame_bytes(payload: bytes, frame_idx: int) -> bytes:
     h = len(fb) // stride
     rows = np.frombuffer(fb, np.uint8, stride * h).reshape(h, stride)
     return rows[:, : w * 3].tobytes()
+
+
+# --------------------------------------------------------------------------
+# PPM (netpbm P6, binary 24bpp) — ASCII header + raw RGB; decoding needs a
+# real whitespace/comment tokenizer, unlike the fixed-offset BMP/TGA headers
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray, comment: str = "t") -> bytes:
+    """Binary P6 PPM from an (h, w, 3) uint8 RGB array. A comment line
+    sits between the magic and the dimensions so decoders exercise the
+    real netpbm tokenizer, not a fixed split."""
+    h, w, _ = pixels.shape
+    header = f"P6\n# {comment}\n{w} {h}\n255\n".encode("ascii")
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header: returns (width, height, maxval, data_offset).
+    Real netpbm tokenization — any run of whitespace separates tokens
+    and '#' comments run to end-of-line anywhere whitespace may occur."""
+    p = payload or b""
+    if p[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    i, toks = 2, []
+    while len(toks) < 3:
+        if i >= len(p):
+            raise ValueError("truncated PPM header")
+        c = p[i : i + 1]
+        if c == b"#":
+            while i < len(p) and p[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(p) and not p[j : j + 1].isspace() and p[j : j + 1] != b"#":
+                j += 1
+            toks.append(int(p[i:j]))
+            i = j
+    # exactly ONE whitespace byte separates maxval from the raster
+    return toks[0], toks[1], toks[2], i + 1
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode binary P6 → (width, height, (h, w, 3) uint8 RGB)."""
+    w, h, maxval, off = _ppm_header(payload)
+    if maxval != 255:
+        raise NotImplementedError("16-bit PPM rasters not supported")
+    need = w * h * 3
+    data = (payload or b"")[off : off + need]
+    if len(data) < need:
+        raise ValueError("truncated PPM raster")
+    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def ppm_stored_pixel_bytes(payload: bytes) -> bytes:
+    w, h, _, off = _ppm_header(payload)
+    return (payload or b"")[off : off + w * h * 3]

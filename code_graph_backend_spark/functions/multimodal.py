@@ -76,6 +76,10 @@ def decode_image(payload: bytes) -> tuple[int, int, "object"]:
         from .codecs import decode_bmp
 
         return decode_bmp(p)
+    if p[:2] == b"P6":
+        from .codecs import decode_ppm
+
+        return decode_ppm(p)
     if p[:8] == b"\x89PNG\r\n\x1a\n" or p[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
             "PNG/JPEG decode needs an image library not present in this "
@@ -256,6 +260,37 @@ def tga_media_from_text(docs: DataFrame, width: int = 4) -> DataFrame:
                     "media_id": ids,
                     "kind": "image",
                     "mime": "image/x-tga",
+                    "payload": payloads,
+                    "meta_json": None,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def ppm_media_from_text(docs: DataFrame, width: int = 4) -> DataFrame:
+    """Test-payload builder, netpbm edition: text bytes become the RGB
+    raster of a REAL binary P6 PPM whose header carries a comment line,
+    so decoding exercises the whitespace/comment tokenizer. The raster
+    is exactly a text prefix — every decoded feature stays
+    SQL-expressible (the TGA/BMP scheme)."""
+    row_bytes = width * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ids = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                h = len(data) // row_bytes
+                data = data[: h * row_bytes]
+                header = f"P6\n# t\n{width} {h}\n255\n".encode("ascii")
+                payloads.append(header + data)
+                ids.append(str(mid))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/x-portable-pixmap",
                     "payload": payloads,
                     "meta_json": None,
                 }

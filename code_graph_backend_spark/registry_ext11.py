@@ -533,3 +533,33 @@ def vocab_zipf_spectrum_q(spark, sf_dir):
         )
         .orderBy("octave")
     )
+
+
+@register(
+    "mm_ppm_features",
+    """
+    WITH b AS (
+        SELECT doc_id, text, CAST(length(text) // 12 AS INT) AS h FROM documents
+    ), s AS (
+        SELECT doc_id, CAST(SUM(ascii(substring(text, u.i, 1))) AS BIGINT) AS px_sum
+        FROM b, UNNEST(generate_series(1, h * 12)) u(i) GROUP BY doc_id
+    )
+    SELECT CAST(b.doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+           CAST(14 + length(CAST(h AS VARCHAR)) + 12 * h AS INT) AS n_bytes,
+           CAST(4 AS INT) AS width, h AS height,
+           s.px_sum, md5(substring(text, 1, 12 * h)) AS feature_hash
+    FROM b JOIN s ON b.doc_id = s.doc_id
+    """,
+)
+def mm_ppm_features_q(spark, sf_dir):
+    """REAL netpbm P6 decode (functions/codecs.py decode_ppm): fourth
+    uncompressed container beside BMP/TGA/WAV/AVI — and the first with
+    an ASCII header, so the decoder runs a real whitespace/comment
+    tokenizer rather than fixed offsets. Same synthesize-from-text
+    scheme; n_bytes checks the parsed variable-length header exactly
+    (14 fixed bytes + digits of the height). Map-only Arrow pass."""
+    from .functions import multimodal
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.ppm_media_from_text(docs)
+    return multimodal.extract_features(media, fake=False)

@@ -140,3 +140,69 @@ def stream_dedup_within_watermark(
     watermark passes, so state is O(active keys), not O(stream)."""
     keys = keys or ["user_id", "event_type"]
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_user_ewma(events: DataFrame, taps: int = 16) -> DataFrame:
+    """Streaming twin of the batch `events_user_ewma` operator
+    (registry_ext11): per-user fixed-point exponential-decay engagement,
+    emitted once per micro-batch with the decay re-anchored at the
+    user's newest event.
+
+    State is BOUNDED by construction: the running event count plus the
+    last `taps`-1 (ts, event_id, v_milli) triples — the only history a
+    16-tap kernel can ever touch — so an infinite stream holds O(taps)
+    per key, no watermark needed for the state bound. Arithmetic is the
+    batch op's exactly: v_milli = round(value*1000), weights 2^(15-j),
+    all-integer; the last emission per user equals the batch operator's
+    row when arrivals are (ts, event_id)-ordered across micro-batches
+    (the dedup_events contract; a tap that has already slid past the
+    kept horizon cannot be revived by a late event, which is the
+    documented approximation every bounded-state stream op makes)."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, ts, eid, vm = (
+            state.get if state.exists else (0, [], [], [])
+        )
+        rows = list(zip(ts, eid, vm))
+        for pdf in pdfs:
+            n += len(pdf)
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            rows.extend(
+                zip(ts_us, pdf["event_id"].tolist(),
+                    (pdf["value"] * 1000).round().astype("int64").tolist())
+            )
+        rows.sort()
+        rows = rows[-taps:]
+        ewma = sum(
+            v * (1 << (taps - 1 - j))
+            for j, (_, _, v) in enumerate(reversed(rows))
+        )
+        keep = rows[-(taps - 1):]
+        state.update((
+            n,
+            [r[0] for r in keep],
+            [r[1] for r in keep],
+            [r[2] for r in keep],
+        ))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_event_id": [rows[-1][1] if rows else None],
+                "ewma_fp": [ewma],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_events long, last_event_id long, ewma_fp long"
+        ),
+        stateStructType=(
+            "n long, ts array<long>, eid array<long>, vm array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -203,3 +203,36 @@ def test_avi_rejects_compressed_bpp():
     struct.pack_into("<H", b, strf_at + 8 + 14, 8)  # biBitCount = 8
     with pytest.raises(NotImplementedError):
         decode_avi(bytes(b))
+
+
+class TestPPM:
+    def test_roundtrip_and_tokenizer(self):
+        """P6 with comments and multi-space separators decodes exactly."""
+        import numpy as np
+
+        from code_graph_backend_spark.functions.codecs import (
+            decode_ppm, encode_ppm, ppm_stored_pixel_bytes,
+        )
+
+        px = (np.arange(60, dtype=np.int64) % 251).astype(np.uint8).reshape(5, 4, 3)
+        b = encode_ppm(px, comment="hello world")
+        w, h, out = decode_ppm(b)
+        assert (w, h) == (4, 5) and (out == px).all()
+        assert ppm_stored_pixel_bytes(b) == px.tobytes()
+
+        # hand-built header with comments in awkward places
+        raw = b"P6\n#c1\n 4\t5 #c2\n255\n" + px.tobytes()
+        w2, h2, out2 = decode_ppm(raw)
+        assert (w2, h2) == (4, 5) and (out2 == px).all()
+
+    def test_rejects_bad_inputs(self):
+        import pytest as _pytest
+
+        from code_graph_backend_spark.functions.codecs import decode_ppm
+
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P5\n1 1\n255\n\x00")  # not P6
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated raster
+        with _pytest.raises(NotImplementedError):
+            decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)  # 16-bit raster

@@ -511,3 +511,60 @@ def test_windowed_hll_registers_stream_parity(spark, tmp_path):
 
     per_window = Counter(r["w"]["start"] for r in stream_rows)
     assert max(per_window.values()) <= 256
+
+
+def test_stateful_user_ewma_parity(spark, tmp_path):
+    """Streaming 16-tap EWMA's last emission per user == the batch
+    events_user_ewma operator over the same history."""
+    import datetime as dt
+    import os
+
+    import code_graph_backend_spark.registry_ext11  # noqa: F401  (registers)
+    from code_graph_backend_spark.registry import QUERIES
+    from code_graph_backend_spark.streaming import stateful
+
+    rows = [
+        (T0 + dt.timedelta(minutes=m), uid, "e", float((m * 7 + uid) % 97))
+        for m in range(0, 120, 5)
+        for uid in (1, 2, 3)
+    ]
+    ev = _events(spark, rows)
+    # the batch op reads table files; give both sides the same parquet
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    ev.selectExpr(
+        "monotonically_increasing_id() AS event_id", "ts", "user_id",
+        "event_type", "value", "cast(null as string) AS props",
+    ).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    batch = {
+        r["user_id"]: (r["n_events"], r["last_event_id"], r["ewma_fp"])
+        for r in QUERIES["events_user_ewma"](spark, sf_dir).collect()
+    }
+
+    src_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # ordered file stream: one file per (ts-ordered) slice
+    src = str(tmp_path / "stream_src")
+    src_df.orderBy("ts", "event_id").coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful.streaming_user_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("user_ewma")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {}
+    for r in spark.sql(
+        "select * from user_ewma"
+    ).collect():
+        got[r["user_id"]] = (r["n_events"], r["last_event_id"], r["ewma_fp"])
+    assert got == batch
