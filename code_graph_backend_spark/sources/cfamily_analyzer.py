@@ -411,6 +411,25 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         methods.append((name, m.start(1), m.end() - 1, j, braces.get(j),
                         None, cleaned[m.end():close], owner, "ctor"))
 
+    # Java compact canonical constructors: inside a record body, `Name {`
+    # with no parameter list at all (tree-sitter's
+    # compact_constructor_declaration) — a constructor entity whose
+    # parameters are implicitly the record components, so no params rows.
+    if not is_cs:
+        for m in re.finditer(r"(?<![\w.$>\]~])([A-Za-z_]\w*)\s*\{", cleaned):
+            name = m.group(1)
+            if m.start(1) in seen_offsets or name in keywords:
+                continue
+            owner = enclosing_type(m.start(1))
+            if owner is None or owner[0] != "record" or name != owner[1]:
+                continue
+            if depth_at[m.start(1)] != body_depth(owner):
+                continue
+            body_open = m.end() - 1
+            methods.append((name, m.start(1), body_open, body_open,
+                            braces.get(body_open), None, "", owner, "ctor"))
+            seen_offsets.add(m.start(1))
+
     # ---- members of anonymous-class / enum-constant bodies ----------------
     # tree-sitter captures entity nodes at ANY depth (reference
     # source_analyzer.py:44-58 recurses through every descendant), so a

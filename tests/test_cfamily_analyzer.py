@@ -673,3 +673,30 @@ def test_generic_invocation_captured_comparison_not():
     calls = {r[9] for r in rows if r[0] == "call"}
     assert "FetchAll" in calls and "Run" in calls
     assert "a" not in calls  # `a < ... > (d)` is a comparison, not a call
+
+
+def test_java_compact_canonical_constructor():
+    """`public Point { ... }` inside a record is tree-sitter's
+    compact_constructor_declaration — a Constructor entity with NO params
+    rows (the record components are implicit), whose body calls are
+    captured. The same `Name {` shape outside a record (enum-constant
+    bodies, labeled blocks) must not produce a constructor."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "public record Point(int x, int y) {\n"
+        "    public Point {\n"
+        "        if (x < 0) validate(x);\n"
+        "    }\n"
+        "    public int sum() { return plus(x, y); }\n"
+        "}\n"
+        "enum Color { RED { void go() { tick(); } }; void go() {} }\n"
+    )
+    rows = parse_java_source("P.java", java)
+    ctors = [r for r in rows if r[0] == "entity" and r[1] == "Constructor"]
+    assert [(r[2], r[4], r[5]) for r in ctors] == [("Point", 1, 3)]
+    assert not any(r[0] == "params" and r[2] == "Point" for r in rows)
+    calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Point"}
+    assert calls == {"validate"}
+    # enum-constant body `RED {` stays a non-constructor
+    assert not any(r[0] == "entity" and r[2] == "RED" for r in rows)
