@@ -25,6 +25,7 @@ from code_graph_backend_spark import registry_ext8  # noqa: F401  (registers on 
 from code_graph_backend_spark import registry_ext9  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext10  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext11  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext12  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -60,6 +61,9 @@ _PRIORITY = [
     "quality_linear_score", "graph_random_walks", "walk_skipgram_pairs",
     "w_distinct_users_hll", "shard_manifest_incremental",
     "corpus_vocab_coverage", "graph_ffl_motifs", "mm_tga_features",
+    "mm_ppm_features",
+    "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
+    "emb_matryoshka_overlap", "corpus_source_overlap", "graph_ktruss",
     # round-4 red row, reworked (space-count tokens, ordered output)
     "token_budget_select",
     # implementation changed this round: gates/ranks now quantized

@@ -1,0 +1,115 @@
+"""Bounded k-truss peeling — the fourth graph-analytics kernel beside
+triangles (operators/triangles.py), k-core (operators/kcore.py) and the
+label/component family. A k-truss is the maximal subgraph where every
+edge participates in >= k-2 triangles; it is the standard
+community-core extractor one rung stronger than k-core (Cohen 2008,
+"Trusses: cohesive subgraphs for social network analysis").
+
+Scalable shape — support-then-peel, bounded rounds:
+
+1. enumerate triangles with the SAME degree-oriented wedge join as
+   triangle counting (skew-capped per Suri & Vassilvitskii WWW'11);
+2. attribute each triangle to its THREE edges (sorted-endpoint
+   normalization, one explode) and hash-agg per-edge support;
+3. drop edges with support < k-2; repeat on the survivor subgraph.
+
+Like wcc_bounded/label_propagation the round count is FIXED (not
+run-to-convergence): each round is one wedge join + one hash-agg, the
+edge list shrinks monotonically, and a fixed unroll is exactly
+expressible as a chained-CTE oracle — full convergence would be the
+same loop run until a round removes nothing. No reference analogue
+(FalkorDB exposes no truss decomposition; SURVEY.md §2's analytics
+surface stops at algo.pageRank/wcc), so this extends the analytics
+tier the way triangles/k-core already do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..scratch import scratch_persist
+from .triangles import undirected_edges
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(a, b, support) for every undirected edge (a < b) of `und` that
+    closes at least one triangle. Degree-oriented wedge join (the
+    triangle-count plan), then each triangle is normalized to sorted
+    endpoints and exploded into its three edges — one extra map-only
+    stage plus the support hash-agg on top of the counting plan."""
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+            )
+            .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    oriented = scratch_persist(oriented)
+    w1 = oriented.select("s", F.col("t").alias("t1"))
+    w2 = oriented.select("s", F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").filter(F.col("t1") < F.col("t2"))
+    closing = (
+        oriented.select(F.col("s").alias("c1"), F.col("t").alias("c2"))
+        .unionAll(oriented.select(F.col("t").alias("c1"), F.col("s").alias("c2")))
+        .distinct()
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("t1") == F.col("c1")) & (F.col("t2") == F.col("c2")),
+        "semi",
+    )
+    srt = F.array_sort(F.array("s", "t1", "t2"))
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(srt[0].alias("a"), srt[1].alias("b")),
+                F.struct(srt[0].alias("a"), srt[2].alias("b")),
+                F.struct(srt[1].alias("a"), srt[2].alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return tri_edges.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("support")
+    )
+
+
+def ktruss_edges(edges: DataFrame, k: int = 4, rounds: int = 2) -> DataFrame:
+    """Edges surviving `rounds` peels at truss level `k`, with their
+    final-round support: each round recomputes triangle support on the
+    current survivor subgraph and drops edges below k-2. Deterministic
+    output ordering (a, b) so the row stream is bit-stable."""
+    need = k - 2
+    cur = scratch_persist(undirected_edges(edges))
+    sup = None
+    for _ in range(rounds):
+        sup = _edge_support(cur)
+        cur = scratch_persist(
+            sup.filter(F.col("support") >= need).select("a", "b")
+        )
+        # support must be re-derived on the survivor subgraph: peeling an
+        # edge erases the triangles it closed, which can push its
+        # neighbors' surviving edges below the threshold next round
+        sup = sup.filter(F.col("support") >= need)
+    return (
+        sup.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("support").cast("long").alias("support"),
+        ).orderBy("a", "b")
+    )
