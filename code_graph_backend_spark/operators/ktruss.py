@@ -89,23 +89,65 @@ def _edge_support(und: DataFrame) -> DataFrame:
     )
 
 
-def ktruss_edges(edges: DataFrame, k: int = 4, rounds: int = 2) -> DataFrame:
+def _local_rounds(spark, surv, need: int, rounds_left: int):
+    """Driver-local twin of the remaining peel rounds: after round 1 the
+    survivor set is support-filtered TRIANGLE edges — a tiny fraction of
+    the graph (edges outside any triangle are already gone) — so the
+    remaining rounds run as set arithmetic on the driver instead of ~10
+    more scheduled stages per round. Exact same semantics as
+    `_edge_support` + filter (pinned local==distributed in pytest)."""
+    cur = {(r["a"], r["b"]) for r in surv}
+    sup: dict = {}
+    for _ in range(rounds_left):
+        adj: dict = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {}
+        for a, b in cur:
+            c = len(adj[a] & adj[b])
+            if c:
+                sup[(a, b)] = c
+        cur = {e for e, c in sup.items() if c >= need}
+    rows = sorted((a, b, c) for (a, b), c in sup.items() if c >= need)
+    return spark.createDataFrame(rows, "a long, b long, support long").orderBy(
+        "a", "b"
+    )
+
+
+# Survivor sets below this run the remaining rounds driver-local; above it
+# the distributed loop continues. Same measured-size duality as
+# operators/pagerank.py — the gate is on the OBSERVED round-1 survivor
+# count, not the input size.
+LOCAL_MAX_EDGES = 200_000
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    local_max: int = LOCAL_MAX_EDGES,
+) -> DataFrame:
     """Edges surviving `rounds` peels at truss level `k`, with their
     final-round support: each round recomputes triangle support on the
-    current survivor subgraph and drops edges below k-2. Deterministic
-    output ordering (a, b) so the row stream is bit-stable."""
+    current survivor subgraph and drops edges below k-2 (peeling an edge
+    erases the triangles it closed, which can push its neighbors below
+    the threshold next round — support must be re-derived, never reused).
+    Round 1 always runs the distributed wedge-join plan; if its survivor
+    count is measured small the remaining rounds finish driver-local.
+    Deterministic output ordering (a, b) so the row stream is
+    bit-stable."""
     need = k - 2
     cur = scratch_persist(undirected_edges(edges))
-    sup = None
-    for _ in range(rounds):
-        sup = _edge_support(cur)
-        cur = scratch_persist(
-            sup.filter(F.col("support") >= need).select("a", "b")
-        )
-        # support must be re-derived on the survivor subgraph: peeling an
-        # edge erases the triangles it closed, which can push its
-        # neighbors' surviving edges below the threshold next round
-        sup = sup.filter(F.col("support") >= need)
+    sup = scratch_persist(_edge_support(cur).filter(F.col("support") >= need))
+    if rounds > 1:
+        spark = edges.sparkSession
+        n = sup.count()
+        if n <= local_max:
+            return _local_rounds(spark, sup.collect(), need, rounds - 1)
+        for _ in range(rounds - 1):
+            cur = scratch_persist(sup.select("a", "b"))
+            sup = _edge_support(cur).filter(F.col("support") >= need)
     return (
         sup.select(
             F.col("a").cast("long").alias("a"),

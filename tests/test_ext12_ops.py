@@ -45,6 +45,20 @@ class TestKtruss:
         }
         assert out[(3, 4)] == 2
 
+    def test_local_matches_distributed(self, spark):
+        """The measured-size local fast path for rounds >= 2 must produce
+        exactly the distributed loop's rows (local_max=0 forces the
+        distributed path)."""
+        from code_graph_backend_spark.operators.ktruss import ktruss_edges
+
+        pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 5),
+                 (4, 5), (5, 6), (6, 7), (5, 7), (2, 6)]
+        edges = self._edges(spark, pairs)
+        loc = ktruss_edges(edges, k=4, rounds=3).collect()
+        dist = ktruss_edges(edges, k=4, rounds=3, local_max=0).collect()
+        key = lambda r: (r["a"], r["b"], r["support"])
+        assert sorted(map(key, loc)) == sorted(map(key, dist))
+
 
 class TestRetentionCohorts:
     def test_week_arithmetic(self, spark, tmp_path):
