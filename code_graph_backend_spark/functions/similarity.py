@@ -1212,6 +1212,122 @@ def kmeans_assign_exact_sql(k: int = 8, rounds: int = 2) -> str:
     return "\n".join(parts)
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    tau2_num: int = 81,
+    tau2_den: int = 100,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then prune near-duplicates ONLY within each cluster
+    — the trick that turns O(n²) semantic dedup into k independent
+    O((n/k)²) problems. Distinct machinery from
+    `cosine_near_dup_pairs` (which is the exact all-pairs block-GEMM):
+    here the cluster assignment IS the blocking key, so the pair budget
+    shrinks with k and the whole prune is one `applyInPandas` group per
+    cell — the paper's per-cluster GEMM, verbatim.
+
+    Every decision is integer so a DuckDB oracle replays it hash-exactly:
+    cells come from the verified `kmeans_assign_exact` state (quantized
+    dims q = round(x·1000), BIGINT distances, (cost, cell) ties); the
+    duplicate gate cos(i,j) ≥ τ is evaluated as
+    `g > 0 AND tau2_den·g² ≥ tau2_num·‖i‖²·‖j‖²` on the integer dot g of
+    the SAME quantized vectors, with τ² supplied as the exact rational
+    tau2_num/tau2_den (default 81/100, i.e. τ = 0.9; every product stays
+    ≤ ~2e18 for |x| ≤ 1.5, d ≤ 64 — inside BIGINT; larger dims/values
+    would move this to DECIMAL(38) like the sigma gate).
+    A vector is PRUNED when any lower-id vector in its cell clears the
+    gate (the paper keeps one representative per duplicate set; lowest
+    id is the deterministic stand-in for its "farthest from centroid").
+
+    Scale shape: assignment is the kmeans state's broadcast-centroid
+    join; the prune shuffles each vector ONCE (to its cell) and runs one
+    int64 GEMM per cell. k grows with n (paper: n/k ≈ 10-50k), keeping
+    each cell's matrix executor-resident. Returns
+    (vec_id, cell, n_dups_below, kept) ordered by vec_id."""
+    import numpy as np
+    import pandas as pd
+
+    _, asg, _ = _kmeans_exact_state(emb, id_col, vec_col, k, rounds)
+    qvec = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("qv"),
+    )
+    cells = qvec.join(
+        asg.select(F.col(id_col).cast("long").alias("vec_id"), "cell"), "vec_id"
+    )
+    t2n, t2d = tau2_num, tau2_den
+
+    def cell_kernel(key, pdf):
+        sub = pdf.sort_values("vec_id")
+        ids = sub["vec_id"].to_numpy()
+        Q = np.array(list(sub["qv"]), dtype=np.int64)
+        G = Q @ Q.T
+        nn = np.diag(G).copy()
+        gate = (G > 0) & (t2d * G * G >= t2n * np.outer(nn, nn))
+        below = np.triu(gate, k=1).sum(axis=0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": int(key[0]),
+                "n_dups_below": below,
+                "kept": (below == 0).astype(np.int64),
+            }
+        )
+
+    return (
+        cells.groupBy("cell")
+        .applyInPandas(
+            cell_kernel, "vec_id long, cell int, n_dups_below long, kept long"
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_prune_sql(
+    k: int = 8, rounds: int = 2, tau2_num: int = 81, tau2_den: int = 100
+) -> str:
+    """DuckDB twin of semdedup_prune: the kmeans_assign_exact_sql CTE
+    chain extended with the within-cell pair join, the dim-join integer
+    dot (sequential SUM — same value as the kernel's int64 GEMM, exact
+    integer arithmetic has no summation-order channel), and the identical
+    integer τ gate."""
+    base = kmeans_assign_exact_sql(k=k, rounds=rounds)
+    body = base[: base.rindex("SELECT vec_id,")]
+    a = f"a{rounds}"
+    t2n, t2d = tau2_num, tau2_den
+    return f"""{body}, pairs AS (
+        SELECT ai.vec_id AS i, aj.vec_id AS j
+        FROM {a} ai JOIN {a} aj ON ai.cell = aj.cell AND ai.vec_id < aj.vec_id
+    ),
+    dots AS (
+        SELECT p.i, p.j, SUM(di.q * dj.q) AS g
+        FROM pairs p
+        JOIN d di ON di.vec_id = p.i
+        JOIN d dj ON dj.vec_id = p.j AND dj.dim = di.dim
+        GROUP BY 1, 2
+    ),
+    norms AS (SELECT vec_id, SUM(q * q) AS nn FROM d GROUP BY 1),
+    dup AS (
+        SELECT dots.i, dots.j
+        FROM dots
+        JOIN norms ni ON ni.vec_id = dots.i
+        JOIN norms nj ON nj.vec_id = dots.j
+        WHERE dots.g > 0 AND {t2d} * dots.g * dots.g >= {t2n} * ni.nn * nj.nn
+    ),
+    below AS (SELECT j, COUNT(*) AS c FROM dup GROUP BY 1)
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           CAST(COALESCE(b.c, 0) AS BIGINT) AS n_dups_below,
+           CAST(CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM {a} a LEFT JOIN below b ON b.j = a.vec_id
+    ORDER BY a.vec_id"""
+
+
 def hard_negatives(
     anchors: DataFrame,
     corpus: DataFrame,

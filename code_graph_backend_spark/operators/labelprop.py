@@ -192,3 +192,75 @@ def wcc_bounded_sql(sql_nodes: str, sql_edges: str, rounds: int = 4) -> str:
         )""")
     parts.append(f"SELECT node, comp FROM c{rounds}")
     return "\n".join(parts)
+
+
+def modularity_by_label(
+    labels: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Newman modularity of a labeling, per community, in EXACT integer
+    arithmetic: Q = Σ_c [ m_c/m − (d_c/2m)² ] over the simple undirected
+    graph. Floats would make the score engine-dependent, so each
+    community row carries the integer NUMERATOR of its contribution on
+    the common denominator 4m²:  q_num = 4·m_c·m − d_c²  (so
+    Q = Σ q_num / (4m²)). Every term is BIGINT-safe up to ~1.5e9 edges
+    (4m² ≤ 9e18); past that the same expression moves to DECIMAL(38)
+    like the sigma gate.
+
+    Inputs: labels (node, label) — any community assignment (here the
+    verified 2-round LPA); edges (src, dst, …) — canonicalized inside to
+    DISTINCT (least, greatest) with self-loops dropped.
+
+    Scale shape: one distinct on the canonical edge pair, one count for
+    the scalar m (a driver-side 1-value action, same as the block
+    counter in cosine_near_dup_pairs), a degree hash-agg, and two
+    label-map joins (node-count-sized — broadcast under the session
+    threshold) + per-label aggs. No all-pairs anywhere; community count
+    bounds the output."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    from ..scratch import scratch_persist
+
+    e = scratch_persist(e)
+    m = e.count()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    m_in = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").alias("m_in"))
+    )
+    ds = (
+        labels.join(deg, labels["node"] == deg["v"], "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("deg_sum"),
+        )
+    )
+    return (
+        ds.join(m_in, "label", "left")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_nodes",
+            F.coalesce(F.col("m_in"), F.lit(0)).cast("long").alias("m_in"),
+            "deg_sum",
+            (
+                F.lit(4) * F.coalesce(F.col("m_in"), F.lit(0)) * F.lit(int(m))
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).cast("long").alias("q_num"),
+        )
+        .orderBy("label")
+    )

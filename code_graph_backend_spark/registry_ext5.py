@@ -410,11 +410,29 @@ def graph_label_propagation_q(spark, sf_dir):
     one max_by reduction, localCheckpoint lineage cuts — and an exactly
     unrolled SQL oracle (fixed rounds + deterministic ties make community
     detection hash-checkable)."""
-    from .graph.tpch import build_graph
-    from .operators.labelprop import label_propagation
+    return lpa_labels(spark, sf_dir)
 
-    g = build_graph(spark, sf_dir)
-    return label_propagation(spark, g.nodes, g.edges, iters=2)
+
+# Session-scoped LPA-labels memo (the walk-corpus/BPE precedent):
+# graph_label_propagation and graph_modularity share one checkpointed
+# label table per (session, sf_dir) — the 2 propagation rounds run once;
+# modularity only pays its edge joins. Safe to cache: the final labels
+# are localCheckpoint-backed (operators/labelprop.py), not lineage-tied
+# to scratch persists.
+_LPA_MEMO: dict = {}
+
+
+def lpa_labels(spark, sf_dir):
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _LPA_MEMO:
+        from .graph.tpch import build_graph
+        from .operators.labelprop import label_propagation
+
+        g = build_graph(spark, sf_dir)
+        _LPA_MEMO[key] = label_propagation(spark, g.nodes, g.edges, iters=2)
+        while len(_LPA_MEMO) > 4:
+            _LPA_MEMO.pop(next(iter(_LPA_MEMO)))
+    return _LPA_MEMO[key]
 
 
 @register(

@@ -400,3 +400,38 @@ def test_containment_no_nested_loop(spark, qs):
     plan = _plan(qs["dedup_containment"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_groups_by_cell_no_pair_scan(spark, qs):
+    """SemDeDup's whole point: the O(n²) mass lives inside the per-cell
+    Arrow kernel (FlatMapGroupsInPandas keyed on cell) — never a pair
+    join or cartesian scan in the Catalyst plan."""
+    plan = _plan(qs["dedup_semdedup"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_modularity_equi_joins_only(spark, qs):
+    """Label-map joins and degree aggs are all equi-joins — a nested
+    loop would mean the community filter degenerated."""
+    plan = _plan(qs["graph_modularity"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_fuzzy_er_blocks_on_token_and_broadcasts_support(spark, qs):
+    """Candidates come from the token equi-join (never an all-pairs
+    name scan); the dictionary support joins broadcast."""
+    plan = _plan(qs["er_fuzzy_name_pairs"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_kn_model_join_broadcasts(spark, qs):
+    """The KN model join onto the bigram stream must be a broadcast
+    hash join; only the 1-row bigram-type-count scalar may ride the
+    nested-loop path (the established scalar-crossJoin idiom)."""
+    plan = _plan(qs["text_kn_bigram_logprob"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
