@@ -27,6 +27,7 @@ from code_graph_backend_spark import registry_ext10  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext11  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext12  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext13  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext14  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -66,7 +67,8 @@ _PRIORITY = [
     "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
     "emb_matryoshka_overlap", "corpus_source_overlap", "graph_ktruss",
     "dedup_semdedup", "graph_modularity", "er_fuzzy_name_pairs",
-    "text_kn_bigram_logprob",
+    "text_kn_bigram_logprob", "graph_stress_centrality",
+    "events_trigram_patterns", "text_rake_keywords",
     # round-4 red row, reworked (space-count tokens, ordered output)
     "token_budget_select",
     # implementation changed this round: gates/ranks now quantized

@@ -1,0 +1,182 @@
+"""Landmark stress centrality — shortest-path COUNTING through each
+vertex, the integer-exact member of the betweenness family (stress
+centrality, Shimbel 1953; betweenness replaces the count with a ratio).
+
+Why this shape: exact betweenness needs Brandes' dependency accumulation,
+whose δ values are sums of rationals — float summation order then differs
+between engines, which is exactly the hash-parity channel this repo
+refuses. Path COUNTS are integers: σ_s(v)·σ_t(v) is the number of
+s→t geodesics through v whenever d_s(v) + d_t(v) = d(s,t), so a
+landmark-pair-restricted stress score is bit-reproducible while keeping
+the estimator structure of sampled betweenness (Brandes/Pich 2007 pivot
+sampling — landmarks ARE the pivots).
+
+Algorithm (all bounded, all deterministic):
+- landmarks = the L highest-DEGREE nodes, ties by smallest id (the
+  Potamias et al. 2009 landmark heuristic — high-degree pivots sit in
+  the dense core, so landmark pairs actually connect within the hop
+  bound; integer degree + id tie-break keeps the set engine-exact);
+- one level-synchronous BFS over the SYMMETRIZED simple graph for ALL
+  landmarks at once, keyed (landmark, node), `hops` rounds; each round
+  is one frontier join + one σ-summing hash-agg + one anti-join against
+  the settled set (frontier stays (L·new-nodes)-sized — multi-source
+  batching costs the same shuffle count as one source);
+- stress(v) = Σ over landmark pairs (s<t, reached within `hops`) of
+  σ_s(v)·σ_t(v) · [d_s(v)+d_t(v) = d(s,t)], v ∉ {s,t}.
+
+σ products are BIGINT-safe while per-landmark geodesic counts stay
+< ~3e9 (far above anything a hop-bounded BFS on a real graph yields);
+a pathological lattice would move the product to DECIMAL(38) like the
+sigma gate. localCheckpoint per round cuts the iterative lineage
+(pagerank.py rationale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def landmark_stress(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    hops: int = 3,
+    landmark_by: str = "degree",
+) -> DataFrame:
+    """(node, stress) over the undirected simple graph, stress summed
+    over all landmark pairs whose distance is within `hops`; only nodes
+    with stress > 0 are emitted, ordered by node. landmark_by="degree"
+    (default, the Potamias heuristic) or "id" (smallest ids — the
+    hand-computable convention the unit tests pin)."""
+    from ..scratch import scratch_persist
+    from .components import _parts_for
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = scratch_persist(
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    if landmark_by == "degree":
+        lms = (
+            sym.groupBy(F.col("a").alias("l"))
+            .agg(F.count("*").alias("_d"))
+            .orderBy(F.col("_d").desc(), "l")
+            .limit(n_landmarks)
+            .select("l")
+        )
+    else:
+        lms = nodes.select(F.col("id").alias("l")).orderBy("l").limit(n_landmarks)
+    settled = lms.select(
+        "l", F.col("l").alias("node"),
+        F.lit(0).cast("long").alias("dist"), F.lit(1).cast("long").alias("sig"),
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for t in range(1, hops + 1):
+        cand = (
+            sym.join(frontier.withColumnRenamed("node", "a"), "a")
+            .groupBy("l", F.col("b").alias("node"))
+            .agg(F.sum("sig").alias("sig"))
+        )
+        new = (
+            cand.join(settled.select("l", "node"), ["l", "node"], "left_anti")
+            .select("l", "node", F.lit(t).cast("long").alias("dist"), "sig")
+        )
+        new = new.repartition(_parts_for(settled.count()), "l", "node")
+        new = new.localCheckpoint(eager=True)
+        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    # landmark-pair distances (and their geodesic counts are not needed:
+    # only d(s,t) gates the middle condition)
+    lpair = (
+        settled.join(lms.withColumnRenamed("l", "node"), "node")
+        .select(F.col("l").alias("ls"), F.col("node").alias("lt"), F.col("dist").alias("dst"))
+        .filter(F.col("ls") < F.col("lt"))
+    )
+    s_side = settled.select(
+        F.col("l").alias("ls"), "node",
+        F.col("dist").alias("d1"), F.col("sig").alias("sig1"),
+    )
+    t_side = settled.select(
+        F.col("l").alias("lt"), "node",
+        F.col("dist").alias("d2"), F.col("sig").alias("sig2"),
+    )
+    return (
+        F.broadcast(lpair)
+        .join(s_side, "ls")
+        .join(t_side, ["lt", "node"])
+        .filter(
+            (F.col("d1") + F.col("d2") == F.col("dst"))
+            & (F.col("node") != F.col("ls"))
+            & (F.col("node") != F.col("lt"))
+        )
+        .groupBy("node")
+        .agg(F.sum(F.col("sig1") * F.col("sig2")).cast("long").alias("stress"))
+        .orderBy("node")
+    )
+
+
+def landmark_stress_sql(
+    sql_nodes: str,
+    sql_edges: str,
+    n_landmarks: int = 8,
+    hops: int = 3,
+    landmark_by: str = "degree",
+) -> str:
+    """Unrolled-rounds DuckDB twin: identical landmark set, identical
+    level-synchronous σ accumulation (settled/new per round via
+    NOT EXISTS), identical pair gate and integer products."""
+    if landmark_by == "degree":
+        lms_sql = (
+            "SELECT a AS l FROM sym GROUP BY a "
+            f"ORDER BY COUNT(*) DESC, a LIMIT {n_landmarks}"
+        )
+    else:
+        lms_sql = f"SELECT id AS l FROM nodes ORDER BY id LIMIT {n_landmarks}"
+    parts = [
+        f"WITH nodes AS ({sql_nodes}), edges AS ({sql_edges}),",
+        f"""und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ),
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        lms AS ({lms_sql}),
+        s0 AS (
+            SELECT l, l AS node, CAST(0 AS BIGINT) AS dist,
+                   CAST(1 AS BIGINT) AS sig
+            FROM lms
+        ),
+        f0 AS (SELECT * FROM s0)""",
+    ]
+    for t in range(1, hops + 1):
+        parts.append(f""",
+        c{t} AS (
+            SELECT f.l, sym.b AS node, SUM(f.sig) AS sig
+            FROM sym JOIN f{t-1} f ON sym.a = f.node GROUP BY 1, 2
+        ),
+        f{t} AS (
+            SELECT c.l, c.node, CAST({t} AS BIGINT) AS dist, c.sig
+            FROM c{t} c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM s{t-1} s WHERE s.l = c.l AND s.node = c.node
+            )
+        ),
+        s{t} AS (SELECT * FROM s{t-1} UNION ALL SELECT * FROM f{t})""")
+    parts.append(f""",
+    lpair AS (
+        SELECT s.l AS ls, s.node AS lt, s.dist AS dst
+        FROM s{hops} s JOIN lms ON lms.l = s.node
+        WHERE s.l < s.node
+    )
+    SELECT a.node, CAST(SUM(a.sig * b.sig) AS BIGINT) AS stress
+    FROM lpair p
+    JOIN s{hops} a ON a.l = p.ls
+    JOIN s{hops} b ON b.l = p.lt AND b.node = a.node
+    WHERE a.dist + b.dist = p.dst AND a.node <> p.ls AND a.node <> p.lt
+    GROUP BY a.node
+    ORDER BY a.node""")
+    return "\n".join(parts)

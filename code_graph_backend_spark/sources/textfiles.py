@@ -107,3 +107,26 @@ def stream_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     schema is mandatory on streams (no inference pass exists)."""
     raw = spark.readStream.schema(DOCUMENTS_SCHEMA).json(path)
     return _normalize(raw, default_source="jsonl")
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC → documents frame, through the SAME `_normalize` as every
+    other reader. ORC is the other columnar format corpora actually land
+    in (Hive-era warehouses export it); Spark's reader is built-in and
+    gives the same split/pushdown/pruning behavior as parquet — the scan
+    stays predicate-prunable and column-pruned, so downstream operators
+    see no difference. Explicit schema (no inference pass); absent
+    columns coalesce to derived/default values per _normalize."""
+    raw = spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
+    return _normalize(raw, default_source="orc")
+
+
+def write_documents_orc(df: DataFrame, path: str, partition_by: str | None = None):
+    """Documents → ORC sink (the export half of the ORC round-trip).
+    `partition_by` (e.g. "lang") lays the files out hive-partitioned so a
+    reader filtering on that column prunes whole directories — the same
+    partition-pruning contract the parquet warehouse uses."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
