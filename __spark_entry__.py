@@ -28,6 +28,7 @@ from code_graph_backend_spark import registry_ext11  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext12  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext13  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext14  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext15  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -69,6 +70,7 @@ _PRIORITY = [
     "dedup_semdedup", "graph_modularity", "er_fuzzy_name_pairs",
     "text_kn_bigram_logprob", "graph_stress_centrality",
     "events_trigram_patterns", "text_rake_keywords",
+    "events_outliers_mad", "quality_calibration_bins",
     # round-4 red row, reworked (space-count tokens, ordered output)
     "token_budget_select",
     # implementation changed this round: gates/ranks now quantized

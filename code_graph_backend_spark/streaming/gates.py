@@ -66,3 +66,63 @@ def sigma_outlier_gate(quantized: DataFrame, stats: DataFrame, k: int = 3) -> Da
             F.round(F.col("x") / 1000.0, 3).alias("value"),
         )
     )
+
+
+def event_mad_stats(quantized: DataFrame) -> DataFrame:
+    """Per-type (med2, mad4): the ROBUST location/scale twin of
+    event_sigma_stats — median and median-absolute-deviation instead of
+    mean/stddev, so a single extreme value cannot drag the boundary the
+    way it drags μ and σ (the standard robust-outlier objection to the
+    3-sigma gate).
+
+    Exactness: both engines interpolate percentile(0.5) linearly, so on
+    integer inputs every median is a HALF-integer — exact in double.
+    Doubling before the cast back to BIGINT loses nothing: med2 = 2·med
+    of x, mad4 = 2·median of dev2 where dev2 = |2·x − med2| (itself
+    integer, already in 2x units). Two hash-aggs (the MAD needs the
+    median first — inherently two passes, so unlike the sigma gate this
+    is a batch-side stats builder; the GATE below is still stateless and
+    stream-composable against these stats)."""
+    med2 = (
+        quantized.groupBy("event_type")
+        .agg((F.percentile(F.col("x"), F.lit(0.5)) * 2).cast("long").alias("med2"))
+    )
+    dev = quantized.join(F.broadcast(med2), "event_type").select(
+        "event_type",
+        F.abs(F.lit(2) * F.col("x") - F.col("med2")).alias("dev2"),
+        "med2",
+    )
+    return (
+        dev.groupBy("event_type", "med2")
+        .agg((F.percentile(F.col("dev2"), F.lit(0.5)) * 2).cast("long").alias("mad4"))
+        .select("event_type", "med2", "mad4")
+    )
+
+
+def mad_outlier_gate(
+    quantized: DataFrame, stats: DataFrame, k: int = 3
+) -> DataFrame:
+    """Rows with |x − med| > k·1.4826·MAD (1.4826 ≈ the normal-
+    consistency constant) under an EXACT integer boundary: with
+    dev2 = |2x − med2| (2x units) and mad4 (4x units), the gate
+    |x−med| > k·(14826/10000)·MAD becomes
+
+        40000·dev2 > k·14826·mad4
+
+    — pure BIGINT products (bounded by 4·10⁴·|2x|, far inside int64 for
+    milli-quantized values). Stateless: broadcast stats join + filter,
+    so it composes onto a stream exactly like sigma_outlier_gate."""
+    return (
+        quantized.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "dev2", F.abs(F.lit(2) * F.col("x") - F.col("med2"))
+        )
+        .filter(
+            F.lit(40000) * F.col("dev2") > F.lit(k * 14826) * F.col("mad4")
+        )
+        .select(
+            "event_id", "event_type",
+            F.round(F.col("x") / 1000.0, 3).alias("value"),
+            "dev2",
+        )
+    )
