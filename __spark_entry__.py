@@ -71,6 +71,7 @@ _PRIORITY = [
     "text_kn_bigram_logprob", "graph_stress_centrality",
     "events_trigram_patterns", "text_rake_keywords",
     "events_outliers_mad", "quality_calibration_bins",
+    "events_changepoint", "graph_edge_embeddedness",
     # round-4 red row, reworked (space-count tokens, ordered output)
     "token_budget_select",
     # implementation changed this round: gates/ranks now quantized

@@ -1,4 +1,4 @@
-"""Round-5h extension queries:
+"""Round-5h/5i extension queries:
 
 - events_outliers_mad: robust median/MAD outlier gate — the
   breakdown-resistant twin of events_outliers' mean/sigma gate (one
@@ -136,4 +136,179 @@ def quality_calibration_bins_q(spark, sf_dir):
         .select(F.col("bin").cast("long").alias("bin"), "n", "n_pass",
                 "min_logit", "max_logit")
         .orderBy("bin")
+    )
+
+
+@register(
+    "events_changepoint",
+    """
+    WITH q AS (
+        SELECT event_id, ts, event_type,
+               CAST(round(value * 1000) AS BIGINT) AS x
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER w AS k,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS s
+        FROM q
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    t AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS tot
+        FROM q GROUP BY 1
+    ),
+    cu AS (
+        SELECT c.event_type, c.k,
+               CAST(t.n AS HUGEINT) * c.s - CAST(c.k AS HUGEINT) * t.tot
+                   AS cval,
+               t.n
+        FROM c JOIN t USING (event_type)
+    ),
+    mx AS (
+        SELECT event_type, MAX(abs(cval)) AS m FROM cu GROUP BY 1
+    ),
+    flt AS (
+        SELECT cu.* FROM cu JOIN mx USING (event_type)
+        WHERE abs(cu.cval) = mx.m
+    ),
+    pick AS (SELECT event_type, MIN(k) AS k FROM flt GROUP BY 1)
+    SELECT f.event_type, CAST(f.k AS BIGINT) AS k_at_max,
+           CAST(f.cval AS BIGINT) AS cusum_at_max, f.n
+    FROM flt f JOIN pick p ON p.event_type = f.event_type AND p.k = f.k
+    ORDER BY f.event_type
+    """,
+)
+def events_changepoint_q(spark, sf_dir):
+    """Single-changepoint location per event type by exact integer
+    CUSUM: the classic mean-shift statistic C_k = Σ_{i≤k}x_i − k·μ,
+    scaled by n to stay rational-free — C'_k = n·S_k − k·T (S_k the
+    ordered prefix sum, T the type total) — and the reported point is
+    argmax |C'_k| with smallest-k ties. Every value is integer; the
+    accumulator runs in DECIMAL(38)/HUGEINT (n·S_k crosses int64 around
+    10⁶ events of |value|≈10³ — the sigma-gate overflow lesson applied
+    up front) with the argmax location and the statistic cast back to
+    BIGINT for output. Shape: one per-type ordered window (the only
+    corpus-sized shuffle), a type-cardinality stats agg broadcast back,
+    then max/min-k reductions — the two-stage portable argmax (packed
+    composite arg_max keys are not cross-engine, labelprop.py
+    rationale)."""
+    from pyspark.sql import Window as W
+
+    from .streaming.gates import quantize_events
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("x"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    c = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("k"),
+        F.sum("x").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("s"),
+    )
+    t = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    d38 = "decimal(38,0)"
+    cu = c.join(F.broadcast(t), "event_type").select(
+        "event_type", "k", "n",
+        (
+            F.col("n").cast(d38) * F.col("s").cast(d38)
+            - F.col("k").cast(d38) * F.col("tot").cast(d38)
+        ).alias("cval"),
+    )
+    from .scratch import scratch_persist
+
+    cu = scratch_persist(cu)
+    mx = cu.groupBy("event_type").agg(F.max(F.abs(F.col("cval"))).alias("m"))
+    flt = cu.join(F.broadcast(mx), "event_type").filter(
+        F.abs(F.col("cval")) == F.col("m")
+    )
+    flt = scratch_persist(flt)
+    pick = flt.groupBy("event_type").agg(F.min("k").alias("k"))
+    return (
+        flt.join(F.broadcast(pick), ["event_type", "k"])
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("k_at_max"),
+            F.col("cval").cast("long").alias("cusum_at_max"),
+            F.col("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "graph_edge_embeddedness",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (
+        SELECT a.pk AS a, b.pk AS b
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    com AS (
+        SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM und e
+        JOIN sym s1 ON s1.a = e.a
+        JOIN sym s2 ON s2.a = e.b AND s2.b = s1.b
+        GROUP BY 1, 2
+    )
+    SELECT e.a, e.b, CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           da.d AS deg_a, db.d AS deg_b
+    FROM und e
+    LEFT JOIN com c ON c.a = e.a AND c.b = e.b
+    JOIN deg da ON da.v = e.a
+    JOIN deg db ON db.v = e.b
+    ORDER BY e.a, e.b
+    """,
+)
+def graph_edge_embeddedness_q(spark, sf_dir):
+    """Edge embeddedness (common-neighbor count per edge) over the
+    support-pruned co-occurrence graph — the Easley–Kleinberg tie-
+    strength profile whose zero rows are exactly Granovetter's LOCAL
+    BRIDGES (edges whose endpoints share no neighbor, i.e. span > 2):
+    the links that connect otherwise-separate co-purchase communities.
+    Shape: one wedge equi-join per edge side (the triangle kernel's
+    join pattern, skew-bounded by the support prune), a degree hash-agg
+    broadcast back, no cartesian anywhere. Integer counts only."""
+    from .registry_ext5 import _cooc_edges
+    from .operators.triangles import undirected_edges
+    from .scratch import scratch_persist
+
+    und = scratch_persist(undirected_edges(_cooc_edges(spark, sf_dir)))
+    sym = scratch_persist(
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    s1 = sym.select(F.col("a"), F.col("b").alias("w"))
+    s2 = sym.select(F.col("a").alias("b"), F.col("b").alias("w"))
+    com = (
+        und.join(s1, "a")
+        .join(s2, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("deg_b"))
+    return (
+        und.join(com, ["a", "b"], "left")
+        .select(
+            "a", "b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        )
+        .join(da, "a")
+        .join(db, "b")
+        .select("a", "b", "n_common", "deg_a", "deg_b")
+        .orderBy("a", "b")
     )

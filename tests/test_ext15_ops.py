@@ -112,3 +112,65 @@ class TestCalibrationBins:
             ).fetchall()
         )
         assert got == want
+
+
+class TestChangepoint:
+    def test_step_function_found_at_step(self, spark):
+        """Values 0,0,0,0,10,10,10,10: the CUSUM |n·S_k − k·T| peaks at
+        k=4 (the last pre-shift point): C'_4 = 8·0 − 4·40000 = −160000."""
+        from code_graph_backend_spark.registry import QUERIES
+
+        vals = [("A", 0.0)] * 4 + [("A", 10.0)] * 4
+        ev = _events_df(spark, vals)
+        with tempfile.TemporaryDirectory() as td:
+            ev.write.parquet(os.path.join(td, "events.parquet"))
+            (row,) = QUERIES["events_changepoint"](spark, td).collect()
+        assert row["k_at_max"] == 4
+        assert row["cusum_at_max"] == -160000
+        assert row["n"] == 8
+
+    def test_tie_takes_smallest_k(self, spark):
+        """Symmetric 0,10 pattern ties |C'| at several k — the smallest
+        wins (deterministic argmax)."""
+        from code_graph_backend_spark.registry import QUERIES
+
+        vals = [("A", 0.0), ("A", 10.0), ("A", 0.0), ("A", 10.0)]
+        ev = _events_df(spark, vals)
+        with tempfile.TemporaryDirectory() as td:
+            ev.write.parquet(os.path.join(td, "events.parquet"))
+            (row,) = QUERIES["events_changepoint"](spark, td).collect()
+        # S = 0,10000,10000,20000; T=20000; C' = 4S-k*20000 =
+        # -20000, 0, -20000, 0 → max |C'| = 20000 at k ∈ {1, 3} → 1
+        assert row["k_at_max"] == 1
+        assert row["cusum_at_max"] == -20000
+
+
+class TestEdgeEmbeddedness:
+    def test_triangle_plus_bridge(self, spark):
+        """Triangle 1-2-3 plus bridge 3-9: triangle edges have exactly
+        one common neighbor; the bridge has none (a local bridge)."""
+        from code_graph_backend_spark.operators.triangles import (
+            undirected_edges,
+        )
+        from pyspark.sql import functions as F
+
+        # replicate the registered plan body on a hand graph
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 9)], "src long, dst long"
+        )
+        und = undirected_edges(edges)
+        sym = und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        s1 = sym.select(F.col("a"), F.col("b").alias("w"))
+        s2 = sym.select(F.col("a").alias("b"), F.col("b").alias("w"))
+        com = (
+            und.join(s1, "a").join(s2, ["b", "w"])
+            .groupBy("a", "b").agg(F.count("*").alias("n_common"))
+        )
+        out = {
+            (r["a"], r["b"]): r["n_common"]
+            for r in und.join(com, ["a", "b"], "left")
+            .fillna(0, subset=["n_common"]).collect()
+        }
+        assert out == {(1, 2): 1, (2, 3): 1, (1, 3): 1, (3, 9): 0}
