@@ -43,14 +43,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Grading-order rotation (the driver caps correctness rows per round,
-# ~50): NEVER-GRADED queries go first (a query with no row at all is
-# worse than a one-round-old row), then the round-4 red row
-# (token_budget_select — reworked this round, must re-grade), then the
-# queries whose IMPLEMENTATION changed this round (the cosine-quantized
-# family: their old green rows predate the change), then the entries
-# whose freshest official row is round 2; the remainder keeps
-# registration order (fresh round-3/4 rows).
+# ~50): the round-4 RED row goes first — it is the one wrong answer on
+# record and re-grading it green outranks everything (VERDICT r4 top
+# item); then the queries whose IMPLEMENTATION changed this round (the
+# cosine-quantized family: their old green rows predate the change);
+# then NEVER-GRADED queries in registration order (a query with no row
+# at all is worse than a one-round-old row — the newest wave entries at
+# the block's tail may spill past the cap into next round's refresh,
+# which is the right sacrifice); then the entries whose freshest
+# official row is round 2; the remainder keeps registration order
+# (fresh round-3/4 rows).
 _PRIORITY = [
+    # round-4 red row, reworked this round (space-count tokens, ordered
+    # output, explicit BIGINT casts) — MUST re-grade
+    "token_budget_select",
+    # implementation changed this round: gates/ranks now quantized
+    "dedup_semantic_clusters", "emb_hard_negatives",
+    "dedup_embedding_cosine", "ann_cosine_topk",
     # round-5 additions (never graded yet)
     "chunk_documents", "token_ngram_novelty", "corpus_profile",
     "emb_kcenter_select", "events_user_ewma", "graph_assortativity",
@@ -72,11 +81,6 @@ _PRIORITY = [
     "events_trigram_patterns", "text_rake_keywords",
     "events_outliers_mad", "quality_calibration_bins",
     "events_changepoint", "graph_edge_embeddedness",
-    # round-4 red row, reworked (space-count tokens, ordered output)
-    "token_budget_select",
-    # implementation changed this round: gates/ranks now quantized
-    "dedup_semantic_clusters", "emb_hard_negatives",
-    "dedup_embedding_cosine", "ann_cosine_topk",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
