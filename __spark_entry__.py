@@ -29,6 +29,7 @@ from code_graph_backend_spark import registry_ext12  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext13  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext14  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext15  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext16  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -81,6 +82,7 @@ _PRIORITY = [
     "events_trigram_patterns", "text_rake_keywords",
     "events_outliers_mad", "quality_calibration_bins",
     "events_changepoint", "graph_edge_embeddedness",
+    "corpus_cross_entropy_shift", "emb_norm_outliers", "source_template_overlap",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
