@@ -1,0 +1,249 @@
+"""Round-5k extension queries:
+
+- events_stickiness: the DAU/WAU/MAU engagement table (per epoch-day
+  distinct actives over 1/7/28-day trailing windows, stickiness =
+  DAU/MAU in integer milli) — the product-analytics headline metric;
+- events_rfm: recency/frequency/monetary user segmentation — per-user
+  integer metrics NTILE(5)-binned on deterministic total orders, the
+  classic marketing/behavioral cohorting operator;
+- emb_centroid_drift: per-label centroid displacement between two
+  deterministic shard halves (vec_id parity) in exact kmeans-update
+  arithmetic — the train/serve skew probe for an embedding store (a
+  healthy label's halves agree; ingestion drift or a bad batch shows
+  up as squared-distance displacement).
+
+Same discipline: integer decisions (epoch-day arithmetic, floor-divide
+centroids, milli quantization), a DuckDB oracle per entry, BIGINT
+output casts, deterministic final ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .session import read_table
+
+
+@register(
+    "events_stickiness",
+    """
+    WITH du AS (
+        SELECT DISTINCT
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+    wau AS (
+        SELECT dd.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM days dd JOIN du ON du.d BETWEEN dd.d - 6 AND dd.d
+        GROUP BY 1
+    ),
+    mau AS (
+        SELECT dd.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+        FROM days dd JOIN du ON du.d BETWEEN dd.d - 27 AND dd.d
+        GROUP BY 1
+    )
+    SELECT CAST(dau.d AS BIGINT) AS day, dau.dau, wau.wau, mau.mau,
+           CAST((1000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_milli
+    FROM dau JOIN wau USING (d) JOIN mau USING (d)
+    ORDER BY day
+    """,
+)
+def events_stickiness_q(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness per epoch-day (integer datediff from a
+    fixed origin — the retention-cohorts idiom, no engine week/date
+    semantics to diverge). Shape: ONE distinct (day, user) pass over
+    the corpus — the only corpus-sized shuffle — then the 1/7/28-day
+    trailing windows are a range join of the TINY day dimension
+    (broadcast, |days| rows) against the day-user table with distinct
+    counts; at 100 TB the day-user table is the pre-aggregated visitor
+    log every analytics store materializes anyway. Stickiness is one
+    integer floor-divide."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.expr(
+            "datediff(to_date(ts), to_date('2024-01-01'))"
+        ).alias("d"),
+        "user_id",
+    )
+    du = ev.distinct()
+    from .scratch import scratch_persist
+
+    du = scratch_persist(du)
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+
+    def trailing(width, out):
+        anchor = days.select(F.col("d").alias(f"_a_{out}"))
+        a = F.col(f"_a_{out}")
+        return (
+            F.broadcast(anchor)
+            .join(du, (F.col("d") >= a - (width - 1)) & (F.col("d") <= a))
+            .groupBy(f"_a_{out}")
+            .agg(F.countDistinct("user_id").cast("long").alias(out))
+        )
+
+    wau, mau = trailing(7, "wau"), trailing(28, "mau")
+    return (
+        dau.join(wau, dau["d"] == F.col("_a_wau"))
+        .join(mau, dau["d"] == F.col("_a_mau"))
+        .select(
+            dau["d"].cast("long").alias("day"), "dau", "wau", "mau",
+            F.expr("(1000 * dau) div mau").cast("long").alias("stickiness_milli"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_rfm",
+    """
+    WITH base AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(round(value * 1000) AS BIGINT) AS v
+        FROM events
+    ),
+    mx AS (SELECT MAX(d) AS last_day FROM base),
+    u AS (
+        SELECT user_id,
+               CAST(mx.last_day - MAX(d) AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(v) AS BIGINT) AS monetary_milli
+        FROM base CROSS JOIN mx
+        GROUP BY user_id, mx.last_day
+    )
+    SELECT user_id, recency_days, frequency, monetary_milli,
+           CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id)
+                AS BIGINT) AS r_bin,
+           CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id)
+                AS BIGINT) AS f_bin,
+           CAST(NTILE(5) OVER (ORDER BY monetary_milli ASC, user_id)
+                AS BIGINT) AS m_bin
+    FROM u
+    ORDER BY user_id
+    """,
+)
+def events_rfm_q(spark, sf_dir):
+    """RFM segmentation: per-user recency (days since last activity,
+    integer epoch-day), frequency (event count), monetary (milli-
+    quantized value sum), each NTILE(5)-binned on a deterministic
+    (metric, user_id) total order so both engines cut identical
+    quintiles — bin 5 is always the BEST cohort (most recent / most
+    frequent / highest value). Shape: one per-user hash-agg, a 1-row
+    broadcast for the corpus horizon, three user-cardinality windows.
+    At open-web scale the windows swap for percentile boundaries
+    exactly like quality_calibration_bins' note."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("datediff(to_date(ts), to_date('2024-01-01'))").alias("d"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    mx = ev.agg(F.max("d").alias("last_day"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "last_day")
+        .agg(
+            (F.col("last_day") - F.max("d")).cast("long").alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("v").cast("long").alias("monetary_milli"),
+        )
+        .select("user_id", F.col("recency_days").cast("long"), "frequency",
+                "monetary_milli")
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), "user_id")
+    wf = Window.orderBy(F.col("frequency").asc(), "user_id")
+    wm = Window.orderBy(F.col("monetary_milli").asc(), "user_id")
+    return (
+        u.select(
+            "user_id", "recency_days", "frequency", "monetary_milli",
+            F.ntile(5).over(wr).cast("long").alias("r_bin"),
+            F.ntile(5).over(wf).cast("long").alias("f_bin"),
+            F.ntile(5).over(wm).cast("long").alias("m_bin"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "emb_centroid_drift",
+    """
+    WITH d AS (
+        SELECT vec_id, label, vec_id % 2 AS shard,
+               CAST(u.dim AS BIGINT) AS dim,
+               CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000)
+                    AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(dim)
+    ),
+    c AS (
+        SELECT label, shard, dim,
+               CAST(floor(SUM(q) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+        FROM d GROUP BY 1, 2, 3
+    ),
+    n AS (
+        SELECT label, shard, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+        FROM d GROUP BY 1, 2
+    )
+    SELECT c0.label,
+           CAST(SUM((c0.cq - c1.cq) * (c0.cq - c1.cq)) AS BIGINT)
+               AS drift2_q,
+           ANY_VALUE(n0.n) AS n_even, ANY_VALUE(n1.n) AS n_odd
+    FROM c c0
+    JOIN c c1 ON c1.label = c0.label AND c1.dim = c0.dim AND c1.shard = 1
+    JOIN n n0 ON n0.label = c0.label AND n0.shard = 0
+    JOIN n n1 ON n1.label = c0.label AND n1.shard = 1
+    WHERE c0.shard = 0
+    GROUP BY c0.label
+    ORDER BY c0.label
+    """,
+)
+def emb_centroid_drift_q(spark, sf_dir):
+    """Per-label centroid displacement between the two vec_id-parity
+    halves of the embedding store, in EXACT kmeans-update arithmetic
+    (quantized dims, floor-divide centroids — kmeans_assign_exact's
+    domain): drift2_q is the integer squared L2 between the halves'
+    centroids. The train/serve-skew probe: a healthy label's halves
+    agree to quantization noise; a corrupted ingest batch or an
+    upstream model swap shows up as a displaced half. Shape: one
+    (label, shard, dim) hash-agg over the exploded dims, then a
+    label·dim-sized self-join — centroid-table arithmetic only, the
+    corpus is touched once."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", "label",
+        (F.col("vec_id") % 2).alias("shard"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id", "label", "shard",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("q"),
+    )
+    from .scratch import scratch_persist
+
+    d = scratch_persist(d)
+    c = d.groupBy("label", "shard", "dim").agg(
+        F.floor(F.sum("q") / F.count("*").cast("double")).cast("long").alias("cq")
+    )
+    n = d.groupBy("label", "shard").agg(
+        F.countDistinct("vec_id").cast("long").alias("n")
+    )
+    c0 = c.filter(F.col("shard") == 0).select("label", "dim", F.col("cq").alias("cq0"))
+    c1 = c.filter(F.col("shard") == 1).select("label", "dim", F.col("cq").alias("cq1"))
+    n0 = n.filter(F.col("shard") == 0).select("label", F.col("n").alias("n_even"))
+    n1 = n.filter(F.col("shard") == 1).select("label", F.col("n").alias("n_odd"))
+    return (
+        c0.join(c1, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("cq0") - F.col("cq1")) * (F.col("cq0") - F.col("cq1"))
+            ).cast("long").alias("drift2_q")
+        )
+        .join(F.broadcast(n0), "label")
+        .join(F.broadcast(n1), "label")
+        .select(F.col("label").cast("int").alias("label"), "drift2_q",
+                "n_even", "n_odd")
+        .orderBy("label")
+    )

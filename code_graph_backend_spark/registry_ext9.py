@@ -273,8 +273,15 @@ def dedup_lsh_eval_q(spark, sf_dir):
             F.col("doc_id"), F.explode(dedup.shingles("text", 3)).alias("s")
         )
     )
-    cand = dedup.minhash_lsh_candidates_exact(docs, k=16, bands=4, shingles_df=sh)
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8, shingles_df=sh).select("i", "j")
+    # cand feeds BOTH the tp join and its own count (truth likewise) —
+    # without the persists Catalyst re-runs the 16-seed minhash agg and
+    # the shingle self-join once per consumer (measured ~1.5x the query)
+    cand = scratch_persist(
+        dedup.minhash_lsh_candidates_exact(docs, k=16, bands=4, shingles_df=sh)
+    )
+    truth = scratch_persist(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8, shingles_df=sh).select("i", "j")
+    )
     tp = cand.join(truth, ["i", "j"]).agg(F.count("*").alias("n_tp"))
     nc = cand.agg(F.count("*").alias("n_candidates"))
     ntr = truth.agg(F.count("*").alias("n_truth"))
