@@ -30,6 +30,8 @@ from code_graph_backend_spark import registry_ext13  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext14  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext15  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext16  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext17  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext18  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -83,6 +85,8 @@ _PRIORITY = [
     "events_outliers_mad", "quality_calibration_bins",
     "events_changepoint", "graph_edge_embeddedness",
     "corpus_cross_entropy_shift", "emb_norm_outliers", "source_template_overlap",
+    "events_stickiness", "events_rfm", "emb_centroid_drift",
+    "graph_mst_boruvka", "events_autocorrelation", "corpus_simpson_diversity",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",

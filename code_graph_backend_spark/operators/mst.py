@@ -1,0 +1,197 @@
+"""Bounded Borůvka minimum-spanning-forest over the graph twin.
+
+Borůvka is THE distributed MST algorithm (each component picks its
+lightest outgoing edge, components contract, repeat — O(log n) rounds),
+and its per-round shape maps 1:1 onto DataFrame ops: two hash joins to
+label edge endpoints with their component, one min-agg per component,
+then pointer-jumping over the COMPONENT-cardinality pointer table (which
+shrinks geometrically). The corpus-sized work per round is exactly the
+two endpoint-labeling joins; everything else operates on tables that
+are component-sized, so at 100 TB the round cost is two shuffles over
+the edge list and noise-sized contraction work.
+
+Determinism contract (what makes this hash-checkable against DuckDB):
+- edge weights are a pure integer function of the canonical endpoint
+  pair: w = (u*7919 + v*104729) % 999983 (BIGINT-safe to ids ~9e13);
+- minima are taken under the strict total order (w, u, v), so the
+  selection is unique and the component-pointer graph can only contain
+  mutual 2-cycles (classic Borůvka property under totally ordered
+  weights), which are broken toward the smaller component label;
+- contraction does a FIXED number of pointer-jump doublings per round
+  (`jumps`); both engines run the identical bounded recurrence, so the
+  operator is well-defined even before full convergence — same
+  bounded-semantics contract as wcc_bounded / sssp_bounded.
+
+Reference parity: the reference has no MST (FalkorDB's algo.* exposes
+BFS/pagerank/wcc); this extends the analytics kernel family the same
+way hits/kcore/ktruss did, with the same unrolled-CTE oracle
+discipline (operators/labelprop.py:173).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..scratch import scratch_persist
+from .components import _parts_for
+
+_W_A, _W_B, _W_MOD = 7919, 104729, 999983
+
+
+def boruvka_msf(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    jumps: int = 4,
+) -> DataFrame:
+    """(round, u, v, w) of every MSF edge selected in `rounds` Borůvka
+    rounds, ordered by (round, w, u, v)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # weighted edge list feeds the endpoint-labeling joins every round
+    we = scratch_persist(
+        und.select(
+            "u", "v",
+            ((F.col("u") * _W_A + F.col("v") * _W_B) % _W_MOD).alias("w"),
+        )
+    )
+    comp = nodes.select(F.col("id").alias("node"), F.col("id").alias("comp"))
+    n_nodes = comp.count()
+    picked = []
+    for t in range(1, rounds + 1):
+        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        ej = we.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
+        ext = ej.select(
+            F.col("cu").alias("c"), F.col("cv").alias("oc"), "w", "u", "v"
+        ).unionByName(
+            ej.select(F.col("cv").alias("c"), F.col("cu").alias("oc"), "w", "u", "v")
+        )
+        # unique lightest outgoing edge per component under (w, u, v)
+        sel = scratch_persist(
+            ext.withColumn(
+                "rn", F.row_number().over(Window.partitionBy("c").orderBy("w", "u", "v"))
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        picked.append(
+            sel.select(F.lit(t).cast("long").alias("round"), "u", "v", "w").distinct()
+        )
+        # component-cardinality pointer table: p(c) = other end of c's pick
+        p = (
+            comp.select("comp").distinct()
+            .join(sel.select(F.col("c").alias("comp"), "oc"), "comp", "left")
+            .select(
+                F.col("comp").alias("c"),
+                F.coalesce("oc", F.col("comp")).alias("p"),
+            )
+        )
+        # mutual 2-cycles (the only cycles under a total edge order) break
+        # toward the smaller label, which becomes a self-rooted star center
+        pp = p.select(F.col("c").alias("_c2"), F.col("p").alias("_p2"))
+        p = (
+            p.join(pp, p["p"] == pp["_c2"])
+            .select(
+                "c",
+                F.when(F.col("_p2") == F.col("c"), F.least("c", "p"))
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+        )
+        for _ in range(jumps):
+            nxt = p.select(F.col("c").alias("_c2"), F.col("p").alias("_p2"))
+            p = p.join(nxt, p["p"] == nxt["_c2"]).select("c", F.col("_p2").alias("p"))
+        # relabel: node-cardinality map joins the (shrinking) pointer table
+        comp = (
+            comp.join(p.withColumnRenamed("c", "comp"), "comp")
+            .select("node", F.col("p").alias("comp"))
+            .repartition(_parts_for(n_nodes), "node")
+            .localCheckpoint(eager=True)
+        )
+    out = picked[0]
+    for m in picked[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "round",
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("w").cast("long").alias("w"),
+    ).orderBy("round", "w", "u", "v")
+
+
+def boruvka_msf_sql(
+    sql_nodes: str, sql_edges: str, rounds: int = 3, jumps: int = 4
+) -> str:
+    """Unrolled-rounds DuckDB twin of boruvka_msf.
+
+    Every multiply-referenced CTE is `AS MATERIALIZED`: DuckDB inlines
+    plain CTEs per reference, and the pointer-doubling chain references
+    its predecessor twice per step — without materialization the
+    expansion (and the parquet re-scans under it) grows 2^jumps per
+    round and the query dies on open-file exhaustion before it ever
+    mis-computes."""
+    parts = [
+        f"WITH nodes AS ({sql_nodes}), edges AS ({sql_edges}),",
+        f"""we AS MATERIALIZED (
+            SELECT u, v, (u * {_W_A} + v * {_W_B}) % {_W_MOD} AS w FROM (
+                SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                FROM edges WHERE src <> dst
+            )
+        ),
+        c0 AS MATERIALIZED (SELECT id AS node, id AS comp FROM nodes)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+        ej{t} AS MATERIALIZED (
+            SELECT cu.comp AS cu, cv.comp AS cv, we.w, we.u, we.v
+            FROM we
+            JOIN c{t-1} cu ON cu.node = we.u
+            JOIN c{t-1} cv ON cv.node = we.v
+            WHERE cu.comp <> cv.comp
+        ),
+        sel{t} AS MATERIALIZED (
+            SELECT c, oc, w, u, v FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY c ORDER BY w, u, v
+                ) AS rn FROM (
+                    SELECT cu AS c, cv AS oc, w, u, v FROM ej{t}
+                    UNION ALL
+                    SELECT cv AS c, cu AS oc, w, u, v FROM ej{t}
+                )
+            ) WHERE rn = 1
+        ),
+        msf{t} AS (SELECT DISTINCT {t} AS round, u, v, w FROM sel{t}),
+        pr{t} AS MATERIALIZED (
+            SELECT cc.comp AS c, COALESCE(s.oc, cc.comp) AS p
+            FROM (SELECT DISTINCT comp FROM c{t-1}) cc
+            LEFT JOIN sel{t} s ON s.c = cc.comp
+        ),
+        p{t}j0 AS MATERIALIZED (
+            SELECT x.c, CASE WHEN y.p = x.c THEN LEAST(x.c, x.p) ELSE x.p END AS p
+            FROM pr{t} x JOIN pr{t} y ON y.c = x.p
+        )""")
+        for j in range(1, jumps + 1):
+            parts.append(f""",
+        p{t}j{j} AS MATERIALIZED (
+            SELECT a.c, b.p FROM p{t}j{j-1} a JOIN p{t}j{j-1} b ON b.c = a.p
+        )""")
+        parts.append(f""",
+        c{t} AS MATERIALIZED (
+            SELECT c.node, p.p AS comp
+            FROM c{t-1} c JOIN p{t}j{jumps} p ON p.c = c.comp
+        )""")
+    union = "\nUNION ALL ".join(f"SELECT * FROM msf{t}" for t in range(1, rounds + 1))
+    parts.append(f"""
+        SELECT CAST(round AS BIGINT) AS round, CAST(u AS BIGINT) AS u,
+               CAST(v AS BIGINT) AS v, CAST(w AS BIGINT) AS w
+        FROM ({union})
+        ORDER BY round, w, u, v""")
+    return "\n".join(parts)
