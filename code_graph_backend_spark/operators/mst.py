@@ -30,13 +30,17 @@ discipline (operators/labelprop.py:173).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..scratch import scratch_persist
 from .components import _parts_for
 
 _W_A, _W_B, _W_MOD = 7919, 104729, 999983
+# below this many components the pointer contraction runs driver-local
+# (identical bounded semantics, one collect + one broadcast instead of
+# six serial shuffles); above it, the distributed chain at measured width
+_LOCAL_CONTRACT_CAP = 5_000_000
 
 
 def boruvka_msf(
@@ -47,7 +51,16 @@ def boruvka_msf(
     jumps: int = 4,
 ) -> DataFrame:
     """(round, u, v, w) of every MSF edge selected in `rounds` Borůvka
-    rounds, ordered by (round, w, u, v)."""
+    rounds, ordered by (round, w, u, v).
+
+    Cost gates (all measured-size, mirroring _propagation_setup):
+    round 1 skips the endpoint-labeling joins entirely (comp is the
+    identity, so ext IS the symmetric edge list); the per-component
+    minimum is one hash-agg min(struct) (no sort window); the pointer
+    table runs its 2-cycle break + jump doublings at a width sized from
+    its OWN row count; the node-sized relabel join broadcasts the
+    pointer map while it fits; the final round skips relabeling (its
+    comp map has no consumer)."""
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -62,60 +75,134 @@ def boruvka_msf(
             ((F.col("u") * _W_A + F.col("v") * _W_B) % _W_MOD).alias("w"),
         )
     )
-    comp = nodes.select(F.col("id").alias("node"), F.col("id").alias("comp"))
-    n_nodes = comp.count()
+    n_nodes = nodes.count()
+    n_edges = we.count()
+    parts = _parts_for(n_nodes)
+    ext_parts = _parts_for(2 * n_edges)
+    bcast = n_nodes <= 2_000_000
+    comp = None  # None = identity mapping (round 1 fast path)
+    local_comps = None  # driver-side component set while the local path runs
+    domain_df = None  # distributed component set otherwise
     picked = []
     for t in range(1, rounds + 1):
-        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
-        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
-        ej = we.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
+        if comp is None:
+            ej = we.select(F.col("u").alias("cu"), F.col("v").alias("cv"), "w", "u", "v")
+        else:
+            cm = F.broadcast(comp) if bcast else comp
+            cu = cm.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+            cv = cm.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+            ej = we.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
         ext = ej.select(
             F.col("cu").alias("c"), F.col("cv").alias("oc"), "w", "u", "v"
         ).unionByName(
             ej.select(F.col("cv").alias("c"), F.col("cu").alias("oc"), "w", "u", "v")
         )
-        # unique lightest outgoing edge per component under (w, u, v)
+        # unique lightest outgoing edge per component: hash-agg under the
+        # strict (w, u, v) total order ((u, v) is unique per c-group, so
+        # the struct-min is the row row_number-over-(w,u,v) would pick);
+        # the pre-repartition pins the shuffle to a width measured from
+        # the edge list, and the groupBy reuses that partitioning
         sel = scratch_persist(
-            ext.withColumn(
-                "rn", F.row_number().over(Window.partitionBy("c").orderBy("w", "u", "v"))
-            )
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            ext.repartition(ext_parts, "c")
+            .groupBy("c")
+            .agg(F.min(F.struct("w", "u", "v", "oc")).alias("m"))
+            .select("c", F.col("m.w").alias("w"), F.col("m.u").alias("u"),
+                    F.col("m.v").alias("v"), F.col("m.oc").alias("oc"))
         )
         picked.append(
             sel.select(F.lit(t).cast("long").alias("round"), "u", "v", "w").distinct()
         )
-        # component-cardinality pointer table: p(c) = other end of c's pick
-        p = (
-            comp.select("comp").distinct()
-            .join(sel.select(F.col("c").alias("comp"), "oc"), "comp", "left")
-            .select(
-                F.col("comp").alias("c"),
-                F.coalesce("oc", F.col("comp")).alias("p"),
+        if t == rounds:
+            break
+        if comp is None:
+            n_comps = n_nodes
+        elif local_comps is not None:
+            n_comps = len(local_comps)
+        else:
+            n_comps = domain_df.count()
+        if n_comps <= _LOCAL_CONTRACT_CAP:
+            # measured-size local path (pagerank's duality): the pointer
+            # table is component-cardinality, so once it fits on the
+            # driver the 2-cycle break + jump doublings are a dict walk
+            # with IDENTICAL bounded semantics — 6 serial shuffles become
+            # one collect + one broadcast; between local rounds the
+            # component set itself lives on the driver (zero extra jobs)
+            if local_comps is not None:
+                seed = local_comps
+            elif comp is None:
+                seed = [i for (i,) in nodes.select("id").collect()]
+            else:
+                seed = [c for (c,) in domain_df.collect()]
+            pnt = {c: c for c in seed}
+            for r in sel.select("c", "oc").collect():
+                pnt[r["c"]] = r["oc"]
+            pnt = {
+                c: (min(c, q) if pnt[q] == c else q) for c, q in pnt.items()
+            }
+            for _ in range(jumps):
+                pnt = {c: pnt[q] for c, q in pnt.items()}
+            pmap = spark.createDataFrame(
+                list(pnt.items()), "comp long, p long"
             )
-        )
-        # mutual 2-cycles (the only cycles under a total edge order) break
-        # toward the smaller label, which becomes a self-rooted star center
-        pp = p.select(F.col("c").alias("_c2"), F.col("p").alias("_p2"))
-        p = (
-            p.join(pp, p["p"] == pp["_c2"])
-            .select(
-                "c",
-                F.when(F.col("_p2") == F.col("c"), F.least("c", "p"))
-                .otherwise(F.col("p"))
-                .alias("p"),
+            local_comps, domain_df = sorted(set(pnt.values())), None
+        else:
+            # distributed pointer chain, every stage at a measured width
+            if comp is None:
+                domain = nodes.select(F.col("id").alias("comp"))
+            elif local_comps is not None:
+                domain = spark.createDataFrame(
+                    [(c,) for c in local_comps], "comp long"
+                )
+            else:
+                domain = domain_df
+            p_parts = _parts_for(n_comps)
+            p = (
+                domain
+                .join(sel.select(F.col("c").alias("comp"), "oc"), "comp", "left")
+                .select(
+                    F.col("comp").alias("c"),
+                    F.coalesce("oc", F.col("comp")).alias("p"),
+                )
+                .repartition(p_parts, "c")
             )
-        )
-        for _ in range(jumps):
-            nxt = p.select(F.col("c").alias("_c2"), F.col("p").alias("_p2"))
-            p = p.join(nxt, p["p"] == nxt["_c2"]).select("c", F.col("_p2").alias("p"))
-        # relabel: node-cardinality map joins the (shrinking) pointer table
-        comp = (
-            comp.join(p.withColumnRenamed("c", "comp"), "comp")
-            .select("node", F.col("p").alias("comp"))
-            .repartition(_parts_for(n_nodes), "node")
-            .localCheckpoint(eager=True)
-        )
+            # mutual 2-cycles (the only cycles under a total edge order)
+            # break toward the smaller label (a self-rooted star center)
+            pp = p.select(F.col("c").alias("_c2"), F.col("p").alias("_p2"))
+            p = (
+                p.join(pp, p["p"] == pp["_c2"])
+                .select(
+                    "c",
+                    F.when(F.col("_p2") == F.col("c"), F.least("c", "p"))
+                    .otherwise(F.col("p"))
+                    .alias("p"),
+                )
+                .repartition(p_parts, "c")
+            )
+            for _ in range(jumps):
+                nxt = p.select(F.col("c").alias("_c2"), F.col("p").alias("_p2"))
+                p = (
+                    p.join(nxt, p["p"] == nxt["_c2"])
+                    .select("c", F.col("_p2").alias("p"))
+                    .repartition(p_parts, "c")
+                )
+            pmap = p.withColumnRenamed("c", "comp")
+            local_comps = None
+            domain_df = (
+                pmap.select(F.col("p").alias("comp"))
+                .distinct()
+                .repartition(p_parts, "comp")
+                .localCheckpoint(eager=True)
+            )
+        # relabel: node-cardinality map joins the (shrinking) pointer map;
+        # after round 1 the identity base means comp(v) IS pmap(v) — no join
+        if comp is None:
+            comp = pmap.select(F.col("comp").alias("node"), F.col("p").alias("comp"))
+        else:
+            comp = (
+                comp.join(F.broadcast(pmap) if bcast else pmap, "comp")
+                .select("node", F.col("p").alias("comp"))
+            )
+        comp = comp.repartition(parts, "node").localCheckpoint(eager=True)
     out = picked[0]
     for m in picked[1:]:
         out = out.unionByName(m)
