@@ -37,9 +37,15 @@ from pyspark.sql import functions as F
 
 from ..scratch import scratch_persist
 from .components import _parts_for
+from .undirected import und_cached
 
 _LCG_A, _LCG_B, _LCG_M = 1103515245, 12345, 2147483647
 _KEY_W = 100_000_000
+# measured-size duality (the pagerank/mst discipline): below these the
+# whole bounded recurrence runs driver-local on collected adjacency —
+# identical semantics, one collect instead of ~8 jobs per round
+_LOCAL_N_CAP = 2_000_000
+_LOCAL_E_CAP = 5_000_000
 
 
 def _key(col, t: int):
@@ -51,6 +57,7 @@ def luby_mis(
     nodes: DataFrame,
     edges: DataFrame,
     rounds: int = 3,
+    local_caps: tuple[int, int] = (_LOCAL_N_CAP, _LOCAL_E_CAP),
 ) -> DataFrame:
     """(round, node) for every node selected into the MIS within
     `rounds` Luby rounds, ordered by node (each node appears once).
@@ -60,16 +67,15 @@ def luby_mis(
     winner test, and two anti/semi joins for the contraction — every
     stage repartitioned at a width measured from its own (shrinking)
     input, the boruvka_msf discipline."""
-    und = scratch_persist(
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+    und = und_cached(spark, edges).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
     )
     active_n = nodes.select(F.col("id").alias("v"))
-    active_e = und
     n_live = active_n.count()
+    n_edges = und.count()
+    if n_live <= local_caps[0] and n_edges <= local_caps[1]:
+        return _luby_local(spark, nodes, und, rounds)
+    active_e = und
     picked = []
     for t in range(1, rounds + 1):
         w = _parts_for(n_live)
@@ -114,6 +120,63 @@ def luby_mis(
     return out.select(
         "round", F.col("v").cast("long").alias("node")
     ).orderBy("node")
+
+
+def _luby_local(
+    spark: SparkSession, nodes: DataFrame, und: DataFrame, rounds: int
+) -> DataFrame:
+    """Vectorized driver-local twin of the distributed rounds (the
+    measured-size duality): one Arrow collect of the undirected edge
+    list, then each round is numpy mask/sort arithmetic on the
+    IDENTICAL bounded recurrence — bit-equal output, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = und.select("a", "b").toPandas()
+    ids = np.unique(
+        np.concatenate(
+            [
+                pdf["a"].to_numpy(np.int64),
+                pdf["b"].to_numpy(np.int64),
+                nodes.select("id").toPandas()["id"].to_numpy(np.int64),
+            ]
+        )
+    )
+    ai = np.searchsorted(ids, pdf["a"].to_numpy(np.int64))
+    bi = np.searchsorted(ids, pdf["b"].to_numpy(np.int64))
+    n = len(ids)
+    active = np.ones(n, dtype=bool)
+    e_live = np.ones(len(ai), dtype=bool)
+    out_rounds = np.zeros(n, dtype=np.int64)  # 0 = never selected
+    for t in range(1, rounds + 1):
+        keys = ((ids * _LCG_A + t * _LCG_B) % _LCG_M) * _KEY_W + ids
+        # neighbor-min over the live symmetric edges (pandas hash agg)
+        vsym = np.concatenate([ai[e_live], bi[e_live]])
+        usym = np.concatenate([bi[e_live], ai[e_live]])
+        nbrmin = np.full(n, np.iinfo(np.int64).max)
+        if len(vsym):
+            gm = pd.Series(keys[usym]).groupby(vsym).min()
+            nbrmin[gm.index.to_numpy()] = gm.to_numpy()
+        sel = active & (keys < nbrmin)
+        out_rounds[sel] = t
+        if t == rounds:
+            break
+        # winners and their neighborhoods leave the graph
+        removed = sel.copy()
+        if len(vsym):
+            hit = sel[usym]
+            removed[vsym[hit]] = True
+        active &= ~removed
+        if not active.any():
+            break
+        e_live &= active[ai] & active[bi]
+    chosen = out_rounds > 0
+    res = pd.DataFrame(
+        {"round": out_rounds[chosen], "node": ids[chosen]}, dtype="int64"
+    ).sort_values("node")
+    if not len(res):
+        return spark.createDataFrame([], "round long, node long")
+    return spark.createDataFrame(res)
 
 
 def luby_mis_sql(sql_nodes: str, sql_edges: str, rounds: int = 3) -> str:

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..scratch import scratch_persist
 from .components import _parts_for
+from .undirected import und_cached
 
 _W_A, _W_B, _W_MOD = 7919, 104729, 999983
 # below this many components the pointer contraction runs driver-local
@@ -49,6 +50,7 @@ def boruvka_msf(
     edges: DataFrame,
     rounds: int = 3,
     jumps: int = 4,
+    local_caps: tuple[int, int] = (2_000_000, 5_000_000),
 ) -> DataFrame:
     """(round, u, v, w) of every MSF edge selected in `rounds` Borůvka
     rounds, ordered by (round, w, u, v).
@@ -61,22 +63,17 @@ def boruvka_msf(
     its OWN row count; the node-sized relabel join broadcasts the
     pointer map while it fits; the final round skips relabeling (its
     comp map has no consumer)."""
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    # weighted edge list feeds the endpoint-labeling joins every round
-    we = scratch_persist(
-        und.select(
-            "u", "v",
-            ((F.col("u") * _W_A + F.col("v") * _W_B) % _W_MOD).alias("w"),
-        )
+    # the undirected-distinct table is the expensive shuffle — shared
+    # session-wide via the resident memo; the weight column is a free
+    # map-side projection over the cached rows, so `we` needs no persist
+    und = und_cached(spark, edges)
+    we = und.select(
+        "u", "v", ((F.col("u") * _W_A + F.col("v") * _W_B) % _W_MOD).alias("w")
     )
     n_nodes = nodes.count()
-    n_edges = we.count()
+    n_edges = und.count()
+    if n_nodes <= local_caps[0] and n_edges <= local_caps[1]:
+        return _msf_local(spark, nodes, we, rounds, jumps)
     parts = _parts_for(n_nodes)
     ext_parts = _parts_for(2 * n_edges)
     bcast = n_nodes <= 2_000_000
@@ -212,6 +209,89 @@ def boruvka_msf(
         F.col("v").cast("long").alias("v"),
         F.col("w").cast("long").alias("w"),
     ).orderBy("round", "w", "u", "v")
+
+
+def _msf_local(
+    spark: SparkSession, nodes: DataFrame, we: DataFrame, rounds: int, jumps: int
+) -> DataFrame:
+    """Vectorized driver-local twin of the distributed rounds (the
+    measured-size duality): one Arrow collect of the weighted edge
+    list, then every round is numpy lexsort/searchsorted arithmetic on
+    the IDENTICAL bounded recurrence — bit-equal output, zero shuffles.
+    Below the caps (2M nodes / 5M edges ≈ tens of MB) this replaces
+    ~10 Spark jobs per round with array passes."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = we.select("u", "v", "w").toPandas()
+    u = pdf["u"].to_numpy(np.int64)
+    v = pdf["v"].to_numpy(np.int64)
+    w = pdf["w"].to_numpy(np.int64)
+    ne = len(u)
+    ids = np.unique(
+        np.concatenate(
+            [u, v, nodes.select("id").toPandas()["id"].to_numpy(np.int64)]
+        )
+    )
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    # strict (w, u, v) total order as ONE int64 key: rank edges by
+    # (u, v) once — pairs are distinct, so ek = w*ne + rank orders
+    # exactly like (w, u, v) and every later group-min is single-key
+    rank = np.empty(ne, dtype=np.int64)
+    rank[np.lexsort((v, u))] = np.arange(ne)
+    ek = w * ne + rank
+    idx_by_rank = np.empty(ne, dtype=np.int64)
+    idx_by_rank[rank] = np.arange(ne)
+    comp = ids.copy()  # component label per node position
+    out_r, out_u, out_v, out_w = [], [], [], []
+    for t in range(1, rounds + 1):
+        cu, cv = comp[ui], comp[vi]
+        live = cu != cv
+        if not live.any():
+            break
+        uc = np.unique(comp)
+        cidx_u = np.searchsorted(uc, cu[live])
+        cidx_v = np.searchsorted(uc, cv[live])
+        ekl = ek[live]
+        # per-component min edge key (hash groupby — no sort of the
+        # symmetric 2|E| extension)
+        gm = (
+            pd.Series(np.concatenate([ekl, ekl]))
+            .groupby(np.concatenate([cidx_u, cidx_v]))
+            .min()
+        )
+        sel_cidx = gm.index.to_numpy()
+        sel_eidx = idx_by_rank[gm.to_numpy() % ne]  # original edge rows
+        sel_c = uc[sel_cidx]
+        # other endpoint's component for the pointer table
+        scu, scv = comp[ui[sel_eidx]], comp[vi[sel_eidx]]
+        sel_oc = np.where(scu == sel_c, scv, scu)
+        # distinct picked edges this round (both sides may pick one)
+        picked = np.unique(sel_eidx)
+        out_r.extend([t] * len(picked))
+        out_w.extend(w[picked].tolist())
+        out_u.extend(u[picked].tolist())
+        out_v.extend(v[picked].tolist())
+        if t == rounds:
+            break
+        # pointer table over the component domain: p(c) = other end of
+        # c's pick (identity when unselected), 2-cycle break toward the
+        # smaller label, then `jumps` pointer applications
+        pnt = uc.copy()
+        pnt[sel_cidx] = sel_oc
+        pq = pnt[np.searchsorted(uc, pnt)]
+        mutual = pq == uc
+        pnt = np.where(mutual, np.minimum(uc, pnt), pnt)
+        for _ in range(jumps):
+            pnt = pnt[np.searchsorted(uc, pnt)]
+        comp = pnt[np.searchsorted(uc, comp)]
+    res = pd.DataFrame(
+        {"round": out_r, "u": out_u, "v": out_v, "w": out_w}, dtype="int64"
+    ).sort_values(["round", "w", "u", "v"])
+    if not len(res):
+        return spark.createDataFrame([], "round long, u long, v long, w long")
+    return spark.createDataFrame(res)
 
 
 def boruvka_msf_sql(

@@ -12,6 +12,20 @@ import code_graph_backend_spark.registry_ext18  # noqa: F401  (registers queries
 
 
 class TestBoruvkaMSF:
+    def test_local_and_distributed_paths_agree(self, spark):
+        """The vectorized local path and the distributed rounds are the
+        same bounded recurrence — identical rows on a fixture."""
+        from code_graph_backend_spark.operators.mst import boruvka_msf
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)] + [(1, 7), (3, 11), (2, 9)],
+            "src long, dst long",
+        )
+        loc = boruvka_msf(spark, nodes, edges).collect()
+        dist = boruvka_msf(spark, nodes, edges, local_caps=(0, 0)).collect()
+        assert [tuple(r) for r in loc] == [tuple(r) for r in dist]
+
     def test_path_graph_full_tree(self, spark):
         """A 4-node path 1-2-3-4: the MSF must contain exactly the 3
         path edges (they are the only edges), regardless of weights."""

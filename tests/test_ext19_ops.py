@@ -53,6 +53,22 @@ class TestLubyMIS:
         # exactly one of the edge pair joins, and node 3 besides
         assert len(rows) == 2
 
+    def test_local_and_distributed_paths_agree(self, spark):
+        """The measured-size local path and the distributed rounds are
+        the same bounded recurrence — identical rows on a fixture."""
+        from code_graph_backend_spark.operators.mis import luby_mis
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)] + [(1, 7), (3, 11), (2, 9)],
+            "src long, dst long",
+        )
+        loc = luby_mis(spark, nodes, edges, rounds=3).collect()
+        dist = luby_mis(
+            spark, nodes, edges, rounds=3, local_caps=(0, 0)
+        ).collect()
+        assert [tuple(r) for r in loc] == [tuple(r) for r in dist]
+
     def test_matches_sql_twin_on_fixture(self, spark):
         """Spark kernel and the unrolled DuckDB twin agree row-for-row
         on a fixture graph (the same contract the driver grades)."""
