@@ -153,6 +153,21 @@ def wcc_bounded(
 
     Per round: one edge join + one min-agg; broadcast/width gates shared
     with label_propagation via _propagation_setup."""
+    from .undirected import und_cached
+
+    # min-propagation depends only on neighbor SETS, so the canonical
+    # shared und table (least/greatest distinct, session-memoized) is
+    # interchangeable with the directed-distinct multiset the oracle
+    # spells out — unlike LPA's vote COUNTS, which must not switch
+    und = und_cached(spark, edges).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    n_nodes = nodes.count()
+    if n_nodes <= 2_000_000 and und.count() <= 5_000_000:
+        # measured-size duality (the pagerank/mst/mis discipline): the
+        # identical bounded min-label recurrence, vectorized driver-local
+        # — one Arrow collect replaces 4×(edge join + min-agg + checkpoint)
+        return _wcc_local(spark, nodes, und, rounds)
     sym, comp, bcast, parts = _propagation_setup(nodes, edges, "comp")
     for _ in range(rounds):
         c = F.broadcast(comp) if bcast else comp
@@ -168,6 +183,46 @@ def wcc_bounded(
             .localCheckpoint(eager=True)
         )
     return comp
+
+
+def _wcc_local(
+    spark: SparkSession, nodes: DataFrame, und: DataFrame, rounds: int
+) -> DataFrame:
+    """Vectorized driver-local twin of the bounded min-label rounds:
+    bit-equal to the distributed path and the unrolled SQL oracle (min
+    is idempotent, so the directed-distinct symmetric multiset matches
+    exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = und.toPandas()
+    a = pdf["a"].to_numpy(np.int64)
+    b = pdf["b"].to_numpy(np.int64)
+    ids = np.unique(nodes.select("id").toPandas()["id"].to_numpy(np.int64))
+    # an edge endpoint outside the node set never contributes in the
+    # distributed rounds (it has no comp row to join) — drop it here too
+    m = np.isin(a, ids) & np.isin(b, ids)
+    ai = np.searchsorted(ids, a[m])
+    bi = np.searchsorted(ids, b[m])
+    vsym = np.concatenate([ai, bi])
+    usym = np.concatenate([bi, ai])
+    # sort the static adjacency ONCE; each round is then a single
+    # segmented-min pass (minimum.reduceat) over the sorted neighbors
+    order = np.argsort(vsym, kind="stable")
+    vs = vsym[order]
+    us = usym[order]
+    if len(vs):
+        seg = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+        vseg = vs[seg]
+    comp = ids.copy()
+    for _ in range(rounds):
+        if not len(vs):
+            break
+        mins = np.minimum.reduceat(comp[us], seg)
+        comp = comp.copy()
+        comp[vseg] = np.minimum(comp[vseg], mins)
+    res = pd.DataFrame({"node": ids, "comp": comp}, dtype="int64")
+    return spark.createDataFrame(res)
 
 
 def wcc_bounded_sql(sql_nodes: str, sql_edges: str, rounds: int = 4) -> str:

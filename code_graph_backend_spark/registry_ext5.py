@@ -254,6 +254,9 @@ def emb_label_centroids_q(spark, sf_dir):
     return label_centroids(read_table(spark, sf_dir, "embeddings"))
 
 
+_COOC_MEMO: dict[tuple[int, str], object] = {}
+
+
 def _cooc_edges(spark, sf_dir):
     """Frequent part-co-occurrence edges: parts sharing an order in ≥2
     DISTINCT orders (the market-basket support prune). Without the
@@ -261,19 +264,39 @@ def _cooc_edges(spark, sf_dir):
     degree ~120 at sf0.1 — every popular part links to every other) and
     any neighborhood operator degenerates to near-all-pairs; support
     pruning is the standard first step that keeps the graph the signal
-    subgraph at every scale (~3.5k stable edges at sf0.01 AND sf0.1)."""
+    subgraph at every scale (~3.5k stable edges at sf0.01 AND sf0.1).
+
+    Session-memoized per (session, sf_dir): six operators consume this
+    substrate (triangles/jaccard/ktruss/embeddedness/stress/motifs) and
+    each was paying the lineitem distinct + self-join again — the same
+    resident-cache discipline as graph/tpch._GRAPH_CACHE and
+    operators/undirected.und_cached. The result is ~3.5k rows, so the
+    persisted footprint is noise."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    hit = _COOC_MEMO.get(key)
+    if hit is not None:
+        return hit
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     a, b = li.alias("a"), li.alias("b")
-    return (
+    out = (
         a.join(b, "ok")
         .filter(F.col("a.pk") < F.col("b.pk"))
         .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("src", "dst")
+        .persist()
     )
+    while len(_COOC_MEMO) >= 4:
+        old = _COOC_MEMO.popitem()[1]
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _COOC_MEMO[key] = out
+    return out
 
 
 
