@@ -1,0 +1,45 @@
+"""Session-scoped memo for derived DataFrames shared across queries.
+
+The curation pipelines (v1/v2/v3) are supersets of one another: the
+near-dup canonical set, the repetition gate, the decontamination gate,
+the boilerplate/span tables are built with IDENTICAL code and
+parameters in each variant, and each registered query was re-deriving
+them from parquet. This is the generalization of the resident caches
+already in the tree (graph/tpch._GRAPH_CACHE, operators/undirected,
+registry_ext5._COOC_MEMO, functions/bpe._TRAIN_MEMO): persist once per
+(session, key), bounded, unpersist on eviction.
+
+Keys are chosen by the CALLER and must encode every parameter the
+builder closes over (sf_dir, n-gram width, thresholds). Two call sites
+may share a key only when they construct the identical plan — the
+pipelines qualify because they call the same gate functions with the
+same literal arguments.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MEMO: dict[tuple, DataFrame] = {}
+_CAP = 24
+
+
+def memo_df(
+    spark: SparkSession, key: tuple, builder: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the persisted DataFrame for `key`, building it on miss."""
+    k = (id(spark),) + key
+    hit = _MEMO.get(k)
+    if hit is not None:
+        return hit
+    df = builder().persist()
+    while len(_MEMO) >= _CAP:
+        old = _MEMO.popitem()[1]
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _MEMO[k] = df
+    return df

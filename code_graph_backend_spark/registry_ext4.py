@@ -225,19 +225,30 @@ def curation_pipeline(spark, sf_dir):
     from .functions.text import token_repetition
     from .operators.components import dedup_clusters
 
+    from .memo import memo_df
+
     docs = read_table(spark, sf_dir, "documents")
-    canon = dedup_clusters(
-        spark, docs, ngram_jaccard_pairs(docs, threshold=0.5)
-    ).filter(F.col("is_canonical")).select("doc_id")
-    quality = (
-        token_repetition(docs)
+    # the three pipeline variants (v1/v2/v3) build these gates with
+    # identical code and literals — memo once per (session, sf_dir)
+    canon = memo_df(
+        spark, ("curation_canon", sf_dir),
+        lambda: dedup_clusters(
+            spark, docs, ngram_jaccard_pairs(docs, threshold=0.5)
+        ).filter(F.col("is_canonical")).select("doc_id"),
+    )
+    quality = memo_df(
+        spark, ("curation_quality", sf_dir),
+        lambda: token_repetition(docs)
         .filter((F.col("n_tokens") >= 30) & (F.col("dup_bigram_ratio") <= 0.05))
-        .select("doc_id")
+        .select("doc_id"),
     )
     probes = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
     )
-    contam = contamination_ngram(docs, probes).select("doc_id").distinct()
+    contam = memo_df(
+        spark, ("curation_contam", sf_dir),
+        lambda: contamination_ngram(docs, probes).select("doc_id").distinct(),
+    )
     surv = (
         docs.select("doc_id", "source")
         .join(canon, "doc_id")
