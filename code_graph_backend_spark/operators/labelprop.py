@@ -106,11 +106,14 @@ def kcore_bounded(
 
     Per round: one degree hash-agg + two semi-joins pruning the edge
     list — same two-shuffle budget as a label-propagation round."""
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+    from .undirected import dir_cached
+
+    und = dir_cached(spark, edges).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
     )
+    if und.count() <= 5_000_000:
+        # measured-size duality: identical peel recurrence, vectorized
+        return _kcore_local(spark, und, k, rounds)
     live = und.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = (
@@ -133,6 +136,41 @@ def kcore_bounded(
         .agg(F.count("*").cast("long").alias("degree"))
     )
     return deg.filter(F.col("degree") >= k)
+
+
+def _kcore_local(
+    spark: SparkSession, und: DataFrame, k: int, rounds: int
+) -> DataFrame:
+    """Vectorized driver-local twin of the peel rounds: degrees are one
+    bincount over the live directed-distinct pairs, the prune is two
+    mask gathers — bit-equal to the distributed path and the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = und.toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], "node long, degree long")
+    a = pdf["a"].to_numpy(np.int64)
+    b = pdf["b"].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    n = len(ids)
+    live = np.ones(len(ai), dtype=bool)
+    for _ in range(rounds):
+        deg = np.bincount(
+            np.concatenate([ai[live], bi[live]]), minlength=n
+        )
+        keep = deg >= k
+        live &= keep[ai] & keep[bi]
+    deg = np.bincount(np.concatenate([ai[live], bi[live]]), minlength=n)
+    sel = deg >= k
+    res = pd.DataFrame(
+        {"node": ids[sel], "degree": deg[sel].astype(np.int64)}, dtype="int64"
+    )
+    if not len(res):
+        return spark.createDataFrame([], "node long, degree long")
+    return spark.createDataFrame(res)
 
 
 def wcc_bounded(

@@ -82,13 +82,30 @@ def _scc_local(
             live &= ~drop
         em = live[s] & live[d]
         se, de = s[em], d[em]
+        # sort each propagation direction ONCE; every hop is then a
+        # single segmented-min pass (minimum.reduceat) instead of the
+        # scatter-min ufunc.at (measured ~10x slower at 1M+ edges)
+        of = np.argsort(se, kind="stable")
+        se_s, de_f = se[of], de[of]
+        if len(se_s):
+            segf = np.flatnonzero(np.r_[True, se_s[1:] != se_s[:-1]])
+            tgtf = se_s[segf]
+        ob = np.argsort(de, kind="stable")
+        de_s, se_b = de[ob], se[ob]
+        if len(de_s):
+            segb = np.flatnonzero(np.r_[True, de_s[1:] != de_s[:-1]])
+            tgtb = de_s[segb]
         f = ids.copy()
         b = ids.copy()
         for _ in range(hops):
             nf = f.copy()
-            np.minimum.at(nf, se, f[de])
+            if len(se_s):
+                mins = np.minimum.reduceat(f[de_f], segf)
+                nf[tgtf] = np.minimum(nf[tgtf], mins)
             nb = b.copy()
-            np.minimum.at(nb, de, b[se])
+            if len(de_s):
+                mins = np.minimum.reduceat(b[se_b], segb)
+                nb[tgtb] = np.minimum(nb[tgtb], mins)
             f, b = nf, nb
         core = live & (f == b)
         scc_id[core] = f[core]
@@ -118,13 +135,10 @@ def scc_bounded(
     SCC downstream of smaller ids only agrees once the smaller-anchored
     SCCs are peeled away). peels=1 suffices when every SCC's min
     dominates its downstream — true of the registered test graph."""
-    from ..scratch import scratch_persist
+    from .undirected import dir_cached
 
-    e = scratch_persist(
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # directed-distinct pairs from the session memo (shared with k-core)
+    e = dir_cached(spark, edges)
     # Measured-size duality (the pagerank/sssp discipline): every node
     # here is an edge endpoint, so ONE count gates both collects. The
     # local path replays the identical trim/propagate/peel recurrence in

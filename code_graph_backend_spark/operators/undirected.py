@@ -46,3 +46,31 @@ def und_cached(spark: SparkSession, edges: DataFrame) -> DataFrame:
             pass
     _UND_MEMO[key] = (edges, und)
     return und
+
+
+_DIR_MEMO: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def dir_cached(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Distinct DIRECTED pairs (src, dst), self-loops dropped — the
+    orientation-preserving sibling of und_cached for kernels whose
+    oracle spells out the directed-distinct formulation (k-core degree
+    counts, SCC reachability)."""
+    key = (id(spark), id(edges))
+    hit = _DIR_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    d = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    while len(_DIR_MEMO) >= _MEMO_CAP:
+        _, (_, old) = _DIR_MEMO.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _DIR_MEMO[key] = (edges, d)
+    return d
