@@ -34,6 +34,7 @@ from code_graph_backend_spark import registry_ext17  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext18  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext19  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext20  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext21  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -93,6 +94,8 @@ _PRIORITY = [
     "events_lateness_profile", "corpus_pmi_collocations",
     "orders_basket_rules", "events_gini_engagement", "events_seasonality",
     "events_markov_mixing",
+    "graph_clustering_coeff", "graph_rich_club", "corpus_ks_lengths",
+    "graph_resource_allocation",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
