@@ -113,7 +113,7 @@ def kcore_bounded(
     )
     if und.count() <= 5_000_000:
         # measured-size duality: identical peel recurrence, vectorized
-        return _kcore_local(spark, und, k, rounds)
+        return _kcore_local(spark, edges, k, rounds)
     live = und.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = (
@@ -139,7 +139,7 @@ def kcore_bounded(
 
 
 def _kcore_local(
-    spark: SparkSession, und: DataFrame, k: int, rounds: int
+    spark: SparkSession, edges: DataFrame, k: int, rounds: int
 ) -> DataFrame:
     """Vectorized driver-local twin of the peel rounds: degrees are one
     bincount over the live directed-distinct pairs, the prune is two
@@ -147,14 +147,12 @@ def _kcore_local(
     import numpy as np
     import pandas as pd
 
-    pdf = und.toPandas()
-    if not len(pdf):
+    from .undirected import dir_arrays
+
+    arr = dir_arrays(spark, edges)
+    ids, ai, bi = arr["ids"], arr["si"], arr["di"]
+    if not len(ai):
         return spark.createDataFrame([], "node long, degree long")
-    a = pdf["a"].to_numpy(np.int64)
-    b = pdf["b"].to_numpy(np.int64)
-    ids = np.unique(np.concatenate([a, b]))
-    ai = np.searchsorted(ids, a)
-    bi = np.searchsorted(ids, b)
     n = len(ids)
     live = np.ones(len(ai), dtype=bool)
     for _ in range(rounds):
@@ -205,7 +203,7 @@ def wcc_bounded(
         # measured-size duality (the pagerank/mst/mis discipline): the
         # identical bounded min-label recurrence, vectorized driver-local
         # — one Arrow collect replaces 4×(edge join + min-agg + checkpoint)
-        return _wcc_local(spark, nodes, und, rounds)
+        return _wcc_local(spark, nodes, edges, rounds)
     sym, comp, bcast, parts = _propagation_setup(nodes, edges, "comp")
     for _ in range(rounds):
         c = F.broadcast(comp) if bcast else comp
@@ -224,7 +222,7 @@ def wcc_bounded(
 
 
 def _wcc_local(
-    spark: SparkSession, nodes: DataFrame, und: DataFrame, rounds: int
+    spark: SparkSession, nodes: DataFrame, edges: DataFrame, rounds: int
 ) -> DataFrame:
     """Vectorized driver-local twin of the bounded min-label rounds:
     bit-equal to the distributed path and the unrolled SQL oracle (min
@@ -233,10 +231,11 @@ def _wcc_local(
     import numpy as np
     import pandas as pd
 
-    pdf = und.toPandas()
-    a = pdf["a"].to_numpy(np.int64)
-    b = pdf["b"].to_numpy(np.int64)
-    ids = np.unique(nodes.select("id").toPandas()["id"].to_numpy(np.int64))
+    from .undirected import ids_array, und_arrays
+
+    arr = und_arrays(spark, edges)
+    a, b = arr["a"], arr["b"]
+    ids = ids_array(spark, nodes)
     # an edge endpoint outside the node set never contributes in the
     # distributed rounds (it has no comp row to join) — drop it here too
     m = np.isin(a, ids) & np.isin(b, ids)

@@ -74,7 +74,7 @@ def luby_mis(
     n_live = active_n.count()
     n_edges = und.count()
     if n_live <= local_caps[0] and n_edges <= local_caps[1]:
-        return _luby_local(spark, nodes, und, rounds)
+        return _luby_local(spark, nodes, edges, rounds)
     active_e = und
     picked = []
     for t in range(1, rounds + 1):
@@ -123,29 +123,33 @@ def luby_mis(
 
 
 def _luby_local(
-    spark: SparkSession, nodes: DataFrame, und: DataFrame, rounds: int
+    spark: SparkSession, nodes: DataFrame, edges: DataFrame, rounds: int
 ) -> DataFrame:
     """Vectorized driver-local twin of the distributed rounds (the
-    measured-size duality): one Arrow collect of the undirected edge
-    list, then each round is numpy mask/sort arithmetic on the
-    IDENTICAL bounded recurrence — bit-equal output, zero shuffles."""
+    measured-size duality): the shared array cache (und_arrays) holds
+    the collected edge list, then each round is numpy mask/groupby
+    arithmetic on the IDENTICAL bounded recurrence — bit-equal output,
+    zero shuffles."""
     import numpy as np
     import pandas as pd
 
-    pdf = und.select("a", "b").toPandas()
-    ids = np.unique(
-        np.concatenate(
-            [
-                pdf["a"].to_numpy(np.int64),
-                pdf["b"].to_numpy(np.int64),
-                nodes.select("id").toPandas()["id"].to_numpy(np.int64),
-            ]
-        )
-    )
-    ai = np.searchsorted(ids, pdf["a"].to_numpy(np.int64))
-    bi = np.searchsorted(ids, pdf["b"].to_numpy(np.int64))
+    from .undirected import ids_array, und_arrays
+
+    arr = und_arrays(spark, edges)
+    nid = ids_array(spark, nodes)
+    if np.isin(nid, arr["ids"]).all():
+        ids, ai, bi = arr["ids"], arr["ai"], arr["bi"]
+    else:  # isolated nodes extend the id domain — remap
+        ids = np.union1d(arr["ids"], nid)
+        ai = np.searchsorted(ids, arr["a"])
+        bi = np.searchsorted(ids, arr["b"])
     n = len(ids)
-    active = np.ones(n, dtype=bool)
+    # mirror the distributed rounds exactly: endpoints outside `nodes`
+    # compete in round 1 (their keys reach nbrmin — active_e starts as
+    # the FULL und list) but are never selectable, and their edges drop
+    # at the first contraction (active_e is semi-joined on the node set)
+    member = np.isin(ids, nid)
+    active = member.copy()
     e_live = np.ones(len(ai), dtype=bool)
     out_rounds = np.zeros(n, dtype=np.int64)  # 0 = never selected
     for t in range(1, rounds + 1):

@@ -73,7 +73,7 @@ def boruvka_msf(
     n_nodes = nodes.count()
     n_edges = und.count()
     if n_nodes <= local_caps[0] and n_edges <= local_caps[1]:
-        return _msf_local(spark, nodes, we, rounds, jumps)
+        return _msf_local(spark, nodes, edges, rounds, jumps)
     parts = _parts_for(n_nodes)
     ext_parts = _parts_for(2 * n_edges)
     bcast = n_nodes <= 2_000_000
@@ -211,38 +211,50 @@ def boruvka_msf(
     ).orderBy("round", "w", "u", "v")
 
 
+_EK_MEMO: dict[tuple, tuple] = {}
+
+
 def _msf_local(
-    spark: SparkSession, nodes: DataFrame, we: DataFrame, rounds: int, jumps: int
+    spark: SparkSession, nodes: DataFrame, edges: DataFrame, rounds: int, jumps: int
 ) -> DataFrame:
     """Vectorized driver-local twin of the distributed rounds (the
-    measured-size duality): one Arrow collect of the weighted edge
-    list, then every round is numpy lexsort/searchsorted arithmetic on
-    the IDENTICAL bounded recurrence — bit-equal output, zero shuffles.
-    Below the caps (2M nodes / 5M edges ≈ tens of MB) this replaces
-    ~10 Spark jobs per round with array passes."""
+    measured-size duality): the shared array cache (und_arrays) holds
+    the collected edge list, then every round is numpy searchsorted /
+    groupby-min arithmetic on the IDENTICAL bounded recurrence —
+    bit-equal output, zero shuffles."""
     import numpy as np
     import pandas as pd
 
-    pdf = we.select("u", "v", "w").toPandas()
-    u = pdf["u"].to_numpy(np.int64)
-    v = pdf["v"].to_numpy(np.int64)
-    w = pdf["w"].to_numpy(np.int64)
+    from .undirected import ids_array, und_arrays
+
+    arr = und_arrays(spark, edges)
+    u, v = arr["a"], arr["b"]
     ne = len(u)
-    ids = np.unique(
-        np.concatenate(
-            [u, v, nodes.select("id").toPandas()["id"].to_numpy(np.int64)]
-        )
-    )
-    ui = np.searchsorted(ids, u)
-    vi = np.searchsorted(ids, v)
+    w = (u * _W_A + v * _W_B) % _W_MOD
+    nid = ids_array(spark, nodes)
+    if np.isin(nid, arr["ids"]).all():
+        ids, ui, vi = arr["ids"], arr["ai"], arr["bi"]
+    else:  # isolated nodes extend the id domain — remap
+        ids = np.union1d(arr["ids"], nid)
+        ui = np.searchsorted(ids, u)
+        vi = np.searchsorted(ids, v)
     # strict (w, u, v) total order as ONE int64 key: rank edges by
     # (u, v) once — pairs are distinct, so ek = w*ne + rank orders
-    # exactly like (w, u, v) and every later group-min is single-key
-    rank = np.empty(ne, dtype=np.int64)
-    rank[np.lexsort((v, u))] = np.arange(ne)
-    ek = w * ne + rank
-    idx_by_rank = np.empty(ne, dtype=np.int64)
-    idx_by_rank[rank] = np.arange(ne)
+    # exactly like (w, u, v) and every later group-min is single-key;
+    # pure function of the cached arrays, memoized alongside them
+    ekk = ("ek", id(spark), id(edges))
+    hit = _EK_MEMO.get(ekk)
+    if hit is not None and hit[0] is edges:
+        ek, idx_by_rank = hit[1], hit[2]
+    else:
+        rank = np.empty(ne, dtype=np.int64)
+        rank[np.lexsort((v, u))] = np.arange(ne)
+        ek = w * ne + rank
+        idx_by_rank = np.empty(ne, dtype=np.int64)
+        idx_by_rank[rank] = np.arange(ne)
+        while len(_EK_MEMO) >= 4:
+            _EK_MEMO.popitem()
+        _EK_MEMO[ekk] = (edges, ek, idx_by_rank)
     comp = ids.copy()  # component label per node position
     out_r, out_u, out_v, out_w = [], [], [], []
     for t in range(1, rounds + 1):

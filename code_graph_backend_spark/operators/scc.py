@@ -45,25 +45,25 @@ _LOCAL_EDGE_ROWS = 5_000_000
 
 def _scc_local(
     spark: SparkSession,
-    e: DataFrame,
+    edges: DataFrame,
     trim_rounds: int,
     hops: int,
     peels: int,
 ) -> DataFrame:
     """In-process twin of the distributed loop: same trim / joint-min
-    propagation / peel recurrence over numpy arrays."""
+    propagation / peel recurrence over numpy arrays (shared array
+    cache — one Arrow collect per session/edges object)."""
     import numpy as np
     import pandas as pd
 
-    pdf = e.toPandas()
-    if len(pdf) == 0:
+    from .undirected import dir_arrays
+
+    arr = dir_arrays(spark, edges)
+    if len(arr["s"]) == 0:
         return spark.createDataFrame([], "node long, scc_id long, status string")
-    s_raw = pdf["src"].to_numpy(np.int64)
-    d_raw = pdf["dst"].to_numpy(np.int64)
-    ids = np.unique(np.concatenate([s_raw, d_raw]))
+    ids = arr["ids"]
     n = len(ids)
-    s = np.searchsorted(ids, s_raw)
-    d = np.searchsorted(ids, d_raw)
+    s, d = arr["si"], arr["di"]
 
     live = np.ones(n, dtype=bool)
     scc_id = np.full(n, -1, dtype=np.int64)
@@ -146,7 +146,7 @@ def scc_bounded(
     # the distributed loop stays the 100 TB answer.
     n_edges = e.count()
     if n_edges <= _LOCAL_EDGE_ROWS:
-        return _scc_local(spark, e, trim_rounds, hops, peels)
+        return _scc_local(spark, edges, trim_rounds, hops, peels)
     # Every node-sized map and the pruned edge list get checkpoint widths
     # measured from their OWN sizes — the width rehearsal showed session
     # shuffle width (512) turning each of the ~36 checkpoints into

@@ -50,6 +50,75 @@ def und_cached(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
 _DIR_MEMO: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 
+# Driver-side numpy twins of the cached tables, for the measured-size
+# local kernels (mst/mis/wcc/kcore/scc): one Arrow collect per
+# (session, edges object), then every kernel call is pure array work.
+# Values keep a ref to the source DataFrame so id() cannot be recycled.
+_ARR_MEMO: dict[tuple, tuple] = {}
+
+
+def _arr_memo_put(key, edges_ref, value):
+    while len(_ARR_MEMO) >= _MEMO_CAP:
+        _ARR_MEMO.popitem()
+    _ARR_MEMO[key] = (edges_ref, value)
+
+
+def und_arrays(spark: SparkSession, edges: DataFrame):
+    """dict(a, b, ids, ai, bi): canonical undirected pairs as int64
+    arrays, endpoint id domain (sorted unique), and positional indices
+    of each endpoint into it. Collected once per (session, edges)."""
+    import numpy as np
+
+    key = ("und", id(spark), id(edges))
+    hit = _ARR_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    pdf = und_cached(spark, edges).toPandas()
+    a = pdf["u"].to_numpy(np.int64)
+    b = pdf["v"].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    out = {
+        "a": a, "b": b, "ids": ids,
+        "ai": np.searchsorted(ids, a), "bi": np.searchsorted(ids, b),
+    }
+    _arr_memo_put(key, edges, out)
+    return out
+
+
+def dir_arrays(spark: SparkSession, edges: DataFrame):
+    """dict(s, d, ids, si, di): directed-distinct pairs as arrays —
+    the dir_cached twin of und_arrays."""
+    import numpy as np
+
+    key = ("dir", id(spark), id(edges))
+    hit = _ARR_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    pdf = dir_cached(spark, edges).toPandas()
+    s = pdf["src"].to_numpy(np.int64)
+    d = pdf["dst"].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([s, d]))
+    out = {
+        "s": s, "d": d, "ids": ids,
+        "si": np.searchsorted(ids, s), "di": np.searchsorted(ids, d),
+    }
+    _arr_memo_put(key, edges, out)
+    return out
+
+
+def ids_array(spark: SparkSession, nodes: DataFrame):
+    """Sorted unique node-id int64 array, collected once per
+    (session, nodes object)."""
+    import numpy as np
+
+    key = ("ids", id(spark), id(nodes))
+    hit = _ARR_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    out = np.unique(nodes.select("id").toPandas()["id"].to_numpy(np.int64))
+    _arr_memo_put(key, nodes, out)
+    return out
+
 
 def dir_cached(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Distinct DIRECTED pairs (src, dst), self-loops dropped — the
