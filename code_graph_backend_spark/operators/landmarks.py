@@ -43,6 +43,12 @@ def landmark_distances(
     lms = nodes.select(F.col("id").alias("landmark")).orderBy("landmark").limit(
         n_landmarks
     )
+    # measured-size duality: below the caps the whole batched BFS runs
+    # driver-local on the shared array cache (self-loop dropping is
+    # semantics-neutral for min-hop BFS — a loop candidate is dist+1 at
+    # an already-reached node, never the min)
+    if nodes.count() <= 2_000_000 and edges.count() <= 5_000_000:
+        return _landmarks_local(nodes, edges, n_landmarks, hops)
     # e feeds one frontier join per round — persist once or the caller's
     # edge derivation re-runs per hop
     e = scratch_persist(edges.select("src", "dst").distinct())
@@ -65,6 +71,66 @@ def landmark_distances(
             _parts_for(dist.count() * 4), "landmark", "node"
         ).localCheckpoint(eager=True)
     return dist
+
+
+def _landmarks_local(
+    nodes: DataFrame, edges: DataFrame, n_landmarks: int, hops: int
+) -> DataFrame:
+    """Vectorized driver-local twin of the batched BFS: dist matrix
+    (landmarks × endpoint domain), each hop one segmented-min pass over
+    the edges sorted by destination — bit-equal to the distributed
+    rounds and the unrolled oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from .undirected import dir_arrays, ids_array
+
+    spark = nodes.sparkSession
+    lm_ids = ids_array(spark, nodes)[:n_landmarks]
+    arr = dir_arrays(spark, edges)
+    ids, si, di = arr["ids"], arr["si"], arr["di"]
+    n = len(ids)
+    order = np.argsort(di, kind="stable")
+    si_s, di_s = si[order], di[order]
+    if len(di_s):
+        seg = np.flatnonzero(np.r_[True, di_s[1:] != di_s[:-1]])
+        tgt = di_s[seg]
+    inf = np.int64(1) << 40
+    dist = np.full((len(lm_ids), n), inf, dtype=np.int64)
+    pos = np.searchsorted(ids, lm_ids)
+    present = (pos < n) & (ids[pos.clip(max=max(n - 1, 0))] == lm_ids)
+    dist[np.flatnonzero(present), pos[present]] = 0
+    for _ in range(hops):
+        if not len(di_s):
+            break
+        cand = dist[:, si_s] + 1
+        mins = np.minimum.reduceat(cand, seg, axis=1)
+        dist[:, tgt] = np.minimum(dist[:, tgt], mins)
+    li, nj = np.nonzero(dist <= hops)
+    res = pd.DataFrame(
+        {
+            "landmark": lm_ids[li],
+            "node": ids[nj],
+            "dist": dist[li, nj],
+        },
+        dtype="int64",
+    )
+    # landmarks absent from the edge-endpoint domain still carry their
+    # own (landmark, landmark, 0) row
+    missing = lm_ids[~present]
+    if len(missing):
+        res = pd.concat(
+            [res, pd.DataFrame(
+                {"landmark": missing, "node": missing,
+                 "dist": np.zeros(len(missing), dtype=np.int64)},
+                dtype="int64",
+            )],
+            ignore_index=True,
+        )
+    res = res.sort_values(["landmark", "node"])
+    if not len(res):
+        return spark.createDataFrame([], "landmark long, node long, dist long")
+    return spark.createDataFrame(res)
 
 
 def landmark_distances_sql(
