@@ -36,6 +36,7 @@ from code_graph_backend_spark import registry_ext19  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext20  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext21  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext22  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext23  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -98,6 +99,8 @@ _PRIORITY = [
     "graph_clustering_coeff", "graph_rich_club", "corpus_ks_lengths",
     "graph_resource_allocation",
     "events_forecast_backtest", "orders_sla_division", "orders_ltv_triangle",
+    "trade_flow_matrix", "market_segment_share", "customers_prospects",
+    "part_hierarchy_rollup",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
