@@ -50,14 +50,15 @@ def landmark_stress(
     hand-computable convention the unit tests pin)."""
     from ..scratch import scratch_persist
     from .components import _parts_for
+    from .undirected import und_cached
 
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
+    spark = nodes.sparkSession
+    und = und_cached(spark, edges).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
     )
+    if nodes.count() <= 2_000_000 and und.count() <= 5_000_000:
+        # measured-size duality: identical σ-counting BFS, vectorized
+        return _stress_local(nodes, edges, n_landmarks, hops, landmark_by)
     sym = scratch_persist(
         und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
@@ -118,6 +119,92 @@ def landmark_stress(
         .agg(F.sum(F.col("sig1") * F.col("sig2")).cast("long").alias("stress"))
         .orderBy("node")
     )
+
+
+def _stress_local(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_landmarks: int,
+    hops: int,
+    landmark_by: str,
+) -> DataFrame:
+    """Vectorized driver-local twin of the batched σ-counting BFS:
+    (L × domain) dist/σ matrices, one segmented-sum pass per hop over
+    the dst-sorted symmetric edges — bit-equal to the distributed
+    rounds and the unrolled oracle (σ and dist are integers; the pair
+    gate d_s(v)+d_t(v)=d(s,t) is integer equality)."""
+    import numpy as np
+    import pandas as pd
+
+    from .undirected import ids_array, und_arrays
+
+    spark = nodes.sparkSession
+    arr = und_arrays(spark, edges)
+    if landmark_by == "degree":
+        deg = np.bincount(
+            np.concatenate([arr["ai"], arr["bi"]]), minlength=len(arr["ids"])
+        )
+        order = np.lexsort((arr["ids"], -deg))
+        lm_ids = np.sort(arr["ids"][order[:n_landmarks]])
+    else:
+        lm_ids = ids_array(spark, nodes)[:n_landmarks]
+    # id domain = endpoints ∪ landmarks (an 'id'-mode landmark can be
+    # isolated; it still owns its settled (l, l, 0, 1) row)
+    extra = lm_ids[~np.isin(lm_ids, arr["ids"])]
+    if len(extra):
+        ids = np.union1d(arr["ids"], lm_ids)
+        ai = np.searchsorted(ids, arr["a"])
+        bi = np.searchsorted(ids, arr["b"])
+    else:
+        ids, ai, bi = arr["ids"], arr["ai"], arr["bi"]
+    n = len(ids)
+    L = len(lm_ids)
+    vsym = np.concatenate([bi, ai])  # destination of each directed copy
+    usym = np.concatenate([ai, bi])
+    order = np.argsort(vsym, kind="stable")
+    vs, us = vsym[order], usym[order]
+    if len(vs):
+        seg = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+        tgt = vs[seg]
+    inf = np.int64(1) << 40
+    dist = np.full((L, n), inf, dtype=np.int64)
+    sig = np.zeros((L, n), dtype=np.int64)
+    lpos = np.searchsorted(ids, lm_ids)
+    dist[np.arange(L), lpos] = 0
+    sig[np.arange(L), lpos] = 1
+    for t in range(1, hops + 1):
+        if not len(vs):
+            break
+        frontier = dist == t - 1
+        contrib = np.where(frontier, sig, 0)[:, us]
+        cand = np.add.reduceat(contrib, seg, axis=1)
+        sub_d = dist[:, tgt]
+        sub_s = sig[:, tgt]
+        m = (cand > 0) & (sub_d == inf)
+        sub_d[m] = t
+        sub_s[m] = cand[m]
+        dist[:, tgt] = sub_d
+        sig[:, tgt] = sub_s
+    stress = np.zeros(n, dtype=np.int64)
+    for si in range(L):
+        for ti in range(si + 1, L):
+            dst = dist[si, lpos[ti]]
+            if dst >= inf:
+                continue
+            on_path = (
+                (dist[si] + dist[ti] == dst)
+                & (dist[si] < inf) & (dist[ti] < inf)
+            )
+            on_path[lpos[si]] = False
+            on_path[lpos[ti]] = False
+            stress[on_path] += sig[si, on_path] * sig[ti, on_path]
+    selm = stress > 0
+    res = pd.DataFrame(
+        {"node": ids[selm], "stress": stress[selm]}, dtype="int64"
+    ).sort_values("node")
+    if not len(res):
+        return spark.createDataFrame([], "node long, stress long")
+    return spark.createDataFrame(res)
 
 
 def landmark_stress_sql(
