@@ -37,6 +37,7 @@ from code_graph_backend_spark import registry_ext20  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext21  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext22  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext23  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext24  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -101,6 +102,8 @@ _PRIORITY = [
     "events_forecast_backtest", "orders_sla_division", "orders_ltv_triangle",
     "trade_flow_matrix", "market_segment_share", "customers_prospects",
     "part_hierarchy_rollup",
+    "events_scd2_dimension", "dq_referential_checks",
+    "orders_benford_firstdigit",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
