@@ -38,6 +38,7 @@ from code_graph_backend_spark import registry_ext21  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext22  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext23  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext24  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext25  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -104,6 +105,8 @@ _PRIORITY = [
     "part_hierarchy_rollup",
     "events_scd2_dimension", "dq_referential_checks",
     "orders_benford_firstdigit",
+    "graph_topological_layers", "events_concurrency_profile",
+    "orders_purchase_intervals",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
