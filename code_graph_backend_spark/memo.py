@@ -36,7 +36,9 @@ def memo_df(
         return hit
     df = builder().persist()
     while len(_MEMO) >= _CAP:
-        old = _MEMO.popitem()[1]
+        # evict the OLDEST entry — dict.popitem() pops the newest and
+        # churns the cache once the working set reaches the cap
+        old = _MEMO.pop(next(iter(_MEMO)))
         try:
             old.unpersist()
         except Exception:

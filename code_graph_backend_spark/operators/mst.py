@@ -253,7 +253,7 @@ def _msf_local(
         idx_by_rank = np.empty(ne, dtype=np.int64)
         idx_by_rank[rank] = np.arange(ne)
         while len(_EK_MEMO) >= 4:
-            _EK_MEMO.popitem()
+            _EK_MEMO.pop(next(iter(_EK_MEMO)))  # oldest-first
         _EK_MEMO[ekk] = (edges, ek, idx_by_rank)
     comp = ids.copy()  # component label per node position
     out_r, out_u, out_v, out_w = [], [], [], []

@@ -20,7 +20,20 @@ from pyspark.sql import functions as F
 # key -> (edges_ref, und); edges_ref pins the source DataFrame so its
 # id() cannot be recycled while the memo entry lives
 _UND_MEMO: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
-_MEMO_CAP = 4
+_MEMO_CAP = 8
+# array-cache working set is larger: und/dir/ids/ek entries per
+# (session, sf) — ~50 MB each at sf0.1, so 16 entries is still noise
+_ARR_CAP = 16
+
+
+def _evict_oldest(memo: dict):
+    """Drop the OLDEST entry (insertion order). dict.popitem() pops the
+    NEWEST — using it for eviction churns the cache as soon as the
+    working set reaches the cap (measured: the local-path kernels
+    re-collected their arrays on every bench query)."""
+    key = next(iter(memo))
+    val = memo.pop(key)
+    return val
 
 
 def und_cached(spark: SparkSession, edges: DataFrame) -> DataFrame:
@@ -39,7 +52,7 @@ def und_cached(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .persist()
     )
     while len(_UND_MEMO) >= _MEMO_CAP:
-        _, (_, old) = _UND_MEMO.popitem()
+        _, old = _evict_oldest(_UND_MEMO)
         try:
             old.unpersist()
         except Exception:
@@ -58,8 +71,8 @@ _ARR_MEMO: dict[tuple, tuple] = {}
 
 
 def _arr_memo_put(key, edges_ref, value):
-    while len(_ARR_MEMO) >= _MEMO_CAP:
-        _ARR_MEMO.popitem()
+    while len(_ARR_MEMO) >= _ARR_CAP:
+        _evict_oldest(_ARR_MEMO)
     _ARR_MEMO[key] = (edges_ref, value)
 
 
@@ -136,7 +149,7 @@ def dir_cached(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .persist()
     )
     while len(_DIR_MEMO) >= _MEMO_CAP:
-        _, (_, old) = _DIR_MEMO.popitem()
+        _, old = _evict_oldest(_DIR_MEMO)
         try:
             old.unpersist()
         except Exception:

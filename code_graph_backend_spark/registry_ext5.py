@@ -290,7 +290,8 @@ def _cooc_edges(spark, sf_dir):
         .persist()
     )
     while len(_COOC_MEMO) >= 4:
-        old = _COOC_MEMO.popitem()[1]
+        # oldest-first eviction (popitem pops the newest)
+        old = _COOC_MEMO.pop(next(iter(_COOC_MEMO)))
         try:
             old.unpersist()
         except Exception:
