@@ -71,6 +71,14 @@ _PRIORITY = [
     # implementation changed this round: gates/ranks now quantized
     "dedup_semantic_clusters", "emb_hard_negatives",
     "dedup_embedding_cosine", "ann_cosine_topk",
+    # implementation changed late this round (memoized substrates,
+    # vectorized measured-size local paths, shared-gate memo): their
+    # old green rows predate the change — re-grade before anything new
+    "graph_wcc_bounded", "graph_kcore", "graph_scc_bounded",
+    "graph_landmark_distances", "graph_stress_centrality",
+    "graph_triangle_count", "graph_jaccard_neighbors", "graph_ktruss",
+    "graph_edge_embeddedness", "curation_pipeline", "curation_pipeline_v2",
+    "curation_pipeline_v3", "graph_modularity",
     # round-5 additions (never graded yet)
     "chunk_documents", "token_ngram_novelty", "corpus_profile",
     "emb_kcenter_select", "events_user_ewma", "graph_assortativity",
@@ -78,20 +86,20 @@ _PRIORITY = [
     "corpus_lang_confusion", "vocab_zipf_spectrum",
     "ann_ivf_exact", "gopher_quality_gates", "corpus_mixture_plan",
     "bpe_fertility_by_lang", "text_bigram_logprob", "dedup_lsh_eval",
-    "curation_pipeline_v3", "pack_boundary_stats", "dsir_importance_select",
+    "pack_boundary_stats", "dsir_importance_select",
     "corpus_quantile_summary", "contamination_bloom", "corpus_heavy_hitters",
-    "graph_scc_bounded", "dedup_containment", "shard_manifest",
+    "dedup_containment", "shard_manifest",
     "quality_linear_score", "graph_random_walks", "walk_skipgram_pairs",
     "w_distinct_users_hll", "shard_manifest_incremental",
     "corpus_vocab_coverage", "graph_ffl_motifs", "mm_tga_features",
     "mm_ppm_features",
     "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
-    "emb_matryoshka_overlap", "corpus_source_overlap", "graph_ktruss",
-    "dedup_semdedup", "graph_modularity", "er_fuzzy_name_pairs",
-    "text_kn_bigram_logprob", "graph_stress_centrality",
+    "emb_matryoshka_overlap", "corpus_source_overlap",
+    "dedup_semdedup", "er_fuzzy_name_pairs",
+    "text_kn_bigram_logprob",
     "events_trigram_patterns", "text_rake_keywords",
     "events_outliers_mad", "quality_calibration_bins",
-    "events_changepoint", "graph_edge_embeddedness",
+    "events_changepoint",
     "corpus_cross_entropy_shift", "emb_norm_outliers", "source_template_overlap",
     "events_stickiness", "events_rfm", "emb_centroid_drift",
     "graph_mst_boruvka", "events_autocorrelation", "corpus_simpson_diversity",
