@@ -41,6 +41,7 @@ from code_graph_backend_spark import registry_ext24  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext25  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext26  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext27  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext28  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -119,6 +120,7 @@ _PRIORITY = [
     "orders_purchase_intervals",
     "dq_k_anonymity", "graph_eccentricity_bounds", "graph_core_decomposition",
     "events_window_funnel", "events_slo_burn",
+    "curation_gate_ablation", "dedup_cluster_sizes",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",

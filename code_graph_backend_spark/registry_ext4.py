@@ -230,12 +230,9 @@ def curation_pipeline(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     # the three pipeline variants (v1/v2/v3) build these gates with
     # identical code and literals — memo once per (session, sf_dir)
-    canon = memo_df(
-        spark, ("curation_canon", sf_dir),
-        lambda: dedup_clusters(
-            spark, docs, ngram_jaccard_pairs(docs, threshold=0.5)
-        ).filter(F.col("is_canonical")).select("doc_id"),
-    )
+    from .curation import curation_canon
+
+    canon = curation_canon(spark, sf_dir, docs)
     quality = memo_df(
         spark, ("curation_quality", sf_dir),
         lambda: token_repetition(docs)

@@ -176,12 +176,9 @@ def curation_pipeline_v2_q(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     # gates shared verbatim with v1/v3 — one memo key per (gate, sf_dir)
-    canon = memo_df(
-        spark, ("curation_canon", sf_dir),
-        lambda: dedup_clusters(
-            spark, docs, ngram_jaccard_pairs(docs, threshold=0.5)
-        ).filter(F.col("is_canonical")).select("doc_id"),
-    )
+    from .curation import curation_canon
+
+    canon = curation_canon(spark, sf_dir, docs)
     quality = memo_df(
         spark, ("curation_quality", sf_dir),
         lambda: token_repetition(docs)

@@ -470,12 +470,9 @@ def curation_pipeline_v3_q(spark, sf_dir):
     # the six v1/v2 gates come from the shared memo (identical literals
     # across the pipeline variants); only the two v3-specific gates
     # (gopher, bigram-LM) are built here
-    canon = memo_df(
-        spark, ("curation_canon", sf_dir),
-        lambda: dedup_clusters(
-            spark, docs, ngram_jaccard_pairs(docs, threshold=0.5)
-        ).filter(F.col("is_canonical")).select("doc_id"),
-    )
+    from .curation import curation_canon
+
+    canon = curation_canon(spark, sf_dir, docs)
     quality = memo_df(
         spark, ("curation_quality", sf_dir),
         lambda: token_repetition(docs)
