@@ -1,0 +1,86 @@
+"""Round-5x operator: ANF sketch — parity with a pure-Python replica
+of the register/estimator arithmetic on a hand graph."""
+
+from __future__ import annotations
+
+import hashlib
+
+import code_graph_backend_spark.registry_ext30 as ext30  # noqa: F401
+from code_graph_backend_spark.registry_ext30 import _K, _LC_MICRO, _RAW_GATE, _SCALE
+
+
+def _reg(x: int):
+    h = hashlib.md5(str(x).encode()).hexdigest()
+    bucket = int(h[:2], 16)
+    bits = int(h[2:14], 16)
+    rho = 49 if bits == 0 else (48 - bits.bit_length()) + 1
+    return bucket, rho
+
+
+def _est_micro(members):
+    regs = {}
+    for x in members:
+        b, r = _reg(x)
+        regs[b] = max(regs.get(b, 0), r)
+    s_int = sum(1 << (49 - m) for m in regs.values()) + (256 - len(regs)) * _SCALE
+    zv = 256 - len(regs)
+    raw = _K // s_int
+    if zv > 0 and raw <= _RAW_GATE:
+        return _LC_MICRO[zv]
+    return raw
+
+
+class TestAnfSketch:
+    def test_path_graph_matches_python_replica(self, spark):
+        """Path 1-2-3: hop-0 balls are singletons, hop-1 balls are the
+        closed neighborhoods, hop-2 balls are the full component — the
+        engine totals must equal the pure-Python register replica."""
+        from pyspark.sql import functions as F
+
+        from code_graph_backend_spark.functions.sketches import (
+            hll_register_table,
+        )
+
+        nodes = [1, 2, 3]
+        balls = {
+            0: {1: {1}, 2: {2}, 3: {3}},
+            1: {1: {1, 2}, 2: {1, 2, 3}, 3: {2, 3}},
+            2: {1: {1, 2, 3}, 2: {1, 2, 3}, 3: {1, 2, 3}},
+        }
+        want = {
+            h: sum(_est_micro(balls[h][v]) for v in nodes) for h in balls
+        }
+        ndf = spark.createDataFrame([(i,) for i in nodes], "id long")
+        edf = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        # run the registered query's machinery directly on the fixture
+        sym = edf.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+            edf.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        items = ndf.select(F.col("id").alias("grp"), F.col("id").alias("it"))
+        r = hll_register_table(items, "grp", "it")
+        got = {}
+        for h in range(3):
+            if h > 0:
+                nbr = sym.join(r.withColumnRenamed("grp", "b"), "b").select(
+                    F.col("a").alias("grp"), "bucket", "m"
+                )
+                r = r.unionByName(nbr).groupBy("grp", "bucket").agg(
+                    F.max("m").alias("m")
+                )
+            agged = r.groupBy("grp").agg(
+                (
+                    F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - m)"))
+                    + (F.lit(256) - F.count("*")) * F.lit(_SCALE)
+                ).alias("s_int"),
+                (F.lit(256) - F.count("*")).cast("long").alias("zv"),
+            )
+            rows = agged.collect()
+            tot = 0
+            for row in rows:
+                raw = _K // row["s_int"]
+                if row["zv"] > 0 and raw <= _RAW_GATE:
+                    tot += _LC_MICRO[row["zv"]]
+                else:
+                    tot += raw
+            got[h] = tot
+        assert got == want
