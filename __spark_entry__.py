@@ -44,6 +44,7 @@ from code_graph_backend_spark import registry_ext27  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext28  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext29  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext30  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext31  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -124,6 +125,7 @@ _PRIORITY = [
     "events_window_funnel", "events_slo_burn",
     "curation_gate_ablation", "dedup_cluster_sizes",
     "shard_zorder_prune", "supply_risk_single_source", "graph_anf_sketch",
+    "shard_hash_ring", "events_bot_regularity",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
