@@ -45,6 +45,7 @@ from code_graph_backend_spark import registry_ext28  # noqa: F401  (registers on
 from code_graph_backend_spark import registry_ext29  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext30  # noqa: F401  (registers on import)
 from code_graph_backend_spark import registry_ext31  # noqa: F401  (registers on import)
+from code_graph_backend_spark import registry_ext32  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -126,6 +127,7 @@ _PRIORITY = [
     "curation_gate_ablation", "dedup_cluster_sizes",
     "shard_zorder_prune", "supply_risk_single_source", "graph_anf_sketch",
     "shard_hash_ring", "events_bot_regularity",
+    "events_latency_percentiles", "emb_silhouette_proxy",
     # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
