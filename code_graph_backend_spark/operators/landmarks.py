@@ -28,18 +28,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# measured-size duality gate: at or below these the batched BFS runs
+# driver-local on the shared array cache. Module-level (and overridable
+# per call via `local_caps`) so tests can force the distributed branch
+# with local_caps=(0, 0) — the at-scale path must never be
+# first-executed in production (mst.py / mis.py convention).
+_LOCAL_N_CAP = 2_000_000
+_LOCAL_E_CAP = 5_000_000
+
 
 def landmark_distances(
     nodes: DataFrame,
     edges: DataFrame,
     n_landmarks: int = 8,
     hops: int = 3,
+    local_caps: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(landmark, node, dist) for every node within `hops` of a landmark,
     following edge direction (src -> dst). dist = exact hop count
     (min over paths), landmarks = the `n_landmarks` smallest node ids."""
     from ..scratch import scratch_persist
 
+    if local_caps is None:
+        local_caps = (_LOCAL_N_CAP, _LOCAL_E_CAP)
     lms = nodes.select(F.col("id").alias("landmark")).orderBy("landmark").limit(
         n_landmarks
     )
@@ -47,7 +58,7 @@ def landmark_distances(
     # driver-local on the shared array cache (self-loop dropping is
     # semantics-neutral for min-hop BFS — a loop candidate is dist+1 at
     # an already-reached node, never the min)
-    if nodes.count() <= 2_000_000 and edges.count() <= 5_000_000:
+    if nodes.count() <= local_caps[0] and edges.count() <= local_caps[1]:
         return _landmarks_local(nodes, edges, n_landmarks, hops)
     # e feeds one frontier join per round — persist once or the caller's
     # edge derivation re-runs per hop
@@ -97,9 +108,16 @@ def _landmarks_local(
         tgt = di_s[seg]
     inf = np.int64(1) << 40
     dist = np.full((len(lm_ids), n), inf, dtype=np.int64)
-    pos = np.searchsorted(ids, lm_ids)
-    present = (pos < n) & (ids[pos.clip(max=max(n - 1, 0))] == lm_ids)
-    dist[np.flatnonzero(present), pos[present]] = 0
+    if n:
+        pos = np.searchsorted(ids, lm_ids)
+        present = (pos < n) & (ids[pos.clip(max=n - 1)] == lm_ids)
+        dist[np.flatnonzero(present), pos[present]] = 0
+    else:
+        # zero-edge graph: no endpoint domain, every landmark is
+        # "missing" and falls through to the self-row emission below
+        # (the distributed branch and the oracle both return exactly
+        # the (l, l, 0) rows on this input)
+        present = np.zeros(len(lm_ids), dtype=bool)
     for _ in range(hops):
         if not len(di_s):
             break

@@ -35,6 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# measured-size duality gate; overridable per call (local_caps=(0, 0)
+# forces the distributed branch in tests — mst.py / mis.py convention)
+_LOCAL_N_CAP = 2_000_000
+_LOCAL_E_CAP = 5_000_000
+
 
 def landmark_stress(
     nodes: DataFrame,
@@ -42,6 +47,7 @@ def landmark_stress(
     n_landmarks: int = 8,
     hops: int = 3,
     landmark_by: str = "degree",
+    local_caps: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(node, stress) over the undirected simple graph, stress summed
     over all landmark pairs whose distance is within `hops`; only nodes
@@ -53,10 +59,12 @@ def landmark_stress(
     from .undirected import und_cached
 
     spark = nodes.sparkSession
+    if local_caps is None:
+        local_caps = (_LOCAL_N_CAP, _LOCAL_E_CAP)
     und = und_cached(spark, edges).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
-    if nodes.count() <= 2_000_000 and und.count() <= 5_000_000:
+    if nodes.count() <= local_caps[0] and und.count() <= local_caps[1]:
         # measured-size duality: identical σ-counting BFS, vectorized
         return _stress_local(nodes, edges, n_landmarks, hops, landmark_by)
     sym = scratch_persist(

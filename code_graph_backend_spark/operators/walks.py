@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 
 from .components import _parts_for
 
+# frontier-broadcast gate: at or below this the per-step frontier is
+# broadcast into the edge join. Module-level so tests can monkeypatch it
+# to 0 and execute the at-scale (shuffle-join) branch — it must never be
+# first-executed in production (mst.py / mis.py convention).
+_BROADCAST_FRONTIER_CAP = 2_000_000
+
 
 def random_walks(
     nodes: DataFrame,
@@ -49,7 +55,7 @@ def random_walks(
     parts = _parts_for(n_front)
     out = frontier.select("walk_id", F.lit(0).cast("long").alias("step"), "node")
     for step in range(1, walk_len + 1):
-        small = n_front <= 2_000_000
+        small = n_front <= _BROADCAST_FRONTIER_CAP
         f = F.broadcast(frontier) if small else frontier
         hop = e.join(f, e["src"] == f["node"]).select(
             "walk_id",

@@ -56,13 +56,14 @@ from . import registry_ext10  # noqa: F401
     SELECT d.event_id, d.event_type, ROUND(d.x / 1000.0, 3) AS value,
            d.dev2
     FROM d JOIN s USING (event_type)
-    WHERE 40000 * d.dev2 > 3 * 14826 * s.mad4
+    WHERE 20000 * d.dev2 > 3 * 14826 * s.mad4
     ORDER BY event_id
     """,
 )
 def events_outliers_mad_q(spark, sf_dir):
     """Per-type robust outliers: |x − median| > 3·1.4826·MAD with the
-    boundary evaluated as 40000·dev2 > 44478·mad4 — half-integer medians
+    boundary evaluated as 20000·dev2 > 44478·mad4 (dev2 = 2|x−med|,
+    mad4 = 4·MAD, so 2·dev2 > 3·1.4826·mad4) — half-integer medians
     doubled into BIGINT so the comparison is exact in both engines
     (streaming/gates.py event_mad_stats / mad_outlier_gate). Shape: two
     per-type hash-aggs (median, then MAD of the deviations — inherently

@@ -123,14 +123,14 @@ def corpus_cross_entropy_shift_q(spark, sf_dir):
     )
     SELECT d.vec_id, d.label, d.nq AS norm2_q, d.dev2
     FROM d JOIN s USING (label)
-    WHERE 40000 * d.dev2 > 3 * 14826 * s.mad4
+    WHERE 20000 * d.dev2 > 3 * 14826 * s.mad4
     ORDER BY d.vec_id
     """,
 )
 def emb_norm_outliers_q(spark, sf_dir):
     """Corrupt-embedding detection: per-label robust outliers on EXACT
     integer squared norms (Σ round(x·1000)² — the kmeans quantization
-    domain), gated by the same 40000·dev2 > 44478·mad4 MAD boundary as
+    domain), gated by the same 20000·dev2 > 44478·mad4 MAD boundary as
     events_outliers_mad. A truncated, zeroed, or double-scaled vector
     shifts its norm far outside its label's MAD band while means/sigmas
     would be dragged by the very rows being hunted. Shape: one JVM-side
@@ -165,7 +165,7 @@ def emb_norm_outliers_q(spark, sf_dir):
     )
     return (
         d.join(F.broadcast(s.select("label", "mad4")), "label")
-        .filter(F.lit(40000) * F.col("dev2") > F.lit(3 * 14826) * F.col("mad4"))
+        .filter(F.lit(20000) * F.col("dev2") > F.lit(3 * 14826) * F.col("mad4"))
         .select("vec_id", "label", F.col("nq").alias("norm2_q"), "dev2")
         .orderBy("vec_id")
     )

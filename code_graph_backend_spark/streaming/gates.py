@@ -105,9 +105,10 @@ def mad_outlier_gate(
     """Rows with |x − med| > k·1.4826·MAD (1.4826 ≈ the normal-
     consistency constant) under an EXACT integer boundary: with
     dev2 = |2x − med2| (2x units) and mad4 (4x units), the gate
-    |x−med| > k·(14826/10000)·MAD becomes
+    |x−med| > k·(14826/10000)·MAD becomes (dev2 = 2|x−med|, mad4 = 4·MAD,
+    so dev2/2 > k·1.4826·mad4/4 ⟺ 2·dev2 > k·1.4826·mad4 ⟺)
 
-        40000·dev2 > k·14826·mad4
+        20000·dev2 > k·14826·mad4
 
     — pure BIGINT products (bounded by 4·10⁴·|2x|, far inside int64 for
     milli-quantized values). Stateless: broadcast stats join + filter,
@@ -118,7 +119,7 @@ def mad_outlier_gate(
             "dev2", F.abs(F.lit(2) * F.col("x") - F.col("med2"))
         )
         .filter(
-            F.lit(40000) * F.col("dev2") > F.lit(k * 14826) * F.col("mad4")
+            F.lit(20000) * F.col("dev2") > F.lit(k * 14826) * F.col("mad4")
         )
         .select(
             "event_id", "event_type",

@@ -21,6 +21,8 @@ storage-free equivalent with identical semantics."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..mutations.merge import merge_edges, merge_nodes
 
@@ -28,15 +30,52 @@ from ..mutations.merge import merge_edges, merge_nodes
 class StreamingUpsert:
     """Accumulates a stream of node (or edge) batches into a merged
     frame. `state` is always a valid, fully-merged snapshot — readable
-    between or after micro-batches."""
+    between or after micro-batches.
 
-    def __init__(self, initial: DataFrame, key=("id",), edges: bool = False):
+    merge_nodes' full-outer key join assumes ONE row per key per side,
+    but a micro-batch may carry several updates to the same key (two
+    webhook drops for one file; availableNow coalescing multiple JSONL
+    files into one batch). Pass `order_col` (a per-row sequence /
+    ingest-timestamp column, unique per key within a batch) and the
+    batch is reduced to the LAST row per key before the merge — the
+    same last-writer-wins a sequential row-at-a-time MERGE replay would
+    settle on. Without `order_col` the one-row-per-key precondition is
+    ASSERTED per batch (an extra key-cardinality agg), never silently
+    violated."""
+
+    def __init__(
+        self,
+        initial: DataFrame,
+        key=("id",),
+        edges: bool = False,
+        order_col: str | None = None,
+    ):
         self.state = initial.localCheckpoint(eager=True)
         self._key = tuple(key)
         self._edges = edges
+        self._order_col = order_col
         self.epochs = 0
 
+    def _dedupe(self, batch: DataFrame) -> DataFrame:
+        key = ["src", "dst", "type"] if self._edges else list(self._key)
+        if self._order_col is None:
+            dup = (
+                batch.groupBy(*key).count().filter(F.col("count") > 1).limit(1)
+            )
+            assert not dup.take(1), (
+                f"micro-batch has multiple rows per key {key}; pass "
+                "order_col= to StreamingUpsert for last-writer-wins"
+            )
+            return batch
+        w = Window.partitionBy(*key).orderBy(F.col(self._order_col).desc())
+        return (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def apply_batch(self, batch: DataFrame, epoch_id: int | None = None):
+        batch = self._dedupe(batch)
         if self._edges:
             merged = merge_edges(self.state, batch)
         else:

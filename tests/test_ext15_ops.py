@@ -41,7 +41,7 @@ class TestMadGate:
         MAD of deviations {3.5,2.5,1.5,.5,.5,1.5,2.5,95.5} → sorted
         deviations (x1000, doubled): med2=9000; dev2 = |2x-9|·1000 →
         {7000,5000,3000,1000,1000,3000,5000,191000}; median = 4000 ⇒
-        mad4 = 8000. Gate: 40000·dev2 > 44478·8000 → dev2 > 8895.6 ⇒
+        mad4 = 8000. Gate: 20000·dev2 > 44478·8000 → dev2 > 17791.2 ⇒
         only the 100 flags. A 3-sigma MEAN gate on the same data flags
         nothing extra — but crucially the robust med stays at 4.5 while
         the mean was dragged to 15.4."""
