@@ -20,6 +20,25 @@ floor division K // s_int with K = floor(α·m²·2^49·10^6) precomputed
 ONCE in the generator, and the linear-counting branch reads a 255-row
 lookup table of pre-floored 256·ln(256/v) micro values emitted as the
 same literals into both engines.
+
+Physical design (round 6 — the r5 wire format was the suite's slow
+pole): register state is 256 B/node, so a graph under the measured-size
+caps carries its ENTIRE sketch state in a (n, 256) uint8 matrix
+(186k nodes at sf0.1 = 48 MB) — the driver-local path does each hop as
+one numpy gather + maximum.reduceat over the memoized edge arrays
+(operators/undirected.und_arrays), zero shuffle, zero Arrow round-trip.
+The r5 row form ((grp, bucket, m) rows) emitted |sym| × avg-registers
+rows into a max-agg per hop (~35M rows at sf0.1, 20.5 s); a packed
+array<tinyint> column with 256 max() agg buffers disables whole-stage
+codegen (spark.sql.codegen.maxFields = 100) and measured 39 s. Above
+the caps, the distributed twin ships packed 256-byte BINARY registers
+through an Arrow-vectorized partial combine → shuffle on node →
+final combine (mapInPandas, np.maximum.reduceat inside) — the same
+partial-agg/shuffle/final-agg shape Catalyst would pick, with the
+element-wise-max the JVM lacks done at memory bandwidth in numpy.
+Forced and pinned equal to the local path in tests (cap=0 monkeypatch,
+tests/test_ext30_ops.py), so the at-scale branch is never
+first-executed in production.
 """
 
 from __future__ import annotations
@@ -28,7 +47,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from .functions.sketches import _M, _rho_sql, hll_register_table
+from .functions.sketches import _M, _rho_sql
 from .registry import register
 
 _ANF_HOPS = 2
@@ -42,6 +61,12 @@ _LC_MICRO = {
     for v in range(1, _M)
 }
 _RAW_GATE = 640 * 1_000_000  # 2.5 * m, in micro units
+
+# measured-size duality gate (landmarks/stress/mst convention): at or
+# below these the register propagation runs driver-local on the shared
+# edge-array cache; tests force the distributed twin with caps (0, 0).
+_LOCAL_N_CAP = 2_000_000
+_LOCAL_E_CAP = 5_000_000
 
 
 def _anf_sql() -> str:
@@ -110,37 +135,275 @@ def _anf_sql() -> str:
     return "\n".join(parts)
 
 
-@register("graph_anf_sketch", _anf_sql())
-def graph_anf_sketch_q(spark, sf_dir):
-    """ANF over the graph twin: N(h) = Σ_v est|B_h(v)| for h = 0..2,
-    via register-table propagation (one edge join + one register
-    max-agg per hop; the register table is ≤ nodes × min(ball, 256)
-    rows — the point of sketching balls instead of enumerating them).
-    The estimate is a pure INTEGER function of the registers (module
-    docstring), so this approximate-by-design sketch hash-matches the
-    oracle exactly."""
-    from .graph.tpch import build_graph
-    from .operators.undirected import und_cached
+def _seed_df(g):
+    """(grp, bucket, rho) per node — the md5 bucket/rho derivation runs
+    in Spark SQL with the EXACT expressions of hll_register_table
+    (functions/sketches.py), so both execution paths and the DuckDB
+    oracle share one hash definition."""
+    h = F.md5(F.col("id").cast("string"))
+    rho = F.expr(
+        _rho_sql("substring(md5(cast(id as string)), 3, 12)")
+    ).cast("int")
+    return g.nodes.select(
+        F.col("id").alias("grp"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        rho.alias("rho"),
+    )
+
+
+def _est_totals(s_ints, zvs) -> int:
+    """Σ est_micro over nodes from exact integer (s_int, zv) pairs.
+    K // s_int is an 85-bit-by-58-bit integer division — Python ints
+    keep it exact (float64 flips floors at the last ulp; that was the
+    original sf0.01 hash lesson in this module's docstring)."""
+    total = 0
+    for s, z in zip(s_ints, zvs):
+        raw = _K // int(s)
+        if z > 0 and raw <= _RAW_GATE:
+            total += _LC_MICRO[int(z)]
+        else:
+            total += raw
+    return total
+
+
+# expanded-triple chunk size for the hop scatter: big enough to
+# amortize numpy call overhead, small enough that the chunk's index/
+# key/value temporaries (~7 B per triple) stay cache/TLB-friendly and
+# no multi-GB first-touch allocation happens (measured: a single 213M-
+# triple expansion at sf0.1 paid ~20 s of page faults on first run)
+_ANF_CHUNK = 16_000_000
+
+
+def _anf_static(spark, g):
+    """Seed triples + sender-sorted sym edge indices, collected once
+    per (session, graph) into the shared kernel-array memo — every
+    re-run of the query (bench samples, repeated API calls) is then
+    pure array work."""
+    import numpy as np
+
+    from .operators.undirected import _ARR_MEMO, _arr_memo_put, und_arrays
+
+    key = ("anf", id(spark), id(g.nodes))
+    hit = _ARR_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
+    seed = _seed_df(g).toPandas()
+    ids = np.sort(seed["grp"].to_numpy(np.int64))
+    n = len(ids)
+    pos = np.searchsorted(ids, seed["grp"].to_numpy(np.int64)).astype(np.int64)
+    # sort the seed triples by node position: the hop expansion reads
+    # them as a CSR laid out by node (bincount-cumsum offsets), which
+    # np.nonzero guarantees for later hops but the seed order does not
+    s_order = np.argsort(pos, kind="stable")
+    pos = pos[s_order]
+    seed_bucket = seed["bucket"].to_numpy(np.int64)[s_order]
+    seed_rho = seed["rho"].to_numpy(np.uint8)[s_order]
+    arrs = und_arrays(spark, g.edges)
+    # receiver/sender positional pairs in the FULL node domain (the
+    # und_arrays 'ids' domain is endpoints-only; isolated nodes still
+    # hold their own register through every hop). Edges sorted by
+    # sender so each hop's triple expansion is a contiguous CSR-block
+    # repeat per sender. int32 everywhere a value fits: the hop-2
+    # expansion streams hundreds of millions of indices, and halving
+    # their width halves the memory traffic of the whole kernel.
+    ai = np.searchsorted(ids, arrs["a"]).astype(np.int32)
+    bi = np.searchsorted(ids, arrs["b"]).astype(np.int32)
+    rcv = np.concatenate([ai, bi])
+    snd = np.concatenate([bi, ai])
+    e_order = np.argsort(snd, kind="stable")
+    out = {
+        "n": n,
+        "seed_flat_idx": pos * _M + seed_bucket,
+        "seed_rho": seed_rho,
+        "rcv_s": rcv[e_order],
+        "snd_s": snd[e_order].astype(np.int64),
+    }
+    _arr_memo_put(key, g.nodes, out)
+    return out
+
+
+def _anf_local(spark, g, und):
+    """Driver-local kernel: flat (n·256,) uint8 register state; one hop
+    expands the SPARSE nonzero triples (node, bucket, m) of every
+    sender along its out-edges and scatter-maxes them with ONE flat
+    np.maximum.at on keys rcv·256 + bucket. The flat 1-D indexed-max
+    has numpy's fast inner loop (~300M updates/s measured); the dense
+    alternatives run generic loops (np.maximum.reduceat over the
+    gathered (|sym|, 256) matrix: ~10 s/hop at sf0.1; 2-D maximum.at:
+    ~9 s/hop). Sparsity bounds the flow: hop 1 moves exactly |sym|
+    single-register triples, hop 2 moves Σ_b deg(b)·nnz_1(b) (213M at
+    sf0.1 — graph-determined, vs dense |sym|·256 = 695M). The (bucket,
+    m) pair is packed into one uint16 so the expansion does ONE gather
+    per triple, processed in cache-sized chunks (_ANF_CHUNK). No
+    shuffle, no per-hop Arrow round-trip."""
+    import numpy as np
+
+    st = _anf_static(spark, g)
+    n = st["n"]
+    flat = np.zeros(n * _M, dtype=np.uint8)  # row-major (node, bucket)
+    flat[st["seed_flat_idx"]] = st["seed_rho"]
+    rcv_s, snd_s = st["rcv_s"], st["snd_s"]
+
+    # s_int = Σ_i 2^(49 - regs[i]) = 256·2^49 + Σ_nonzero (2^(49-m) -
+    # 2^49): accumulated with np.add.at over the nonzero triples in
+    # exact int64 (max |Σ| < 2^57). The empty register's 2^49 is
+    # exactly the (256 - cnt)·2^49 term of the row-form oracle.
+    pow2 = np.int64(1) << (49 - np.arange(50, dtype=np.int64))
+    delta = pow2 - (np.int64(1) << 49)
+
+    rows = []
+    regs2d = flat.reshape(n, _M)
+    # hop-0 state IS the seed — its sparse triples need no matrix scan
+    nz_node = (st["seed_flat_idx"] // _M).astype(np.int64)
+    nz_bucket = (st["seed_flat_idx"] % _M).astype(np.int64)
+    nz_val = st["seed_rho"]
+    aran = np.arange(_ANF_CHUNK + 512, dtype=np.int32)  # reused slices
+    for hop in range(_ANF_HOPS + 1):
+        if hop and len(snd_s):
+            # expand the PRE-hop triples (nz_* carried from the
+            # previous iteration's scan — one matrix scan per hop, not
+            # two). Pack (bucket, m) into one uint16: one gather per
+            # triple. All per-triple streams are int32: under the caps
+            # n*256 < 2^31 and nnz < 2^31, and halving the index width
+            # halves the memory traffic of the 100M+-triple expansion.
+            packed = (nz_bucket.astype(np.uint16) << 6) | nz_val
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(nz_node, minlength=n), out=starts[1:])
+            cnt = starts[snd_s + 1] - starts[snd_s]
+            csum = np.cumsum(cnt)
+            # chunk boundaries on EDGES such that each chunk expands to
+            # <= _ANF_CHUNK triples (+ one edge's <=256-triple block)
+            cuts = np.searchsorted(
+                csum, np.arange(_ANF_CHUNK, int(csum[-1]), _ANF_CHUNK)
+            )
+            edge_cuts = [0, *(int(c) + 1 for c in cuts), len(snd_s)]
+            rcv_keys = rcv_s.astype(np.int32) * np.int32(_M)
+            for lo, hi in zip(edge_cuts, edge_cuts[1:]):
+                if lo >= hi:
+                    continue
+                c = cnt[lo:hi]
+                tot = int(c.sum())
+                if not tot:
+                    continue
+                base = csum[lo] - cnt[lo]
+                # triple index = repeat(block_start - global_block_
+                # offset + chunk_base) + global position, where the
+                # global position is a SLICE of one preallocated arange
+                # (a fresh arange per chunk measured 2 s of kernel) and
+                # the two repeat streams of the naive form are fused
+                # into one
+                comb = (
+                    starts[snd_s[lo:hi]] - (csum[lo:hi] - c) + base
+                ).astype(np.int32)
+                tri = np.repeat(comb, c)
+                tri += aran[:tot]
+                pk = packed[tri]
+                keys = np.repeat(rcv_keys[lo:hi], c)
+                keys += pk >> 6
+                np.maximum.at(
+                    flat, keys, (pk & np.uint16(63)).astype(np.uint8)
+                )
+            # POST-hop scan, shared between this hop's estimate and the
+            # next hop's expansion
+            nz_node, nz_bucket = np.nonzero(regs2d)
+            nz_val = regs2d[nz_node, nz_bucket]
+        s_int = np.full(n, np.int64(_M) << 49, dtype=np.int64)
+        np.add.at(s_int, nz_node, delta[nz_val])
+        zv = np.full(n, _M, dtype=np.int64)
+        zv -= np.bincount(nz_node, minlength=n)
+        rows.append((hop, n, _est_totals(s_int.tolist(), zv.tolist())))
+    return spark.createDataFrame(
+        rows, "hop long, n_nodes long, sum_ball_micro long"
+    ).orderBy("hop")
+
+
+def _anf_distributed(spark, g, und):
+    """At-scale twin: packed 256-byte BINARY registers, one row per
+    node; a hop is edge-join → Arrow-vectorized partial combine on the
+    join partitioning → shuffle on node → final combine — the
+    partial-agg/shuffle/final-agg shape with the element-wise max done
+    by np.maximum.reduceat inside mapInPandas (256 JVM max() buffers
+    disable whole-stage codegen; a register-row encoding multiplies the
+    shuffle by avg-ball-size — both measured slower at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
     from .scratch import scratch_persist
 
-    g = build_graph(spark, sf_dir)
-    und = und_cached(spark, g.edges)
     sym = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
-    nodes_items = g.nodes.select(F.col("id").alias("grp"), F.col("id").alias("it"))
-    regs = scratch_persist(hll_register_table(nodes_items, "grp", "it"))
+
+    def _combine(it):
+        acc: dict = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            grps = pdf["grp"].to_numpy(np.int64)
+            mat = np.frombuffer(
+                b"".join(pdf["regs"].tolist()), dtype=np.uint8
+            ).reshape(-1, _M)
+            order = np.argsort(grps, kind="stable")
+            sg = grps[order]
+            bounds = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+            merged = np.maximum.reduceat(mat[order], bounds, axis=0)
+            for gid, row in zip(sg[bounds].tolist(), merged):
+                prev = acc.get(gid)
+                if prev is None:
+                    acc[gid] = row.copy()
+                else:
+                    np.maximum(prev, row, out=prev)
+        if acc:
+            gids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+            mat = np.stack(list(acc.values()))
+            blob = mat.tobytes()
+            yield pd.DataFrame(
+                {
+                    "grp": gids,
+                    "regs": [
+                        blob[i * _M : (i + 1) * _M] for i in range(len(gids))
+                    ],
+                }
+            )
+
+    def _pack_init(it):
+        for pdf in it:
+            k = len(pdf)
+            if not k:
+                continue
+            mat = np.zeros((k, _M), dtype=np.uint8)
+            mat[
+                np.arange(k), pdf["bucket"].to_numpy(np.int64)
+            ] = pdf["rho"].to_numpy(np.int64)
+            blob = mat.tobytes()
+            yield pd.DataFrame(
+                {
+                    "grp": pdf["grp"].to_numpy(np.int64),
+                    "regs": [blob[i * _M : (i + 1) * _M] for i in range(k)],
+                }
+            )
+
+    schema = "grp long, regs binary"
     lc = F.broadcast(
         spark.createDataFrame(list(_LC_MICRO.items()), "zv long, mic long")
     )
 
-    def _hop_sum(r, h):
-        agged = r.groupBy("grp").agg(
-            (
-                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - m)"))
-                + (F.lit(_M) - F.count("*")) * F.lit(_SCALE)
+    def _hop_sum(r, hop):
+        # unpack once per node-row (≤|nodes| rows by now); the big-int
+        # raw division runs in DECIMAL(38) on the JVM, identical to the
+        # oracle's HUGEINT floor division
+        unpack = (
+            "transform(sequence(0, 255),"
+            " i -> CAST(conv(substring(hex(regs), 2*i+1, 2), 16, 10) AS INT))"
+        )
+        agged = r.select(
+            F.expr(
+                f"aggregate({unpack}, CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 49 - x))"
             ).alias("s_int"),
-            (F.lit(_M) - F.count("*")).cast("long").alias("zv"),
+            F.expr(
+                f"CAST(size(filter({unpack}, x -> x = 0)) AS BIGINT)"
+            ).alias("zv"),
         )
         fin = agged.join(lc, "zv", "left").select(
             F.when(
@@ -155,27 +418,45 @@ def graph_anf_sketch_q(spark, sf_dir):
             .cast("long")
             .alias("est_micro")
         )
-        return (
-            fin.agg(
-                F.count("*").cast("long").alias("n_nodes"),
-                F.sum("est_micro").cast("long").alias("sum_ball_micro"),
-            )
-            .select(
-                F.lit(h).cast("long").alias("hop"), "n_nodes", "sum_ball_micro"
-            )
+        return fin.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("est_micro").cast("long").alias("sum_ball_micro"),
+        ).select(
+            F.lit(hop).cast("long").alias("hop"), "n_nodes", "sum_ball_micro"
         )
 
-    outs = [_hop_sum(regs, 0)]
-    r = regs
-    for h in range(1, _ANF_HOPS + 1):
+    r = scratch_persist(_seed_df(g).mapInPandas(_pack_init, schema))
+    outs = [_hop_sum(r, 0)]
+    for hop in range(1, _ANF_HOPS + 1):
         nbr = sym.join(r.withColumnRenamed("grp", "b"), "b").select(
-            F.col("a").alias("grp"), "bucket", "m"
+            F.col("a").alias("grp"), "regs"
         )
         r = scratch_persist(
-            r.unionByName(nbr).groupBy("grp", "bucket").agg(F.max("m").alias("m"))
+            r.unionByName(nbr)
+            .mapInPandas(_combine, schema)  # map-side partial combine
+            .repartition("grp")
+            .mapInPandas(_combine, schema)  # final merge, one row/node
         )
-        outs.append(_hop_sum(r, h))
+        outs.append(_hop_sum(r, hop))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("hop")
+
+
+@register("graph_anf_sketch", _anf_sql())
+def graph_anf_sketch_q(spark, sf_dir):
+    """ANF over the graph twin: N(h) = Σ_v est|B_h(v)| for h = 0..2.
+    Measured-size duality (module docstring): driver-local register
+    matrix below the caps, packed-BINARY mapInPandas propagation above
+    them. Both paths share the Spark-SQL md5 seed derivation and the
+    exact integer estimator, so this approximate-by-design sketch
+    hash-matches the row-form DuckDB oracle exactly on either path."""
+    from .graph.tpch import build_graph
+    from .operators.undirected import und_cached
+
+    g = build_graph(spark, sf_dir)
+    und = und_cached(spark, g.edges)
+    if g.nodes.count() <= _LOCAL_N_CAP and und.count() <= _LOCAL_E_CAP:
+        return _anf_local(spark, g, und)
+    return _anf_distributed(spark, g, und)

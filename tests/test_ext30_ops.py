@@ -84,3 +84,88 @@ class TestAnfSketch:
                     tot += raw
             got[h] = tot
         assert got == want
+
+
+class TestAnfDuality:
+    """Round-6 physical rework: the registered query routes through a
+    driver-local sparse scatter kernel below the measured-size caps and
+    a packed-BINARY mapInPandas twin above them. Both must equal the
+    pure-Python register replica, and each other."""
+
+    def _fixture(self, spark):
+        from types import SimpleNamespace
+
+        ndf = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "id long")
+        # path 1-2-3 plus a 4-5 pair: two components, exercises both
+        # propagation and the isolated-ish small component
+        edf = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+        )
+        return SimpleNamespace(nodes=ndf, edges=edf)
+
+    def _want(self):
+        balls = {
+            0: {1: {1}, 2: {2}, 3: {3}, 4: {4}, 5: {5}},
+            1: {1: {1, 2}, 2: {1, 2, 3}, 3: {2, 3}, 4: {4, 5}, 5: {4, 5}},
+            2: {
+                1: {1, 2, 3}, 2: {1, 2, 3}, 3: {1, 2, 3},
+                4: {4, 5}, 5: {4, 5},
+            },
+        }
+        return {
+            h: sum(_est_micro(balls[h][v]) for v in balls[h])
+            for h in balls
+        }
+
+    def test_local_kernel_matches_replica(self, spark):
+        from code_graph_backend_spark.operators.undirected import und_cached
+
+        g = self._fixture(spark)
+        got = {
+            r["hop"]: r["sum_ball_micro"]
+            for r in ext30._anf_local(
+                spark, g, und_cached(spark, g.edges)
+            ).collect()
+        }
+        assert got == self._want()
+
+    def test_distributed_twin_matches_local_and_replica(self, spark):
+        from code_graph_backend_spark.operators.undirected import und_cached
+
+        g = self._fixture(spark)
+        got = {
+            r["hop"]: r["sum_ball_micro"]
+            for r in ext30._anf_distributed(
+                spark, g, und_cached(spark, g.edges)
+            ).collect()
+        }
+        assert got == self._want()
+
+    def test_caps_route_to_distributed(self, spark, monkeypatch):
+        """cap=0 forces the registered query itself down the at-scale
+        branch (landmarks/stress/mst convention) — the distributed twin
+        is never first-executed in production."""
+        monkeypatch.setattr(ext30, "_LOCAL_N_CAP", 0)
+        monkeypatch.setattr(ext30, "_LOCAL_E_CAP", 0)
+        df = ext30.graph_anf_sketch_q(spark, "/root/testdata/sf0.001")
+        rows = {r["hop"]: r["sum_ball_micro"] for r in df.collect()}
+        monkeypatch.undo()
+        df2 = ext30.graph_anf_sketch_q(spark, "/root/testdata/sf0.001")
+        rows2 = {r["hop"]: r["sum_ball_micro"] for r in df2.collect()}
+        assert rows == rows2 and len(rows) == 3
+
+    def test_zero_edge_graph(self, spark):
+        from types import SimpleNamespace
+
+        from code_graph_backend_spark.operators.undirected import und_cached
+
+        ndf = spark.createDataFrame([(7,), (9,)], "id long")
+        edf = spark.createDataFrame([], "src long, dst long")
+        g = SimpleNamespace(nodes=ndf, edges=edf)
+        want = _est_micro({7}) + _est_micro({9})
+        for fn in (ext30._anf_local, ext30._anf_distributed):
+            got = {
+                r["hop"]: r["sum_ball_micro"]
+                for r in fn(spark, g, und_cached(spark, g.edges)).collect()
+            }
+            assert got == {0: want, 1: want, 2: want}, fn.__name__
