@@ -60,53 +60,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Grading-order rotation (the driver caps correctness rows per round,
-# ~50): the round-4 RED row goes first — it is the one wrong answer on
-# record and re-grading it green outranks everything (VERDICT r4 top
-# item); then the queries whose IMPLEMENTATION changed this round (the
-# cosine-quantized family: their old green rows predate the change);
-# then NEVER-GRADED queries in registration order (a query with no row
-# at all is worse than a one-round-old row — the newest wave entries at
-# the block's tail may spill past the cap into next round's refresh,
-# which is the right sacrifice); then the entries whose freshest
-# official row is round 2; the remainder keeps registration order
-# (fresh round-3/4 rows).
+# ~50). Round 6 is the declared consolidation round (VERDICT r5 items
+# 1/5/6): the registry is FROZEN at 234 — no new queries this round.
+# Order: (1) the three never-graded queries whose implementation
+# changed THIS round (graph_anf_sketch physical rework; the MAD-gate
+# boundary fix behind events_outliers_mad / emb_norm_outliers) — a
+# changed query must meet the driver before anything else; (2) the
+# remaining 60 never-graded queries in registration order — the
+# driver's ~50-row cap leaves the last ~13 (the newest r5 wave) for
+# round 7, the declared sacrifice; (3) queries whose r5-green rows
+# predate this round's kernel-hardening commit (landmarks zero-edge
+# guard, caps hoist in landmarks/stress/walks); (4) queries with
+# r3/r4 rows whose implementing modules changed during round 5
+# (dedup/similarity/packing/bpe/sketches/text function files, the
+# labelprop/pagerank array-cache rework, cypher WITH-aggregation) —
+# substrate-changed rows outrank merely-old ones; (5) the 33 r2-stale
+# rows (three-round-old evidence is the oldest anything should get);
+# (6) the remainder in registration order.
 _PRIORITY = [
-    # round-4 red row, reworked this round (space-count tokens, ordered
-    # output, explicit BIGINT casts) — MUST re-grade
-    "token_budget_select",
-    # implementation changed this round: gates/ranks now quantized
-    "dedup_semantic_clusters", "emb_hard_negatives",
-    "dedup_embedding_cosine", "ann_cosine_topk",
-    # implementation changed late this round (memoized substrates,
-    # vectorized measured-size local paths, shared-gate memo): their
-    # old green rows predate the change — re-grade before anything new
-    "graph_wcc_bounded", "graph_kcore", "graph_scc_bounded",
-    "graph_landmark_distances", "graph_stress_centrality",
-    "graph_triangle_count", "graph_jaccard_neighbors", "graph_ktruss",
-    "graph_edge_embeddedness", "curation_pipeline", "curation_pipeline_v2",
-    "curation_pipeline_v3", "graph_modularity",
-    # round-5 additions (never graded yet)
-    "chunk_documents", "token_ngram_novelty", "corpus_profile",
-    "emb_kcenter_select", "events_user_ewma", "graph_assortativity",
-    "emb_int8_calibration", "graph_ppr", "chunk_dedup_stats",
-    "corpus_lang_confusion", "vocab_zipf_spectrum",
-    "ann_ivf_exact", "gopher_quality_gates", "corpus_mixture_plan",
-    "bpe_fertility_by_lang", "text_bigram_logprob", "dedup_lsh_eval",
-    "pack_boundary_stats", "dsir_importance_select",
-    "corpus_quantile_summary", "contamination_bloom", "corpus_heavy_hitters",
-    "dedup_containment", "shard_manifest",
-    "quality_linear_score", "graph_random_walks", "walk_skipgram_pairs",
-    "w_distinct_users_hll", "shard_manifest_incremental",
-    "corpus_vocab_coverage", "graph_ffl_motifs", "mm_tga_features",
+    # (1) never graded AND changed this round
+    "graph_anf_sketch", "events_outliers_mad", "emb_norm_outliers",
+    # (2) never-graded backlog, registration order
     "mm_ppm_features",
     "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
     "emb_matryoshka_overlap", "corpus_source_overlap",
     "dedup_semdedup", "er_fuzzy_name_pairs",
     "text_kn_bigram_logprob",
     "events_trigram_patterns", "text_rake_keywords",
-    "events_outliers_mad", "quality_calibration_bins",
+    "quality_calibration_bins",
     "events_changepoint",
-    "corpus_cross_entropy_shift", "emb_norm_outliers", "source_template_overlap",
+    "corpus_cross_entropy_shift", "source_template_overlap",
     "events_stickiness", "events_rfm", "emb_centroid_drift",
     "graph_mst_boruvka", "events_autocorrelation", "corpus_simpson_diversity",
     "graph_butterfly_count", "graph_luby_mis", "shard_zonemap_prune",
@@ -125,10 +108,28 @@ _PRIORITY = [
     "dq_k_anonymity", "graph_eccentricity_bounds", "graph_core_decomposition",
     "events_window_funnel", "events_slo_burn",
     "curation_gate_ablation", "dedup_cluster_sizes",
-    "shard_zorder_prune", "supply_risk_single_source", "graph_anf_sketch",
+    "shard_zorder_prune", "supply_risk_single_source",
     "shard_hash_ring", "events_bot_regularity",
     "events_latency_percentiles", "emb_silhouette_proxy",
-    # freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
+    # (3) r5-green rows predating this round's kernel hardening
+    "graph_landmark_distances", "graph_stress_centrality",
+    "graph_random_walks", "walk_skipgram_pairs",
+    # (4) r3/r4 rows on modules that changed during round 5
+    "graph_label_propagation", "graph_pagerank",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_minhash_exact", "dedup_simhash_exact",
+    "dedup_minhash_incremental", "dedup_minhash_clusters",
+    "dedup_substring_spans", "ann_lsh_topk", "ann_lsh_exact",
+    "ann_pq_exact", "pack_sequences", "pack_sequences_sharded",
+    "sample_temperature", "bpe_pair_stats", "bpe_train_merges",
+    "bpe_apply_token_counts", "corpus_distinct_hll", "corpus_hll_merge",
+    "emb_kmeans_assign", "emb_power_iteration", "emb_label_centroids",
+    "emb_similarity_histogram", "mm_media_features", "mm_frame_features",
+    "mm_wav_features", "mm_avi_frames", "text_token_stats",
+    "text_quality_score", "text_lang_pred", "text_fingerprint",
+    "text_repetition", "text_unigram_logprob", "cypher_frontend_hop",
+    "boilerplate_stats",
+    # (5) freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
     "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
     "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
