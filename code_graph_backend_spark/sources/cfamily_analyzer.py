@@ -48,6 +48,10 @@ _TYPE_DECL_RE = re.compile(
 # annotation with optional argument list (one nesting level inside the
 # parens — enough after string literals are blanked)
 _ANNOT_RE = re.compile(r"@[A-Za-z_][\w.]*(?:\s*\((?:[^()]|\([^()]*\))*\))?")
+# annotation WITH an argument list only — used to blank annotation
+# spans out of method bodies before call scanning (an argless
+# `@Override` can't match the call regex anyway)
+_ANNOT_ARGS_RE = re.compile(r"@[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\)")
 # C# attribute group(s) at the start of a parameter: `[FromBody] User u`
 _CS_ATTR_PREFIX_RE = re.compile(r"^(?:\s*\[[^\[\]]*\])+")
 # `ReturnType name(`: two identifier-ish tokens (the first possibly generic/
@@ -79,6 +83,17 @@ _CALL_RE = re.compile(
 # (`stream().filter(...)`) — _CALL_RE's lookbehind rejects the `.` after
 # `)`, so these are matched separately and unioned by callee offset
 _CHAIN_CALL_RE = re.compile(r"\)\s*\.\s*([A-Za-z_]\w*)\s*\(")
+
+
+def _blank_spans(text: str, regex: re.Pattern) -> str:
+    """Space-fill every regex match, PRESERVING offsets (re.sub would
+    shift every later call-site/line computation)."""
+    out = list(text)
+    for m in regex.finditer(text):
+        for k in range(m.start(), m.end()):
+            if out[k] != "\n":
+                out[k] = " "
+    return "".join(out)
 
 
 def _strip(source: str):
@@ -277,18 +292,18 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                 # label the reference's class capture would produce
                 "record": "Class"}
 
-    type_rows: dict[int, tuple[str, str, int]] = {}
+    # type entity rows are emitted AFTER method discovery: a local
+    # class/record declared inside a method body is DEFINES-parented at
+    # the METHOD (the reference's create_entity_hierarchy parents every
+    # entity at its nearest enclosing entity of any captured kind,
+    # source_analyzer.py:44-58), and methods aren't known yet here
+    pending_types = []  # (kind, name, decl_off, start, end, doc, parent)
     for kind, name, decl_off, open_off, close_off in types:
         parent = enclosing_type(decl_off)
         start = _line_of(source, decl_off)
         end = _line_of(source, close_off)
         doc = _doc_before(source, comments, decl_off, line_doc=is_cs, cleaned=cleaned)
-        pname, pstart = (None, None)
-        if parent is not None:
-            pname, pstart = parent[1], _line_of(source, parent[2])
-        rows.append(("entity", label_of[kind], name, path, start, end, doc,
-                     pname, pstart, None, None, None))
-        type_rows[decl_off] = (kind, name, start)
+        pending_types.append((kind, name, decl_off, start, end, doc, parent))
 
         # ---- inheritance clause -------------------------------------------
         # Generic parameter sections are erased first: `class Box<T extends
@@ -526,6 +541,23 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                             pseudo_owner, "method"))
             seen_offsets.add(m.start(2))
 
+    # ---- emit type entities (methods now known: a type declared inside
+    # a method body parents at that METHOD, tree-sitter hierarchy) -------
+    for kind, name, decl_off, start, end, doc, parent in pending_types:
+        pname, pstart = (None, None)
+        p_open = -1
+        if parent is not None:
+            pname, pstart = parent[1], _line_of(source, parent[2])
+            p_open = parent[3]
+        for (mn, mdecl, _h, mbo, mbc, *_r) in methods:
+            if (
+                mbo is not None and mbc is not None
+                and mbo < decl_off <= mbc and mbo > p_open
+            ):
+                pname, pstart, p_open = mn, _line_of(source, mdecl), mbo
+        rows.append(("entity", label_of[kind], name, path, start, end, doc,
+                     pname, pstart, None, None, None))
+
     for (name, decl_off, _hdr_end, body_open, body_close, ret, params_txt,
          owner, mkind) in methods:
         start = _line_of(source, decl_off)
@@ -551,6 +583,14 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         # invocations inside the body (reference java/analyzer.py:91-95)
         if body_open is not None and body_close is not None:
             body = cleaned[body_open + 1 : body_close]
+            if not is_cs:
+                # a Java annotation with an argument list inside a body
+                # (`@SuppressWarnings("x") var y`, annotated lambda
+                # params, local-class annotations) is an annotation
+                # node in tree-sitter, never a method_invocation —
+                # blank the whole span (offset-preserving) so its name
+                # can't read as a callee
+                body = _blank_spans(body, _ANNOT_ARGS_RE)
             sites: dict[int, str] = {}
             for cm in _CALL_RE.finditer(body):
                 callee = cm.group(1)

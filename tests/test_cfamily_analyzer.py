@@ -700,3 +700,96 @@ def test_java_compact_canonical_constructor():
     assert calls == {"validate"}
     # enum-constant body `RED {` stays a non-constructor
     assert not any(r[0] == "entity" and r[2] == "RED" for r in rows)
+
+
+def test_java_local_class_parents_at_method():
+    """tree-sitter parity tranche (r5 verdict item 7): the reference's
+    create_entity_hierarchy (source_analyzer.py:44-58) parents every
+    entity at its NEAREST enclosing entity — a local class or record
+    declared inside a method body is DEFINES-parented at the METHOD,
+    not the enclosing type."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "public class Outer {\n"
+        "    void work() {\n"
+        "        class Local { int f() { return 0; } }\n"
+        "        record Pair(int a, int b) {}\n"
+        "    }\n"
+        "    class Inner {}\n"
+        "    Outer(int x) {\n"
+        "        class CtorLocal {}\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("P.java", java)
+    parent = {
+        r[2]: r[7] for r in rows if r[0] == "entity" and r[1] == "Class"
+    }
+    assert parent["Local"] == "work"
+    assert parent["Pair"] == "work"
+    assert parent["Inner"] == "Outer"      # member class: type parent
+    assert parent["CtorLocal"] == "Outer"  # ctor entity is named Outer
+    # the local class's own method still parents at the local class
+    f_row = next(r for r in rows if r[0] == "entity" and r[2] == "f")
+    assert f_row[7] == "Local"
+
+
+def test_java_annotation_args_in_body_not_calls():
+    """An annotation WITH an argument list inside a method body
+    (annotated local var, annotated lambda param, local-class
+    annotation) is an annotation node in tree-sitter, never a
+    method_invocation — its name must not leak into CALLS."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class A {\n"
+        "    void m() {\n"
+        "        @SuppressWarnings(\"unchecked\") var x = build();\n"
+        "        use(y -> helper(y));\n"
+        "        run((@Named(\"q\") var k) -> k.close());\n"
+        "        @Deprecated class Tmp {}\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("A.java", java)
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert {"build", "use", "helper", "run", "close"} <= calls
+    assert "SuppressWarnings" not in calls
+    assert "Named" not in calls
+
+
+def test_csharp_file_scoped_namespace():
+    """C# 10 file-scoped namespaces (`namespace X;`) must parse exactly
+    like the braced form: same entities, same parents, same calls."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    body = (
+        "public class Svc {\n"
+        "    /// doc line\n"
+        "    public int Get() { return Compute(1); }\n"
+        "    int Compute(int x) => x * 2;\n"
+        "}\n"
+        "public interface IThing { }\n"
+        "public class Impl : Svc, IThing {\n"
+        "    public Impl() { Init(); }\n"
+        "}\n"
+    )
+    scoped = "namespace Some.App;\n" + body
+    braced = "namespace Some.App {\n" + body + "}\n"
+
+    def canon(rows):
+        # drop line numbers (the two forms differ by the brace line)
+        return sorted(
+            (r[0], r[1], r[2], r[7], r[9]) for r in rows
+        )
+
+    rs = parse_csharp_source("F.cs", scoped)
+    rb = parse_csharp_source("F.cs", braced)
+    assert canon(rs) == canon(rb)
+    ents = {(r[1], r[2]) for r in rs if r[0] == "entity"}
+    assert {("Class", "Svc"), ("Interface", "IThing"), ("Class", "Impl"),
+            ("Method", "Get"), ("Method", "Compute"),
+            ("Constructor", "Impl")} <= ents
+    calls = {r[9] for r in rs if r[0] == "call"}
+    assert {"Compute", "Init"} <= calls
