@@ -22,6 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# measured-size duality gates for kcore_bounded / wcc_bounded — module
+# constants (landmarks/stress/mst convention) so tests can force the
+# distributed branches with cap 0; the at-scale path must never be
+# first-executed in production
+_LOCAL_N_CAP = 2_000_000
+_LOCAL_E_CAP = 5_000_000
+
 
 def _propagation_setup(nodes: DataFrame, edges: DataFrame, value_col: str):
     """Shared preamble of the synchronous propagation loops (LPA votes,
@@ -111,7 +118,7 @@ def kcore_bounded(
     und = dir_cached(spark, edges).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
-    if und.count() <= 5_000_000:
+    if und.count() <= _LOCAL_E_CAP:
         # measured-size duality: identical peel recurrence, vectorized
         return _kcore_local(spark, edges, k, rounds)
     live = und.localCheckpoint(eager=True)
@@ -199,7 +206,7 @@ def wcc_bounded(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
     n_nodes = nodes.count()
-    if n_nodes <= 2_000_000 and und.count() <= 5_000_000:
+    if n_nodes <= _LOCAL_N_CAP and und.count() <= _LOCAL_E_CAP:
         # measured-size duality (the pagerank/mst/mis discipline): the
         # identical bounded min-label recurrence, vectorized driver-local
         # — one Arrow collect replaces 4×(edge join + min-agg + checkpoint)

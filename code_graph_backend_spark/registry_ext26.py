@@ -119,6 +119,9 @@ def graph_eccentricity_bounds_q(spark, sf_dir):
 
 _CORE_KS = (1, 2, 3, 4)
 _CORE_ROUNDS = 3
+# measured-size gate for the fused local decomposition; module constant
+# so tests can force the distributed 4-peel composition with cap 0
+_CORE_LOCAL_E_CAP = 5_000_000
 
 
 def _core_sql() -> str:
@@ -174,7 +177,7 @@ def graph_core_decomposition_q(spark, sf_dir):
     from .operators.undirected import dir_arrays, dir_cached
 
     g = build_graph(spark, sf_dir)
-    if dir_cached(spark, g.edges).count() <= 5_000_000:
+    if dir_cached(spark, g.edges).count() <= _CORE_LOCAL_E_CAP:
         # fused local decomposition: all four peels on the shared
         # arrays in one pass, one output DataFrame (running the
         # single-k kernel four times re-paid the per-call Spark

@@ -154,3 +154,54 @@ class TestStreamingUpsertBatchDedupe:
             spark.createDataFrame([(1, "a", None), (2, "b", None)], SCHEMA)
         )
         assert ups.state.count() == 2
+
+
+class TestKcoreWccDistributed:
+    """The kcore_bounded / wcc_bounded / core-decomposition gates were
+    inline literals — the same never-executed-at-scale-branch class as
+    landmarks/stress/walks. Caps are now module constants; cap 0 forces
+    the distributed recurrences and pins them to the local kernels."""
+
+    def test_kcore_distributed_matches_local(self, spark, monkeypatch):
+        import code_graph_backend_spark.operators.labelprop as lp
+
+        nodes, edges = _graph(spark)
+        loc = sorted(
+            tuple(r) for r in lp.kcore_bounded(spark, edges, k=2).collect()
+        )
+        monkeypatch.setattr(lp, "_LOCAL_E_CAP", 0)
+        dist = sorted(
+            tuple(r) for r in lp.kcore_bounded(spark, edges, k=2).collect()
+        )
+        assert loc == dist and len(loc) > 0
+
+    def test_wcc_distributed_matches_local(self, spark, monkeypatch):
+        import code_graph_backend_spark.operators.labelprop as lp
+
+        nodes, edges = _graph(spark)
+        loc = sorted(
+            tuple(r) for r in lp.wcc_bounded(spark, nodes, edges).collect()
+        )
+        monkeypatch.setattr(lp, "_LOCAL_N_CAP", 0)
+        monkeypatch.setattr(lp, "_LOCAL_E_CAP", 0)
+        dist = sorted(
+            tuple(r) for r in lp.wcc_bounded(spark, nodes, edges).collect()
+        )
+        assert loc == dist and len(loc) > 0
+
+    def test_core_decomposition_distributed_matches_local(
+        self, spark, monkeypatch
+    ):
+        import code_graph_backend_spark.registry_ext26 as ext26
+
+        sf = "/root/testdata/sf0.001"
+        loc = sorted(
+            tuple(r)
+            for r in ext26.graph_core_decomposition_q(spark, sf).collect()
+        )
+        monkeypatch.setattr(ext26, "_CORE_LOCAL_E_CAP", 0)
+        dist = sorted(
+            tuple(r)
+            for r in ext26.graph_core_decomposition_q(spark, sf).collect()
+        )
+        assert loc == dist and len(loc) > 0
