@@ -142,19 +142,21 @@ def parse_python_source(path: str, source: str) -> list[tuple]:
                     mod_suffix = "/" + (base + "/" if base else "") + a.name + ".py"
                     rows.append(
                         ("import", None, a.asname or a.name, path, None,
-                         None, None, None, None, None, None, mod_suffix)
+                         None, None, None, None, None, sub.lineno - 1,
+                         mod_suffix)
                     )
                     continue
                 rows.append(
                     ("import", None, a.asname or a.name, path, None, None,
-                     None, None, None, a.name, None, suffix)
+                     None, None, None, a.name, sub.lineno - 1, suffix)
                 )
         elif isinstance(sub, ast.Import):
             for a in sub.names:
                 binding = a.asname or a.name.split(".")[0]
                 rows.append(
                     ("import", None, binding, path, None, None, None,
-                     None, None, None, None, _module_suffix(0, a.name))
+                     None, None, None, sub.lineno - 1,
+                     _module_suffix(0, a.name))
                 )
 
     def visit(node, parent_name: str | None, parent_start: int | None):
@@ -267,22 +269,50 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     imports = parsed.filter(F.col("kind") == "import").select(
         F.col("path").alias("ipath"), F.col("name").alias("alias"),
         F.col("target").alias("iorig"), F.col("text").alias("isuffix"),
+        F.col("line").alias("iline"),
     ).distinct()
     _REF_KINDS = ("call", "extends", "returns", "params", "implements", "cs_base")
-    refs_sym = (
-        parsed.filter(F.col("kind").isin(*_REF_KINDS)).alias("r")
+
+    # A file may bind the same name more than once (sequential rebinding
+    # `from a import f ... from b import f`, conditional try/except
+    # imports). LSP goto-definition is OCCURRENCE-sensitive: the binding
+    # in effect at the use site is the nearest one AT OR ABOVE it. The
+    # binding joins below therefore pick, per reference row, the
+    # matching binding with the largest line <= the use line (falling
+    # back to the first binding below it for forward references) —
+    # never a fan-out of one reference across all same-named bindings.
+    def _pick_binding(df, ref_pos_col, iline_col):
+        above = F.col(iline_col).isNull() | (
+            F.col(iline_col) <= F.coalesce(ref_pos_col, F.lit(2**31 - 1))
+        )
+        w = Window.partitionBy("_rid").orderBy(
+            F.when(above, 0).otherwise(1).asc(),
+            F.when(above, -F.coalesce(F.col(iline_col), F.lit(-1)))
+            .otherwise(F.coalesce(F.col(iline_col), F.lit(2**31 - 1)))
+            .asc(),
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    refs_sym = _pick_binding(
+        parsed.filter(F.col("kind").isin(*_REF_KINDS))
+        .withColumn("_rid", F.monotonically_increasing_id()).alias("r")
         .join(
             imports,
             (F.col("r.path") == F.col("ipath"))
             & (F.col("r.target") == F.col("alias")),
             "left_outer",
-        )
-        .select(
-            "r.*",
-            # aliased binding: the def-site's real name, not the alias
-            F.coalesce(F.col("iorig"), F.col("r.target")).alias("eff_target"),
-            F.col("isuffix").alias("sym_suffix"),
-        )
+        ),
+        F.coalesce(F.col("r.line"), F.col("r.src_start")),
+        "iline",
+    ).select(
+        "r.*",  # includes _rid, reused by the receiver-binding pick
+        # aliased binding: the def-site's real name, not the alias
+        F.coalesce(F.col("iorig"), F.col("r.target")).alias("eff_target"),
+        F.col("isuffix").alias("sym_suffix"),
     )
     # Receiver bindings: `x.f()` where x is an import binding — call rows
     # carry the attribute receiver in parent_name (parse_python_source).
@@ -293,6 +323,7 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     recv = imports.select(
         F.col("ipath").alias("ipath2"), F.col("alias").alias("alias2"),
         F.col("iorig").alias("iorig2"), F.col("isuffix").alias("isuffix2"),
+        F.col("iline").alias("iline2"),
     )
     recv_suffix = F.when(F.col("iorig2").isNull(), F.col("isuffix2")).otherwise(
         F.concat(
@@ -301,15 +332,20 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         )
     )
     refs_recv = (
-        refs_sym.join(
-            recv,
-            (F.col("path") == F.col("ipath2"))
-            & (F.col("parent_name") == F.col("alias2"))
-            & (F.col("kind") == "call"),
-            "left_outer",
+        _pick_binding(
+            refs_sym.join(
+                recv,
+                (F.col("path") == F.col("ipath2"))
+                & (F.col("parent_name") == F.col("alias2"))
+                & (F.col("kind") == "call"),
+                "left_outer",
+            ),
+            F.coalesce(F.col("line"), F.col("src_start")),
+            "iline2",
         )
         .withColumn("imp_suffix1", F.coalesce(F.col("sym_suffix"), recv_suffix))
-        .drop("ipath2", "alias2", "iorig2", "isuffix2", "sym_suffix")
+        .drop("ipath2", "alias2", "iorig2", "isuffix2", "iline2", "sym_suffix",
+              "_rid")
     )
     # __init__ re-export chains: `from pkg import f` landing on
     # pkg/__init__.py which itself does `from .a import f` — follow that
@@ -324,8 +360,21 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     # against the broadcast request-sized imports table; re-export under a
     # new name (`from .a import f as g`) chains through the alias coalesce.
     refs_eff = refs_recv.withColumnRenamed("imp_suffix1", "imp_suffix")
+    # one binding per (facade file, name) for the chain hops: a facade
+    # __init__ with conditional re-exports (try/except import of the
+    # same name) must chain through ONE branch deterministically (first
+    # binding in file order), not fan the reference out across both
+    hop_w = Window.partitionBy("ipath", "alias").orderBy(
+        F.coalesce(F.col("iline"), F.lit(2**31 - 1)).asc(),
+        F.col("isuffix").asc_nulls_last(),
+    )
+    hop_base = (
+        imports.withColumn("_hn", F.row_number().over(hop_w))
+        .filter(F.col("_hn") == 1)
+        .drop("_hn")
+    )
     for i in range(3, 3 + _REEXPORT_HOPS):
-        hop = imports.select(
+        hop = hop_base.select(
             F.col("ipath").alias(f"ipath{i}"), F.col("alias").alias(f"alias{i}"),
             F.col("iorig").alias(f"iorig{i}"), F.col("isuffix").alias(f"isuffix{i}"),
         )

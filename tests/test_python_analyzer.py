@@ -322,3 +322,83 @@ def test_init_reexport_four_hops_with_renames(spark):
     calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
     assert (by_key[("use", "user.py")], by_key[("f", "pkg/a/b/c/impl.py")]) in calls
     assert (by_key[("use", "user.py")], by_key[("top", "decoy.py")]) not in calls
+
+
+def test_sequential_rebinding_is_occurrence_sensitive(spark):
+    """LSP goto-definition resolves the binding in effect AT the use
+    site: `from a import f; use1(); from b import f; use2()` must send
+    the first call to a.f and the second to b.f — never fan one call
+    across both bindings or pick one binding for both calls."""
+    files = {
+        "a.py": "def f():\n    return 1\n",
+        "b.py": "def f():\n    return 2\n",
+        "user.py": (
+            "from a import f\n"
+            "def early():\n    return f()\n"
+            "from b import f\n"
+            "def late():\n    return f()\n"
+        ),
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"]) for r in edges.filter(F.col("type") == "CALLS").collect()}
+    assert (by_key[("early", "user.py")], by_key[("f", "a.py")]) in calls
+    assert (by_key[("early", "user.py")], by_key[("f", "b.py")]) not in calls
+    assert (by_key[("late", "user.py")], by_key[("f", "b.py")]) in calls
+    assert (by_key[("late", "user.py")], by_key[("f", "a.py")]) not in calls
+
+
+def test_conditional_reexport_facade_single_branch(spark):
+    """A facade __init__ with a try/except conditional re-export of the
+    same name must chain a downstream import through ONE branch
+    deterministically (first binding in file order — the try branch,
+    what a static LSP reports), not duplicate the call edge."""
+    files = {
+        "pkg/__init__.py": (
+            "try:\n"
+            "    from ._fast import encode\n"
+            "except ImportError:\n"
+            "    from ._slow import encode\n"
+        ),
+        "pkg/_fast.py": "def encode():\n    return 1\n",
+        "pkg/_slow.py": "def encode():\n    return 2\n",
+        "user.py": (
+            "from pkg import encode\n\n"
+            "def run():\n    return encode()\n"
+        ),
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = [
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("type") == "CALLS").collect()
+    ]
+    run_id = by_key[("run", "user.py")]
+    run_calls = [d for s, d in calls if s == run_id]
+    assert run_calls == [by_key[("encode", "pkg/_fast.py")]]
+
+
+def test_conditional_import_at_use_site_no_duplicate_edges(spark):
+    """try/except imports in the USING file itself: the call resolves
+    once (nearest binding at-or-above the call is the except branch —
+    the deterministic documented choice), with no duplicate edges."""
+    files = {
+        "fast.py": "def enc():\n    return 1\n",
+        "slow.py": "def enc():\n    return 2\n",
+        "user.py": (
+            "try:\n"
+            "    from fast import enc\n"
+            "except ImportError:\n"
+            "    from slow import enc\n"
+            "def go():\n    return enc()\n"
+        ),
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = [
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("type") == "CALLS").collect()
+    ]
+    go_id = by_key[("go", "user.py")]
+    go_calls = [d for s, d in calls if s == go_id]
+    assert go_calls == [by_key[("enc", "slow.py")]]
