@@ -175,10 +175,10 @@ _ANF_CHUNK = 16_000_000
 
 
 def _anf_static(spark, g):
-    """Seed triples + sender-sorted sym edge indices, collected once
-    per (session, graph) into the shared kernel-array memo — every
-    re-run of the query (bench samples, repeated API calls) is then
-    pure array work."""
+    """Seed state + sender-sorted sym edge indices, collected once per
+    (session, graph) into the shared kernel-array memo — every re-run
+    of the query (bench samples, repeated API calls) is then pure
+    array work."""
     import numpy as np
 
     from .operators.undirected import _ARR_MEMO, _arr_memo_put, und_arrays
@@ -191,13 +191,15 @@ def _anf_static(spark, g):
     ids = np.sort(seed["grp"].to_numpy(np.int64))
     n = len(ids)
     pos = np.searchsorted(ids, seed["grp"].to_numpy(np.int64)).astype(np.int64)
-    # sort the seed triples by node position: the hop expansion reads
-    # them as a CSR laid out by node (bincount-cumsum offsets), which
-    # np.nonzero guarantees for later hops but the seed order does not
-    s_order = np.argsort(pos, kind="stable")
-    pos = pos[s_order]
-    seed_bucket = seed["bucket"].to_numpy(np.int64)[s_order]
-    seed_rho = seed["rho"].to_numpy(np.uint8)[s_order]
+    # per-node PACKED seed register pk = (bucket << 6) | rho — rho <= 49
+    # fits 6 bits; element-wise max over same-bucket pks == max over
+    # rhos, so pk is both the stored state and the scatter value
+    seed_pk = (
+        (seed["bucket"].to_numpy(np.uint16) << 6)
+        | seed["rho"].to_numpy(np.uint16)
+    )
+    p_node = np.zeros(n, dtype=np.uint16)
+    p_node[pos] = seed_pk
     arrs = und_arrays(spark, g.edges)
     # receiver/sender positional pairs in the FULL node domain (the
     # und_arrays 'ids' domain is endpoints-only; isolated nodes still
@@ -213,8 +215,9 @@ def _anf_static(spark, g):
     e_order = np.argsort(snd, kind="stable")
     out = {
         "n": n,
-        "seed_flat_idx": pos * _M + seed_bucket,
-        "seed_rho": seed_rho,
+        "seed_flat_idx": pos * _M + (seed_pk >> 6).astype(np.int64),
+        "seed_pk": seed_pk,
+        "p_node": p_node,
         "rcv_s": rcv[e_order],
         "snd_s": snd[e_order].astype(np.int64),
     }
@@ -223,61 +226,83 @@ def _anf_static(spark, g):
 
 
 def _anf_local(spark, g, und):
-    """Driver-local kernel: flat (n·256,) uint8 register state; one hop
-    expands the SPARSE nonzero triples (node, bucket, m) of every
-    sender along its out-edges and scatter-maxes them with ONE flat
-    np.maximum.at on keys rcv·256 + bucket. The flat 1-D indexed-max
-    has numpy's fast inner loop (~300M updates/s measured); the dense
-    alternatives run generic loops (np.maximum.reduceat over the
-    gathered (|sym|, 256) matrix: ~10 s/hop at sf0.1; 2-D maximum.at:
-    ~9 s/hop). Sparsity bounds the flow: hop 1 moves exactly |sym|
-    single-register triples, hop 2 moves Σ_b deg(b)·nnz_1(b) (213M at
-    sf0.1 — graph-determined, vs dense |sym|·256 = 695M). The (bucket,
-    m) pair is packed into one uint16 so the expansion does ONE gather
-    per triple, processed in cache-sized chunks (_ANF_CHUNK). No
-    shuffle, no per-hop Arrow round-trip."""
+    """Driver-local kernel: flat (n·256,) uint16 PACKED register state
+    (entry = (bucket << 6) | m, so element-wise max over equal-bucket
+    entries is max over m and the scatter value needs no unpack); one
+    hop expands the sparse nonzero entries of every sender along its
+    out-edges and scatter-maxes them with ONE flat np.maximum.at on
+    keys rcv·256 + bucket. The flat 1-D indexed-max has numpy's fast
+    inner loop (~300M updates/s measured); the dense alternatives run
+    generic loops (np.maximum.reduceat over the gathered (|sym|, 256)
+    matrix: ~10 s/hop at sf0.1; 2-D maximum.at: ~9 s/hop). Sparsity
+    bounds the flow: hop 1 moves exactly |sym| single-register pks
+    (specialized: the seed is one register per node, so no CSR
+    machinery at all), hop 2 moves Σ_b deg(b)·nnz_1(b) (213M at sf0.1
+    — graph-determined, vs dense |sym|·256 = 695M), chunked
+    (_ANF_CHUNK) against page-fault spikes. The final hop estimates
+    densely from the flat state (no 30M-row nonzero extraction for a
+    state no later hop reads). No shuffle, no per-hop Arrow round-trip."""
     import numpy as np
 
     st = _anf_static(spark, g)
     n = st["n"]
-    flat = np.zeros(n * _M, dtype=np.uint8)  # row-major (node, bucket)
-    flat[st["seed_flat_idx"]] = st["seed_rho"]
+    flat = np.zeros(n * _M, dtype=np.uint16)  # row-major (node, bucket)
+    flat[st["seed_flat_idx"]] = st["seed_pk"]
     rcv_s, snd_s = st["rcv_s"], st["snd_s"]
 
-    # s_int = Σ_i 2^(49 - regs[i]) = 256·2^49 + Σ_nonzero (2^(49-m) -
-    # 2^49): accumulated with np.add.at over the nonzero triples in
-    # exact int64 (max |Σ| < 2^57). The empty register's 2^49 is
-    # exactly the (256 - cnt)·2^49 term of the row-form oracle.
+    # s_int = Σ_i 2^(49 - m_i) = 256·2^49 + Σ_nonzero (2^(49-m) - 2^49),
+    # exact int64 (max |Σ| < 2^57). The empty register's 2^49 is exactly
+    # the (256 - cnt)·2^49 term of the row-form oracle. delta_pk maps a
+    # PACKED entry straight to its delta (delta_pk[0] = 0: empty).
     pow2 = np.int64(1) << (49 - np.arange(50, dtype=np.int64))
     delta = pow2 - (np.int64(1) << 49)
+    dd = np.zeros(64, dtype=np.int64)
+    dd[1:50] = delta[1:50]
+    delta_pk = dd[np.arange(1 << 14) & 63]
 
+    base_s = np.int64(_M) << 49
     rows = []
-    regs2d = flat.reshape(n, _M)
-    # hop-0 state IS the seed — its sparse triples need no matrix scan
-    nz_node = (st["seed_flat_idx"] // _M).astype(np.int64)
-    nz_bucket = (st["seed_flat_idx"] % _M).astype(np.int64)
-    nz_val = st["seed_rho"]
+    rcv_keys = rcv_s.astype(np.int32) * np.int32(_M)
     aran = np.arange(_ANF_CHUNK + 512, dtype=np.int32)  # reused slices
-    for hop in range(_ANF_HOPS + 1):
-        if hop and len(snd_s):
-            # expand the PRE-hop triples (nz_* carried from the
-            # previous iteration's scan — one matrix scan per hop, not
-            # two). Pack (bucket, m) into one uint16: one gather per
-            # triple. All per-triple streams are int32: under the caps
-            # n*256 < 2^31 and nnz < 2^31, and halving the index width
-            # halves the memory traffic of the 100M+-triple expansion.
-            packed = (nz_bucket.astype(np.uint16) << 6) | nz_val
+
+    # hop 0: estimate straight from the seed (one register per node)
+    s_int = np.full(n, base_s, dtype=np.int64)
+    s_int += delta_pk[st["p_node"]]
+    zv = np.full(n, _M, dtype=np.int64)
+    zv -= (st["p_node"] != 0).astype(np.int64)
+    rows.append((0, n, _est_totals(s_int.tolist(), zv.tolist())))
+
+    if _ANF_HOPS >= 1 and len(snd_s):
+        # hop 1, specialized: every sender holds exactly its seed pk —
+        # three gathers over |sym|, no CSR offsets, no chunking
+        pk1 = st["p_node"][snd_s]
+        keys1 = rcv_keys + (pk1 >> 6).astype(np.int32)
+        np.maximum.at(flat, keys1, pk1)
+    if _ANF_HOPS >= 1:
+        fidx = np.flatnonzero(flat)
+        pks = flat[fidx]
+        nz_node = fidx // _M
+        s_int = np.full(n, base_s, dtype=np.int64)
+        np.add.at(s_int, nz_node, delta_pk[pks])
+        zv = np.full(n, _M, dtype=np.int64)
+        zv -= np.bincount(nz_node, minlength=n)
+        rows.append((1, n, _est_totals(s_int.tolist(), zv.tolist())))
+
+    for hop in range(2, _ANF_HOPS + 1):
+        if len(snd_s):
+            # expand the PRE-hop entries (fidx/pks carried from the
+            # previous scan — one matrix scan per hop). All per-triple
+            # streams are int32: under the caps n·256 < 2^31 and
+            # nnz < 2^31, and halving the index width halves the
+            # memory traffic of the 100M+-triple expansion.
             starts = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(np.bincount(nz_node, minlength=n), out=starts[1:])
             cnt = starts[snd_s + 1] - starts[snd_s]
             csum = np.cumsum(cnt)
-            # chunk boundaries on EDGES such that each chunk expands to
-            # <= _ANF_CHUNK triples (+ one edge's <=256-triple block)
             cuts = np.searchsorted(
                 csum, np.arange(_ANF_CHUNK, int(csum[-1]), _ANF_CHUNK)
             )
             edge_cuts = [0, *(int(c) + 1 for c in cuts), len(snd_s)]
-            rcv_keys = rcv_s.astype(np.int32) * np.int32(_M)
             for lo, hi in zip(edge_cuts, edge_cuts[1:]):
                 if lo >= hi:
                     continue
@@ -297,20 +322,25 @@ def _anf_local(spark, g, und):
                 ).astype(np.int32)
                 tri = np.repeat(comb, c)
                 tri += aran[:tot]
-                pk = packed[tri]
+                pk = pks[tri]
                 keys = np.repeat(rcv_keys[lo:hi], c)
-                keys += pk >> 6
-                np.maximum.at(
-                    flat, keys, (pk & np.uint16(63)).astype(np.uint8)
-                )
-            # POST-hop scan, shared between this hop's estimate and the
-            # next hop's expansion
-            nz_node, nz_bucket = np.nonzero(regs2d)
-            nz_val = regs2d[nz_node, nz_bucket]
-        s_int = np.full(n, np.int64(_M) << 49, dtype=np.int64)
-        np.add.at(s_int, nz_node, delta[nz_val])
-        zv = np.full(n, _M, dtype=np.int64)
-        zv -= np.bincount(nz_node, minlength=n)
+                keys += (pk >> 6).astype(np.int32)
+                np.maximum.at(flat, keys, pk)
+        if hop < _ANF_HOPS:
+            fidx = np.flatnonzero(flat)
+            pks = flat[fidx]
+            nz_node = fidx // _M
+            s_int = np.full(n, base_s, dtype=np.int64)
+            np.add.at(s_int, nz_node, delta_pk[pks])
+            zv = np.full(n, _M, dtype=np.int64)
+            zv -= np.bincount(nz_node, minlength=n)
+        else:
+            # final hop: no later expansion reads this state — estimate
+            # densely from flat (cheaper than extracting ~30M triples)
+            m2d = flat.reshape(n, _M)
+            s_int = delta_pk[m2d].sum(axis=1, dtype=np.int64)
+            s_int += base_s
+            zv = np.int64(_M) - np.count_nonzero(m2d, axis=1)
         rows.append((hop, n, _est_totals(s_int.tolist(), zv.tolist())))
     return spark.createDataFrame(
         rows, "hop long, n_nodes long, sum_ball_micro long"
