@@ -169,3 +169,53 @@ class TestAnfDuality:
                 for r in fn(spark, g, und_cached(spark, g.edges)).collect()
             }
             assert got == {0: want, 1: want, 2: want}, fn.__name__
+
+
+class TestAnfProperty:
+    def test_random_graphs_match_exact_ball_replica(self, spark):
+        """Property pin: on random small graphs, the kernel's per-hop
+        totals equal the pure-Python estimator applied to EXACT ball
+        memberships (registers of a ball are derivable from its member
+        set, so the sketch total is a deterministic function of the
+        true balls — approximate estimate, exact arithmetic)."""
+        import random
+
+        from types import SimpleNamespace
+
+        from code_graph_backend_spark.operators.undirected import und_cached
+
+        rng = random.Random(20260815)
+        for trial in range(6):
+            n = rng.randint(1, 22)
+            ids = rng.sample(range(1, 1000), n)
+            m = rng.randint(0, min(40, n * (n - 1) // 2 + 2))
+            pairs = {
+                tuple(rng.sample(ids, 2)) for _ in range(m) if n >= 2
+            }
+            adj = {v: set() for v in ids}
+            for u, v in pairs:
+                adj[u].add(v)
+                adj[v].add(u)
+            balls = {v: {v} for v in ids}
+            want = {}
+            for hop in range(3):
+                if hop:
+                    balls = {
+                        v: b | set().union(*(balls_prev[u] for u in adj[v]))
+                        if adj[v] else set(b)
+                        for v, b in balls.items()
+                    }
+                balls_prev = {v: set(b) for v, b in balls.items()}
+                want[hop] = sum(_est_micro(b) for b in balls.values())
+            ndf = spark.createDataFrame([(i,) for i in ids], "id long")
+            edf = spark.createDataFrame(
+                [(u, v) for u, v in pairs] or [], "src long, dst long"
+            )
+            g = SimpleNamespace(nodes=ndf, edges=edf)
+            got = {
+                r["hop"]: r["sum_ball_micro"]
+                for r in ext30._anf_local(
+                    spark, g, und_cached(spark, g.edges)
+                ).collect()
+            }
+            assert got == want, f"trial {trial}: n={n} edges={sorted(pairs)}"
