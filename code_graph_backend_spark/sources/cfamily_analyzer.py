@@ -87,13 +87,16 @@ _CHAIN_CALL_RE = re.compile(r"\)\s*\.\s*([A-Za-z_]\w*)\s*\(")
 
 def _blank_spans(text: str, regex: re.Pattern) -> str:
     """Space-fill every regex match, PRESERVING offsets (re.sub would
-    shift every later call-site/line computation)."""
-    out = list(text)
+    shift every later call-site/line computation). The no-match common
+    case returns the input untouched — this runs per method body."""
+    out = None
     for m in regex.finditer(text):
+        if out is None:
+            out = list(text)
         for k in range(m.start(), m.end()):
             if out[k] != "\n":
                 out[k] = " "
-    return "".join(out)
+    return text if out is None else "".join(out)
 
 
 def _strip(source: str):
