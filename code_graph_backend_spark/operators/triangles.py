@@ -40,8 +40,84 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     return e.distinct()
 
 
-def triangle_count_per_node(edges: DataFrame) -> DataFrame:
+# measured-size duality gate (landmarks/stress/mst convention): at or
+# below this undirected-edge count the wedge enumeration runs
+# driver-local on the shared edge-array cache; tests force the
+# distributed branch with cap 0
+_LOCAL_E_CAP = 5_000_000
+
+
+def _triangles_local(spark, edges: DataFrame) -> DataFrame:
+    """Driver-local twin of the degree-oriented wedge join: identical
+    orientation (smaller (degree, id) → larger), wedge pairs enumerated
+    per oriented out-block, closed by binary search against the sorted
+    undirected key set. Degree orientation caps the expansion exactly
+    as in the distributed plan — at sf0.1 the 1.36M-edge twin yields
+    10.5M wedges with max out-degree 52."""
+    import numpy as np
+    import pandas as pd
+
+    from .undirected import und_arrays
+
+    schema = "node long, n_triangles long"
+    arr = und_arrays(spark, edges)
+    ai, bi, ids = arr["ai"], arr["bi"], arr["ids"]
+    n = len(ids)
+    if not len(ai):
+        return spark.createDataFrame([], schema)
+    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+    # ids is sorted ascending, so position order IS id order — the
+    # (degree, id) tie-break is exact on positions
+    a_first = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+    s = np.where(a_first, ai, bi)
+    t = np.where(a_first, bi, ai)
+    order = np.argsort(s, kind="stable")
+    s, t = s[order], t[order]
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s, minlength=n), out=starts[1:])
+    # wedge pairs: edge j pairs with every LATER edge of its block
+    cnt = starts[s + 1] - np.arange(len(s), dtype=np.int64) - 1
+    total = int(cnt.sum())
+    if not total:
+        return spark.createDataFrame([], schema)
+    csum = np.cumsum(cnt)
+    first_idx = np.repeat(np.arange(len(s), dtype=np.int64), cnt)
+    second_idx = first_idx + 1 + np.arange(total, dtype=np.int64) \
+        - np.repeat(csum - cnt, cnt)
+    u1, u2 = t[first_idx], t[second_idx]
+    lo = np.minimum(u1, u2).astype(np.int64)
+    hi = np.maximum(u1, u2).astype(np.int64)
+    # close the wedge: {t1, t2} must be an undirected pair (ai < bi by
+    # construction, so the sorted key set is exactly the a<b pairs)
+    und_keys = np.sort(ai.astype(np.int64) * n + bi)
+    keys = lo * n + hi
+    pos = np.searchsorted(und_keys, keys)
+    hit = (pos < len(und_keys)) & (
+        und_keys[pos.clip(max=len(und_keys) - 1)] == keys
+    )
+    cnts = (
+        np.bincount(s[first_idx][hit], minlength=n)
+        + np.bincount(lo[hit], minlength=n)
+        + np.bincount(hi[hit], minlength=n)
+    ).astype(np.int64)
+    sel = cnts > 0
+    if not sel.any():
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": ids[sel], "n_triangles": cnts[sel]}), schema
+    )
+
+
+def triangle_count_per_node(
+    edges: DataFrame, local_caps: int | None = None
+) -> DataFrame:
     """(node, n_triangles) for every node in at least one triangle."""
+    cap = _LOCAL_E_CAP if local_caps is None else local_caps
+    from .undirected import und_cached
+
+    spark = edges.sparkSession
+    if und_cached(spark, edges).count() <= cap:
+        return _triangles_local(spark, edges)
     # und feeds the degree agg (twice) and the orientation join;
     # oriented feeds both wedge sides and the closing list — without the
     # persists Catalyst re-evaluates the whole upstream (including the

@@ -205,3 +205,37 @@ class TestKcoreWccDistributed:
             for r in ext26.graph_core_decomposition_q(spark, sf).collect()
         )
         assert loc == dist and len(loc) > 0
+
+
+class TestTrianglesDistributed:
+    def test_local_and_distributed_paths_agree(self, spark):
+        from code_graph_backend_spark.operators.triangles import (
+            triangle_count_per_node,
+        )
+
+        nodes, edges = _graph(spark)
+        # add closing edges so triangles exist: 1-3 closes (1,2,3);
+        # 5-7 closes (5,6,7)
+        extra = spark.createDataFrame(
+            [(3, 1), (5, 7)], "src long, dst long"
+        )
+        e = edges.unionByName(extra)
+        loc = sorted(
+            tuple(r) for r in triangle_count_per_node(e).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in triangle_count_per_node(e, local_caps=0).collect()
+        )
+        assert loc == dist and len(loc) > 0
+
+    def test_zero_and_no_triangle_graphs(self, spark):
+        from code_graph_backend_spark.operators.triangles import (
+            triangle_count_per_node,
+        )
+
+        nodes, edges = _graph(spark)  # the base graph has no triangle
+        for e in (edges, spark.createDataFrame([], "src long, dst long")):
+            loc = triangle_count_per_node(e).collect()
+            dist = triangle_count_per_node(e, local_caps=0).collect()
+            assert loc == [] and dist == []
