@@ -239,3 +239,48 @@ class TestTrianglesDistributed:
             loc = triangle_count_per_node(e).collect()
             dist = triangle_count_per_node(e, local_caps=0).collect()
             assert loc == [] and dist == []
+
+
+class TestTrianglesProperty:
+    def test_random_graphs_match_bruteforce(self, spark):
+        """Property pin: on random small graphs both paths equal the
+        O(n^3) brute-force per-node triangle count."""
+        import itertools
+        import random
+
+        from code_graph_backend_spark.operators.triangles import (
+            triangle_count_per_node,
+        )
+
+        rng = random.Random(20260816)
+        for trial in range(5):
+            n = rng.randint(3, 14)
+            ids = rng.sample(range(1, 500), n)
+            m = rng.randint(0, n * (n - 1) // 2)
+            pairs = set()
+            for _ in range(m):
+                u, v = rng.sample(ids, 2)
+                pairs.add((u, v))
+            und = {frozenset(p) for p in pairs}
+            want = {}
+            for a, b, c in itertools.combinations(sorted(ids), 3):
+                if (
+                    frozenset((a, b)) in und
+                    and frozenset((b, c)) in und
+                    and frozenset((a, c)) in und
+                ):
+                    for v in (a, b, c):
+                        want[v] = want.get(v, 0) + 1
+            edf = spark.createDataFrame(
+                list(pairs) or [], "src long, dst long"
+            )
+            for caps in (None, 0):
+                got = {
+                    r["node"]: r["n_triangles"]
+                    for r in triangle_count_per_node(
+                        edf, local_caps=caps
+                    ).collect()
+                }
+                assert got == want, (
+                    f"trial {trial} caps={caps}: edges={sorted(und)}"
+                )
