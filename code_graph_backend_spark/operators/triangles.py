@@ -46,6 +46,15 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
 # distributed branch with cap 0
 _LOCAL_E_CAP = 5_000_000
 
+# wedge-expansion chunk for the local path (same rationale as
+# registry_ext30's _ANF_CHUNK): degree orientation bounds TOTAL wedges
+# by sum C(outdeg,2) = O(m^1.5), which on a skewed 5M-edge graph can
+# reach ~1e10 — far past driver memory if materialized at once. The
+# expansion therefore streams over oriented-edge blocks whose wedge
+# count stays <= this, so peak extra memory is ~7 int64 arrays of
+# chunk length regardless of skew.
+_WEDGE_CHUNK = 16_000_000
+
 
 def _triangles_local(spark, edges: DataFrame) -> DataFrame:
     """Driver-local twin of the degree-oriented wedge join: identical
@@ -77,29 +86,43 @@ def _triangles_local(spark, edges: DataFrame) -> DataFrame:
     np.cumsum(np.bincount(s, minlength=n), out=starts[1:])
     # wedge pairs: edge j pairs with every LATER edge of its block
     cnt = starts[s + 1] - np.arange(len(s), dtype=np.int64) - 1
-    total = int(cnt.sum())
-    if not total:
+    if not int(cnt.sum()):
         return spark.createDataFrame([], schema)
-    csum = np.cumsum(cnt)
-    first_idx = np.repeat(np.arange(len(s), dtype=np.int64), cnt)
-    second_idx = first_idx + 1 + np.arange(total, dtype=np.int64) \
-        - np.repeat(csum - cnt, cnt)
-    u1, u2 = t[first_idx], t[second_idx]
-    lo = np.minimum(u1, u2).astype(np.int64)
-    hi = np.maximum(u1, u2).astype(np.int64)
     # close the wedge: {t1, t2} must be an undirected pair (ai < bi by
     # construction, so the sorted key set is exactly the a<b pairs)
     und_keys = np.sort(ai.astype(np.int64) * n + bi)
-    keys = lo * n + hi
-    pos = np.searchsorted(und_keys, keys)
-    hit = (pos < len(und_keys)) & (
-        und_keys[pos.clip(max=len(und_keys) - 1)] == keys
-    )
-    cnts = (
-        np.bincount(s[first_idx][hit], minlength=n)
-        + np.bincount(lo[hit], minlength=n)
-        + np.bincount(hi[hit], minlength=n)
-    ).astype(np.int64)
+    # streamed expansion: edge blocks sized so per-chunk wedge count
+    # stays <= _WEDGE_CHUNK (one block of a single oriented source is
+    # itself bounded by C(max_outdeg, 2) <= C(~sqrt(2m), 2) <= the cap's
+    # own edge bound, so max(end, start+1) never over-allocates badly)
+    edge_csum = np.concatenate([[0], np.cumsum(cnt)])
+    cnts = np.zeros(n, dtype=np.int64)
+    start_e = 0
+    while start_e < len(s):
+        end_e = int(np.searchsorted(
+            edge_csum, edge_csum[start_e] + _WEDGE_CHUNK, side="right"
+        )) - 1
+        end_e = max(end_e, start_e + 1)
+        c = cnt[start_e:end_e]
+        tot = int(c.sum())
+        start_prev, start_e = start_e, end_e
+        if not tot:
+            continue
+        fi = np.repeat(np.arange(start_prev, end_e, dtype=np.int64), c)
+        local_csum = np.cumsum(c)
+        si = fi + 1 + np.arange(tot, dtype=np.int64) \
+            - np.repeat(local_csum - c, c)
+        u1, u2 = t[fi], t[si]
+        lo = np.minimum(u1, u2).astype(np.int64)
+        hi = np.maximum(u1, u2).astype(np.int64)
+        keys = lo * n + hi
+        pos = np.searchsorted(und_keys, keys)
+        hit = (pos < len(und_keys)) & (
+            und_keys[pos.clip(max=len(und_keys) - 1)] == keys
+        )
+        cnts += np.bincount(s[fi][hit], minlength=n)
+        cnts += np.bincount(lo[hit], minlength=n)
+        cnts += np.bincount(hi[hit], minlength=n)
     sel = cnts > 0
     if not sel.any():
         return spark.createDataFrame([], schema)

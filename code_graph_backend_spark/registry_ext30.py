@@ -183,7 +183,11 @@ def _anf_static(spark, g):
 
     from .operators.undirected import _ARR_MEMO, _arr_memo_put, und_arrays
 
-    key = ("anf", id(spark), id(g.nodes))
+    # both DataFrames key the memo AND are pinned in the value: the
+    # output derives from nodes (seed) and edges (rcv/snd), so the same
+    # nodes object paired with different edges must miss, and neither
+    # id() may be recycled while the entry lives
+    key = ("anf", id(spark), id(g.nodes), id(g.edges))
     hit = _ARR_MEMO.get(key)
     if hit is not None:
         return hit[1]
@@ -221,7 +225,7 @@ def _anf_static(spark, g):
         "rcv_s": rcv[e_order],
         "snd_s": snd[e_order].astype(np.int64),
     }
-    _arr_memo_put(key, g.nodes, out)
+    _arr_memo_put(key, (g.nodes, g.edges), out)
     return out
 
 

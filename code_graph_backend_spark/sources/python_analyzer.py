@@ -281,7 +281,7 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     # matching binding with the largest line <= the use line (falling
     # back to the first binding below it for forward references) —
     # never a fan-out of one reference across all same-named bindings.
-    def _pick_binding(df, ref_pos_col, iline_col):
+    def _pick_binding(df, ref_pos_col, iline_col, isuffix_col):
         above = F.col(iline_col).isNull() | (
             F.col(iline_col) <= F.coalesce(ref_pos_col, F.lit(2**31 - 1))
         )
@@ -290,6 +290,10 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
             F.when(above, -F.coalesce(F.col(iline_col), F.lit(-1)))
             .otherwise(F.coalesce(F.col(iline_col), F.lit(2**31 - 1)))
             .asc(),
+            # deterministic final tie-break (as hop_w does): two distinct
+            # same-alias bindings on ONE line (semicolon-joined imports)
+            # must resolve identically across runs/partitions
+            F.col(isuffix_col).asc_nulls_last(),
         )
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -308,6 +312,7 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
         ),
         F.coalesce(F.col("r.line"), F.col("r.src_start")),
         "iline",
+        "isuffix",
     ).select(
         "r.*",  # includes _rid, reused by the receiver-binding pick
         # aliased binding: the def-site's real name, not the alias
@@ -342,6 +347,7 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
             ),
             F.coalesce(F.col("line"), F.col("src_start")),
             "iline2",
+            "isuffix2",
         )
         .withColumn("imp_suffix1", F.coalesce(F.col("sym_suffix"), recv_suffix))
         .drop("ipath2", "alias2", "iorig2", "isuffix2", "iline2", "sym_suffix",

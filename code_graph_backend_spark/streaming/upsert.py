@@ -62,10 +62,14 @@ class StreamingUpsert:
             dup = (
                 batch.groupBy(*key).count().filter(F.col("count") > 1).limit(1)
             )
-            assert not dup.take(1), (
-                f"micro-batch has multiple rows per key {key}; pass "
-                "order_col= to StreamingUpsert for last-writer-wins"
-            )
+            # explicit raise, not assert: the precondition must survive
+            # `python -O` or merge_nodes' one-row-per-key full-outer
+            # join silently produces wrong merged state
+            if dup.take(1):
+                raise ValueError(
+                    f"micro-batch has multiple rows per key {key}; pass "
+                    "order_col= to StreamingUpsert for last-writer-wins"
+                )
             return batch
         w = Window.partitionBy(*key).orderBy(F.col(self._order_col).desc())
         return (

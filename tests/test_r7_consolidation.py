@@ -1,0 +1,113 @@
+"""Round-7 consolidation tests: the ADVICE r6 fixes.
+
+- triangles: the wedge expansion now STREAMS over oriented-edge blocks
+  (operators/triangles.py _WEDGE_CHUNK) so a skewed graph under the
+  edge-count gate cannot materialize O(m^1.5) wedge arrays at once —
+  the chunked path must agree exactly with brute force, including with
+  a chunk size far below the wedge count (every block boundary hit).
+- ANF memo: the kernel-array memo key must include BOTH g.nodes and
+  g.edges — same nodes object + different edges must not serve stale
+  edge arrays (registry_ext30._anf_static).
+- streaming upsert: the one-row-per-key precondition raises ValueError
+  (not a stripped-under-`-O` assert).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+import random
+
+import pytest
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, "rel") for a, b in pairs], "src long, dst long, type string"
+    )
+
+
+def _brute_triangles(pairs):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    expect: dict[int, int] = {}
+    nodes = {v for e in und for v in e}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if {(x, y), (y, z), (x, z)} <= und:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    return expect
+
+
+def test_triangles_local_chunked_expansion_matches_brute(spark, monkeypatch):
+    """Force _WEDGE_CHUNK far below the graph's wedge count: a hub star
+    plus a random ring gives many wedges per oriented block, so every
+    chunk boundary (mid-block split avoided by edge-granular chunking,
+    accumulation across chunks, empty trailing chunk) is exercised."""
+    from code_graph_backend_spark.operators import triangles as T
+
+    rng = random.Random(7)
+    n = 40
+    pairs = [(0, i) for i in range(1, n)]  # hub: worst-case wedge blowup
+    pairs += [(i, (i + 1) % n) for i in range(n)]
+    pairs += [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    monkeypatch.setattr(T, "_WEDGE_CHUNK", 5)
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in T._triangles_local(spark, _edges_df(spark, pairs)).collect()
+    }
+    assert got == _brute_triangles(pairs)
+
+
+def test_triangles_local_chunk_one_edge_block(spark, monkeypatch):
+    """Chunk size 1 — every edge is its own chunk, including edges whose
+    own block exceeds the chunk (the max(end, start+1) fallback)."""
+    from code_graph_backend_spark.operators import triangles as T
+
+    pairs = [(1, 2), (2, 3), (1, 3), (1, 4), (3, 4), (2, 4), (5, 6)]
+    monkeypatch.setattr(T, "_WEDGE_CHUNK", 1)
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in T._triangles_local(spark, _edges_df(spark, pairs)).collect()
+    }
+    assert got == _brute_triangles(pairs)
+
+
+def test_anf_memo_distinguishes_edge_sets(spark):
+    """Same g.nodes object + DIFFERENT g.edges must produce different ANF
+    states (the r6 memo keyed on nodes only and would serve stale edge
+    arrays)."""
+    from code_graph_backend_spark.graph.model import PropertyGraph
+    from code_graph_backend_spark.registry_ext30 import _anf_static
+
+    nodes = spark.createDataFrame(
+        [(i, "N", "n%d" % i) for i in range(6)], "id long, label string, name string"
+    )
+    e1 = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    e2 = _edges_df(spark, [(0, 5), (4, 5)])
+    g1 = PropertyGraph(spark, "g1", nodes=nodes, edges=e1)
+    g2 = PropertyGraph(spark, "g2", nodes=nodes, edges=e2)
+    s1 = _anf_static(spark, g1)
+    s2 = _anf_static(spark, g2)
+    assert len(s1["snd_s"]) == 6  # 3 und edges, both directions
+    assert len(s2["snd_s"]) == 4
+    # and the memo hit path returns the SAME object per (nodes, edges)
+    assert _anf_static(spark, g1) is s1
+    assert _anf_static(spark, g2) is s2
+
+
+def test_streaming_upsert_duplicate_key_raises_valueerror(spark, tmp_path):
+    """Without order_col, a multi-row-per-key batch must raise ValueError
+    (an explicit raise — survives python -O, unlike assert)."""
+    from code_graph_backend_spark.streaming.upsert import StreamingUpsert
+
+    init = spark.createDataFrame([(1, "a")], "id long, name string")
+    ups = StreamingUpsert(init, key=("id",))
+    batch = spark.createDataFrame([(2, "x"), (2, "y")], "id long, name string")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        ups.apply_batch(batch)
+    # with order_col the same batch resolves last-writer-wins
+    ups2 = StreamingUpsert(init, key=("id",), order_col="name")
+    ups2.apply_batch(batch)
+    rows = {r["id"]: r["name"] for r in ups2.state.collect()}
+    assert rows == {1: "a", 2: "y"}

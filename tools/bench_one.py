@@ -21,7 +21,7 @@ def main() -> None:
     args = sys.argv[1:]
     n = 2
     if args and args[0] == "-n":
-        n = int(args[1])
+        n = max(1, int(args[1]))  # at least one timed sample
         args = args[2:]
     if not args:
         print(__doc__)
@@ -55,7 +55,7 @@ def main() -> None:
 
     for name in args:
         fn = qs[name]
-        fn(spark, sf_dir).count()  # untimed warm pass (codegen, broadcasts)
+        cnt = fn(spark, sf_dir).count()  # untimed warm pass (codegen, broadcasts)
         release_scratch()
         ts = []
         for _ in range(n):
