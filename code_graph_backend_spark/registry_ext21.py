@@ -251,6 +251,60 @@ def corpus_ks_lengths_q(spark, sf_dir):
 _RA_TOPK = 30
 
 
+# Exact RA must emit EVERY wedge (unlike triangles, where degree
+# orientation discards nothing: here each common neighbor z contributes
+# a 1/deg(z) term to its pair, so no wedge can be dropped). Total wedge
+# output is Σ_z deg(z)², genuinely quadratic in hub degree — the
+# function therefore REQUIRES a support-pruned substrate and enforces
+# it with a node-sized agg instead of silently degenerating on a raw
+# skewed graph (at sf0.1 the pruned co-occurrence graph's bound is
+# ~1e6; the cap leaves three orders of magnitude of headroom while
+# still refusing a 1e10-wedge hub blowup).
+_RA_WEDGE_CAP = 2_000_000_000
+
+
+def resource_allocation(cooc, topk: int, wedge_cap: int = _RA_WEDGE_CAP):
+    """Exact RA = Σ_z 1/deg(z) over non-adjacent pairs of a SUPPORT-
+    PRUNED undirected edge list `cooc` (src, dst). Precondition:
+    Σ_z deg(z)² <= wedge_cap — checked up front (one agg over the
+    node-sized degree table); raises ValueError otherwise, because the
+    wedge self-join's output is exactly that sum and exact RA cannot
+    prune it away."""
+    sym = cooc.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        cooc.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    deg_sq = deg.agg(
+        F.coalesce(F.sum(F.col("d") * F.col("d")), F.lit(0)).alias("w")
+    ).collect()[0]["w"]
+    if deg_sq > wedge_cap:
+        raise ValueError(
+            f"resource_allocation: wedge bound sum(deg^2)={deg_sq} exceeds "
+            f"cap {wedge_cap}; the kernel requires a support-pruned "
+            "substrate (prune low-support/high-degree nodes first, as "
+            "registry_ext5._cooc_edges does) — exact RA cannot drop wedges"
+        )
+    s1 = sym.select(F.col("a").alias("z"), F.col("b").alias("x"))
+    s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("y"))
+    cand = s1.join(s2, "z").filter(F.col("x") < F.col("y"))
+    edges_xy = cooc.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    nonadj = cand.join(edges_xy, ["x", "y"], "left_anti")
+    ra = (
+        nonadj.join(deg.select(F.col("a").alias("z"), "d"), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.sum(F.expr("1000000000 div d")).cast("long").alias("ra_nano"),
+            F.count("*").cast("long").alias("n_common"),
+        )
+    )
+    return (
+        ra.select("x", "y", "n_common", "ra_nano")
+        .orderBy(F.desc("ra_nano"), "x", "y")
+        .limit(topk)
+    )
+
+
+
 @register(
     "graph_resource_allocation",
     f"""
@@ -284,31 +338,11 @@ def graph_resource_allocation_q(spark, sf_dir):
     nano-units BEFORE the sum, so the ranking is pure integer
     arithmetic on both engines (the PMI/quantized-cosine discipline:
     never let float summation order near a decision). Shape: wedge
-    self-join on the hub (the triangle substrate's shape, skew capped
-    by the support prune), an anti-join against the edge list, one
-    (x,y) hash-agg, top-k under a total order."""
+    self-join on the hub, an anti-join against the edge list, one
+    (x,y) hash-agg, top-k under a total order. The substrate MUST be
+    support-pruned (it is: registry_ext5._cooc_edges) — the helper
+    enforces the Σ deg² wedge bound and raises rather than degenerate
+    on a raw skewed graph."""
     from .registry_ext5 import _cooc_edges
 
-    cooc = _cooc_edges(spark, sf_dir)
-    sym = cooc.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
-        cooc.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    )
-    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("d"))
-    s1 = sym.select(F.col("a").alias("z"), F.col("b").alias("x"))
-    s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("y"))
-    cand = s1.join(s2, "z").filter(F.col("x") < F.col("y"))
-    edges_xy = cooc.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    nonadj = cand.join(edges_xy, ["x", "y"], "left_anti")
-    ra = (
-        nonadj.join(deg.select(F.col("a").alias("z"), "d"), "z")
-        .groupBy("x", "y")
-        .agg(
-            F.sum(F.expr("1000000000 div d")).cast("long").alias("ra_nano"),
-            F.count("*").cast("long").alias("n_common"),
-        )
-    )
-    return (
-        ra.select("x", "y", "n_common", "ra_nano")
-        .orderBy(F.desc("ra_nano"), "x", "y")
-        .limit(_RA_TOPK)
-    )
+    return resource_allocation(_cooc_edges(spark, sf_dir), _RA_TOPK)
