@@ -60,9 +60,23 @@ _CS_ATTR_PREFIX_RE = re.compile(r"^(?:\s*\[[^\[\]]*\])+")
 # List<Integer>>`) — deeper nesting in a RETURN type is vanishingly rare
 # and degrades to a missed method, not a wrong one. Bounded repetition
 # keeps the scan linear on adversarial input.
+#
+# Group 2 is the FULL declared name, group 3 the simple name:
+# - a dotted prefix admits C# explicit interface implementations
+#   (`void IFoo.Bar()` — tree-sitter's method_declaration whose name
+#   field is just `Bar` beside an explicit_interface_specifier);
+#   dotted matches additionally REQUIRE a body downstream, which kills
+#   the field-initializer false positive (`int x = Foo.Bar();`).
+# - the optional `<...>` AFTER the name admits C# generic methods
+#   (`T Get<T>(int i)` — type_parameter_list follows the name in
+#   tree-sitter-c-sharp; Java puts type params before the return type
+#   so Java declarations never produce it). The char class excludes
+#   operators, so `a < b && c > (d)` can't read as type arguments.
 _METHOD_RE = re.compile(
     r"([A-Za-z_][\w.$]*(?:\s*<(?:[^<>;{}]|<[^<>;{}]{0,80}>){0,80}>)?"
-    r"(?:\s*\[\s*\])*[?]?)\s+([A-Za-z_]\w*)\s*\("
+    r"(?:\s*\[\s*\])*[?]?)\s+"
+    r"((?:[A-Za-z_][\w.]*\s*\.\s*)?([A-Za-z_]\w*))\s*"
+    r"(?:<[\w\s,.?\[\]]{0,60}>)?\s*\("
 )
 
 # nested-aware `<...>` spans, for erasing generic parameter sections from
@@ -366,10 +380,18 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
     def body_depth(t) -> int:
         return depth_at[t[3]] + 1
 
+    def _is_delegate_decl(start: int) -> bool:
+        # `public delegate int D<T>(T x);` is a delegate_declaration in
+        # tree-sitter, never a method entity — reject when the word
+        # directly before the return type is `delegate`
+        mm = re.search(r"(\w+)\s*$", cleaned[max(0, start - 40):start])
+        return bool(mm and mm.group(1) == "delegate")
+
     methods = []  # (name, decl_off, header_end, body_open|None, body_close|None, ret, params_txt, owner)
     seen_offsets: set[int] = set()
     for m in _METHOD_RE.finditer(cleaned):
-        ret, name = m.group(1), m.group(2)
+        ret, name = m.group(1), m.group(3)
+        dotted = "." in m.group(2)
         ret_base = ret.split("<")[0].split(".")[-1].strip()
         if ret_base in keywords or name in keywords or ret_base in _MODIFIERS:
             continue  # `public Task(` is a constructor, not a method `Task`
@@ -378,6 +400,10 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         if ret_base == "operator":
             # `implicit operator string(...)` is a conversion_operator_
             # declaration in tree-sitter — no method entity
+            continue
+        if dotted and not is_cs:
+            continue  # explicit interface implementation is C#-only
+        if is_cs and _is_delegate_decl(m.start(1)):
             continue
         owner = enclosing_type(m.start())
         if owner is None or depth_at[m.start()] != body_depth(owner):
@@ -405,6 +431,11 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                     body_open, body_close = arrow + 1, j
             else:
                 continue
+        if dotted and body_open is None:
+            # an explicit interface implementation always has a body ({
+            # or =>); a bodiless dotted match is a field initializer
+            # (`int x = Foo.Bar();`), not a declaration
+            continue
         methods.append((name, m.start(1), m.end() - 1, body_open, body_close,
                         ret, cleaned[m.end():close], owner, "method"))
         seen_offsets.add(m.start(2))
@@ -500,11 +531,16 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         for m in _METHOD_RE.finditer(cleaned):
             if m.start(2) in seen_offsets:
                 continue
-            ret, name = m.group(1), m.group(2)
+            ret, name = m.group(1), m.group(3)
+            dotted = "." in m.group(2)
             ret_base = ret.split("<")[0].split(".")[-1].strip()
             if (ret_base in keywords or name in keywords
                     or ret_base in _MODIFIERS or ret_base == "record"
                     or ret_base == "operator"):
+                continue
+            if dotted and not is_cs:
+                continue
+            if is_cs and _is_delegate_decl(m.start(1)):
                 continue
             if innermost_class_like(m.start()) is None:
                 continue
@@ -715,7 +751,9 @@ def parse_c_source(path: str, source: str) -> list[tuple]:
         ))
 
     for m in _METHOD_RE.finditer(cleaned):
-        ret, name = m.group(1), m.group(2)
+        ret, name = m.group(1), m.group(3)
+        if "." in m.group(2):
+            continue  # dotted names are C#-only (no such C declaration)
         ret_base = ret.split("<")[0].split(".")[-1].strip()
         if name in _C_KEYWORDS or ret_base in ("return", "sizeof", "else",
                                                "typedef", "goto", "case"):

@@ -793,3 +793,91 @@ def test_csharp_file_scoped_namespace():
             ("Constructor", "Impl")} <= ents
     calls = {r[9] for r in rs if r[0] == "call"}
     assert {"Compute", "Init"} <= calls
+
+
+def test_csharp_generic_methods_and_explicit_interface_impl():
+    """Round-7 parse tranche: tree-sitter-c-sharp emits method_declaration
+    for generic methods (type_parameter_list after the name) and for
+    explicit interface implementations (name field = the simple name
+    beside an explicit_interface_specifier) — both previously missed by
+    the `ReturnType name(` scan."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public interface IRepo {\n"
+        "    T Load<T>(int id);\n"
+        "}\n"
+        "public class Repo : IRepo {\n"
+        "    public T Load<T>(int id) { return Fetch<T>(id); }\n"
+        "    void IRepo.Refresh() { Load<int>(1); }\n"
+        "    int IRepo.Version => Load<int>(0);\n"
+        "    private T Fetch<T>(int id) => Query<T>(id);\n"
+        "    public delegate int Maker<T>(T seed);\n"
+        "    private int bad = Helper.Make(1);\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("Repo.cs", cs)
+    meths = {
+        (r[2], r[7]) for r in rows if r[0] == "entity" and r[1] == "Method"
+    }
+    # generic interface member (bodiless), both generic class members,
+    # and the explicit interface implementation under its SIMPLE name
+    assert ("Load", "IRepo") in meths
+    assert ("Load", "Repo") in meths
+    assert ("Fetch", "Repo") in meths
+    assert ("Refresh", "Repo") in meths
+    names = {r[2] for r in rows if r[0] == "entity"}
+    # delegate declarations and field initializers are not entities
+    assert "Maker" not in names
+    assert "bad" not in names and "Make" not in names
+    # bodies of the new method kinds are scanned for calls
+    load_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Load"}
+    assert "Fetch" in load_calls
+    refresh_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Refresh"}
+    assert refresh_calls == {"Load"}
+    fetch_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Fetch"}
+    assert fetch_calls == {"Query"}
+
+
+def test_csharp_partial_class_one_entity_per_declaration():
+    """tree-sitter parses each `partial class Foo` occurrence as its own
+    class_declaration, so the reference emits one Class entity per
+    declaration with members parented at their own declaration — lock
+    that behavior across two partial halves in one file."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public partial class Widget : IDisposable {\n"
+        "    public void Dispose() { Close(); }\n"
+        "}\n"
+        "public partial class Widget {\n"
+        "    public int Size() { return Measure(); }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("W.cs", cs)
+    classes = [r for r in rows if r[0] == "entity" and r[1] == "Class"]
+    assert len(classes) == 2 and {c[2] for c in classes} == {"Widget"}
+    assert classes[0][4] != classes[1][4]  # distinct start lines
+    # each method parents at Widget (its own declaration)
+    meths = {(r[2], r[7]) for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert meths == {("Dispose", "Widget"), ("Size", "Widget")}
+    # the inheritance clause binds only to the half that declares it
+    assert [r for r in rows if r[0] == "cs_base" and r[9] == "IDisposable"]
+
+
+def test_java_dotted_name_not_a_method():
+    """Java has no explicit interface implementations — a dotted
+    field-initializer call (`int x = Foo.bar();`) must not become a
+    method entity, and Java generic methods (type params BEFORE the
+    return type) still parse."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    src = (
+        "public class Box {\n"
+        "    private int x = Factory.make();\n"
+        "    public <T> T unwrap(T val) { return val; }\n"
+        "}\n"
+    )
+    rows = parse_java_source("Box.java", src)
+    meths = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert meths == {"unwrap"}
