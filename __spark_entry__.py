@@ -60,90 +60,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Grading-order rotation (the driver caps correctness rows per round,
-# ~50). Round 6 is the declared consolidation round (VERDICT r5 items
-# 1/5/6): the registry is FROZEN at 234 — no new queries this round.
-# Order: (1) the three never-graded queries whose implementation
-# changed THIS round (graph_anf_sketch physical rework; the MAD-gate
-# boundary fix behind events_outliers_mad / emb_norm_outliers) — a
-# changed query must meet the driver before anything else; (2) the
-# remaining 60 never-graded queries in registration order — the
-# driver's ~50-row cap leaves the last ~13 (the newest r5 wave) for
-# round 7, the declared sacrifice; (3) queries whose r5-green rows
-# predate this round's kernel-hardening commit (landmarks zero-edge
-# guard, caps hoist in landmarks/stress/walks); (4) queries with
-# r3/r4 rows whose implementing modules changed during round 5
-# (dedup/similarity/packing/bpe/sketches/text function files, the
-# labelprop/pagerank array-cache rework, cypher WITH-aggregation) —
-# substrate-changed rows outrank merely-old ones; (5) the 33 r2-stale
-# rows (three-round-old evidence is the oldest anything should get);
-# (6) the remainder in registration order.
+# ~50). Round 7 spends the ENTIRE budget on the evidence debt (VERDICT
+# r6 item 1) and is GENERATED from the mechanized audit
+# (`python tools/staleness.py`; gate: tests/test_rotation_staleness.py).
+# The registry stays FROZEN at 234. Order:
+# (A) the 13 never-graded tail (the r6 rotation's declared sacrifice);
+# (B) queries whose implementing code changed THIS round and so must
+#     meet the driver again: graph_anf_sketch (memo-key fix),
+#     graph_resource_allocation + its registry_ext21 file-mates
+#     (wedge-cap guard commit touches their module),
+#     triangle-kernel consumers (chunked wedge expansion),
+#     s2_cfamily_analyzer (C# generic/explicit-interface methods),
+#     j13_symbol_resolution (binding tie-break);
+# (C) the r5-green rows predating the r6 caps-hoist commit d05e23e;
+# (D) the 33 r2-stale rows — §2 parity rows first, then the pipeline
+#     rows, then the property-test-heaviest 8 as the declared spill
+#     (w_*/text_* have dedicated pytest suites) if the ~50-row cap
+#     lands mid-block;
+# (E) the r3/r4 rows whose own registry module changed after their
+#     grade (r5 function-file edits), oldest evidence first — next
+#     round's backlog, ordered so the driver overflow starts here.
 _PRIORITY = [
-    # (1) never graded AND changed this round
-    "graph_anf_sketch", "events_outliers_mad", "emb_norm_outliers",
-    # (2) never-graded backlog, registration order
-    "mm_ppm_features",
-    "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
-    "emb_matryoshka_overlap", "corpus_source_overlap",
-    "dedup_semdedup", "er_fuzzy_name_pairs",
-    "text_kn_bigram_logprob",
-    "events_trigram_patterns", "text_rake_keywords",
-    "quality_calibration_bins",
-    "events_changepoint",
-    "corpus_cross_entropy_shift", "source_template_overlap",
-    "events_stickiness", "events_rfm", "emb_centroid_drift",
-    "graph_mst_boruvka", "events_autocorrelation", "corpus_simpson_diversity",
-    "graph_butterfly_count", "graph_luby_mis", "shard_zonemap_prune",
-    "events_lateness_profile", "corpus_pmi_collocations",
-    "orders_basket_rules", "events_gini_engagement", "events_seasonality",
-    "events_markov_mixing",
-    "graph_clustering_coeff", "graph_rich_club", "corpus_ks_lengths",
-    "graph_resource_allocation",
-    "events_forecast_backtest", "orders_sla_division", "orders_ltv_triangle",
-    "trade_flow_matrix", "market_segment_share", "customers_prospects",
-    "part_hierarchy_rollup",
-    "events_scd2_dimension", "dq_referential_checks",
-    "orders_benford_firstdigit",
-    "graph_topological_layers", "events_concurrency_profile",
-    "orders_purchase_intervals",
+    # (A) never graded
     "dq_k_anonymity", "graph_eccentricity_bounds", "graph_core_decomposition",
     "events_window_funnel", "events_slo_burn",
     "curation_gate_ablation", "dedup_cluster_sizes",
     "shard_zorder_prune", "supply_risk_single_source",
     "shard_hash_ring", "events_bot_regularity",
     "events_latency_percentiles", "emb_silhouette_proxy",
-    # (3) r5-green rows predating this round's kernel hardening
+    # (B) changed this round
+    "graph_anf_sketch", "graph_resource_allocation",
+    "graph_clustering_coeff", "graph_rich_club", "corpus_ks_lengths",
+    "graph_triangle_count", "graph_ktruss", "graph_jaccard_neighbors",
+    "s2_cfamily_analyzer", "j13_symbol_resolution",
+    # (C) r5-green rows predating the r6 kernel hardening (d05e23e)
     "graph_landmark_distances", "graph_stress_centrality",
     "graph_random_walks", "walk_skipgram_pairs",
-    # (4) r3/r4 rows on modules that changed during round 5
-    "graph_label_propagation", "graph_pagerank",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_minhash_exact", "dedup_simhash_exact",
-    "dedup_minhash_incremental", "dedup_minhash_clusters",
-    "dedup_substring_spans", "ann_lsh_topk", "ann_lsh_exact",
-    "ann_pq_exact", "pack_sequences", "pack_sequences_sharded",
-    "sample_temperature", "bpe_pair_stats", "bpe_train_merges",
-    "bpe_apply_token_counts", "corpus_distinct_hll", "corpus_hll_merge",
-    "emb_kmeans_assign", "emb_power_iteration", "emb_label_centroids",
-    "emb_similarity_histogram", "mm_media_features", "mm_frame_features",
-    "mm_wav_features", "mm_avi_frames", "text_token_stats",
-    "text_quality_score", "text_lang_pred", "text_fingerprint",
-    "text_repetition", "text_unigram_logprob", "cypher_frontend_hop",
-    "boilerplate_stats",
-    # (5) freshest row is round 2 (all pre-verified at sf0.01+sf0.001)
-    "asof_prior_click",
-    "contamination_ngram", "corpus_stats", "dedup_clusters",
-    "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
-    "f7_json_props", "j3_callees", "j8_chain_payloads", "m1_merge_upsert",
-    "m2_merge_edges", "m5_cascade_delete", "m6_edge_prop_update",
-    "m8_switch_commit_derived", "o1_commit_list_ordering", "o4_topk_orders",
+    # (D) r2-stale (four rounds old at the r7 close)
+    "m1_merge_upsert", "m2_merge_edges", "m5_cascade_delete",
+    "m6_edge_prop_update", "m8_switch_commit_derived",
+    "j3_callees", "j8_chain_payloads",
     "p5_null_predicate", "p6_dynamic_filters", "p7_fixed_projection",
-    "p8_ext_ignore_filters", "s2_cfamily_analyzer", "sample_stratified",
-    "skew_salted_agg", "text_bpe_tokens", "text_char_entropy",
-    "text_rolling_fingerprint", "text_tfidf_topterms", "value_histogram",
+    "p8_ext_ignore_filters",
+    "o1_commit_list_ordering", "o4_topk_orders",
+    "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
+    "f7_json_props", "x3_auto_complete",
+    "asof_prior_click", "contamination_ngram", "corpus_stats",
+    "dedup_clusters", "sample_stratified", "skew_salted_agg",
+    # (D-spill: pytest-property-covered, graded first in r8 if capped)
+    "text_bpe_tokens", "text_char_entropy", "text_rolling_fingerprint",
+    "text_tfidf_topterms", "value_histogram",
     "w_session_30m", "w_sliding_1h_30m", "w_tumbling_1h",
-    "x3_auto_complete",
-    # rows-only approximate families (fresh r4 rows, twin-oracled)
-    "ann_ivf_topk", "ann_pq_topk",
+    # (E) own-module changed after freshest grade, oldest first — r3
+    "graph_pagerank", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
+    "mm_media_features", "mm_frame_features",
+    "text_token_stats", "text_quality_score", "text_lang_pred",
+    "text_fingerprint", "text_repetition", "text_unigram_logprob",
+    "cypher_frontend_hop", "pii_redact", "stream_click_attribution",
+    "cohort_retention", "graph_sssp_bounded", "graph_degree_histogram",
+    "ann_ivf_indexed_topk", "sample_weighted",
+    # (E) — r4
+    "graph_label_propagation", "dedup_minhash_exact", "dedup_simhash_exact",
+    "dedup_minhash_incremental", "dedup_minhash_clusters",
+    "dedup_substring_spans", "ann_lsh_exact", "ann_pq_exact",
+    "pack_sequences", "pack_sequences_sharded", "sample_temperature",
+    "bpe_pair_stats", "bpe_train_merges", "bpe_apply_token_counts",
+    "corpus_distinct_hll", "corpus_hll_merge",
+    "emb_kmeans_assign", "emb_power_iteration", "emb_label_centroids",
+    "emb_similarity_histogram", "mm_wav_features", "mm_avi_frames",
+    "boilerplate_stats", "ann_pq_topk", "quality_percentile",
+    "stream_event_dedup", "corpus_length_deciles", "funnel_conversion",
+    "events_rollup", "graph_hits", "corpus_vocab_stats",
+    "events_outliers", "corpus_length_regression", "trending_events",
+    "corpus_lang_pivot", "graph_closeness_approx", "corpus_train_val_split",
+    "skew_salted_join", "events_transition_matrix",
+    # (E) — r5
+    "graph_edge_embeddedness",
 ]
 
 

@@ -64,13 +64,24 @@ def main() -> None:
     # the same wave and min() can't help). Pass 2 is also fully warm, which
     # is the metric we want: query latency against the resident graph.
     samples: dict[str, list[float]] = {name: [] for name in qs}
+    # 1-minute load average at each sample's START — the r5/r6 rounds
+    # showed multi-minute external load waves inflating samples 2-50x
+    # with code unchanged; recording the confound beside each sample
+    # lets the driver (and BENCH_NOTES) attribute a drift to load
+    # instead of re-litigating the plan (VERDICT r6 item 8).
+    loads: dict[str, list[float]] = {name: [] for name in qs}
     failed: set[str] = set()
 
     def run_once(name, fn) -> None:
+        try:
+            la = round(os.getloadavg()[0], 1)
+        except OSError:
+            la = -1.0
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
+            loads[name].append(la)
         except Exception as ex:  # a failed query is a 0-score, not a crash
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
             failed.add(name)
@@ -145,6 +156,17 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
+            # per-query [sec, load1m-at-start] pairs for every sample
+            # (2 base + optional tie-breaker) — the load confound for
+            # each drift candidate, in the same committed artifact
+            "samples": {
+                name: [
+                    [round(t, 3), loads[name][i]]
+                    for i, t in enumerate(samples[name])
+                ]
+                for name in qs
+                if samples[name]
+            },
         },
         separators=(",", ":"),
     )

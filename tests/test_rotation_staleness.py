@@ -1,0 +1,96 @@
+"""CI gate for the grading rotation (VERDICT r6 item 7): the rotation in
+__spark_entry__._PRIORITY must spend the driver's ~50-row budget on
+evidence debt, mechanized from the CORRECTNESS_r*.json artifacts + git
+provenance instead of hand-reconciled prose.
+
+Fails when (a) a query with no green row, an over-age row, or a row
+predating its own module's last commit is ordered AFTER any fully-fresh
+query, or (b) the precisely-known debt (never-graded / expired rows)
+no longer fits the front of the rotation — both force the next round's
+builder to regenerate the rotation (python tools/staleness.py prints
+the audit) before anything else.
+
+No Spark session needed: pure artifact + git reading, so the gate runs
+even when the suite is filtered to -k staleness.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def _git_available() -> bool:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--git-dir"],
+                cwd=REPO, capture_output=True, timeout=10,
+            ).returncode
+            == 0
+        )
+    except Exception:
+        return False
+
+
+@pytest.fixture(scope="module")
+def rotation_and_debt():
+    if not _git_available():
+        pytest.skip("no git history — provenance audit unavailable")
+    import staleness
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    return list(qs), staleness.debt(qs)
+
+
+def test_all_registered_queries_have_a_rotation_position(rotation_and_debt):
+    order, _ = rotation_and_debt
+    assert len(order) == len(set(order))
+    import __spark_entry__ as e
+
+    missing = [q for q in e._PRIORITY if q not in set(order)]
+    assert not missing, f"_PRIORITY names unregistered queries: {missing}"
+
+
+def test_hard_debt_precedes_fresh_queries(rotation_and_debt):
+    """Every query with hard evidence debt (never graded, row older than
+    4 rounds at the coming close, or own-module commit newer than its
+    green round) must be ordered before every fully-fresh query."""
+    order, debt = rotation_and_debt
+    pos = {q: i for i, q in enumerate(order)}
+    hard = [q for q, c in debt.items() if c != "dep-changed"]
+    clean = [q for q in order if q not in debt]
+    if not hard or not clean:
+        return
+    worst_hard = max(hard, key=pos.__getitem__)
+    best_clean = min(clean, key=pos.__getitem__)
+    assert pos[worst_hard] < pos[best_clean], (
+        f"rotation is stale: {worst_hard} ({debt[worst_hard]}, position "
+        f"{pos[worst_hard]}) is ordered after fresh query {best_clean} "
+        f"(position {pos[best_clean]}); regenerate _PRIORITY from "
+        "`python tools/staleness.py`"
+    )
+
+
+def test_never_and_expired_fit_the_rotation_head(rotation_and_debt):
+    """The precisely-known debt classes must sit within the first 60
+    positions (driver budget ~50 + the declared spill block): if they
+    stop fitting, the registry grew faster than the driver can grade —
+    freeze it (VERDICT r6 item 6) and clear the backlog first."""
+    order, debt = rotation_and_debt
+    pos = {q: i for i, q in enumerate(order)}
+    urgent = [q for q, c in debt.items() if c in ("never", "expired")]
+    over = [q for q in urgent if pos[q] >= 60]
+    assert not over, (
+        f"never/expired queries ordered past the driver budget: "
+        f"{[(q, pos[q]) for q in over]}"
+    )

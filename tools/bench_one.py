@@ -57,14 +57,18 @@ def main() -> None:
         fn = qs[name]
         cnt = fn(spark, sf_dir).count()  # untimed warm pass (codegen, broadcasts)
         release_scratch()
-        ts = []
+        ts, las = [], []
         for _ in range(n):
+            try:
+                las.append(round(os.getloadavg()[0], 1))
+            except OSError:
+                las.append(-1.0)
             t0 = time.perf_counter()
             cnt = fn(spark, sf_dir).count()
             ts.append(time.perf_counter() - t0)
             release_scratch()
         print(f"{name}: rows={cnt} samples={[round(t, 3) for t in ts]} "
-              f"min={min(ts):.3f}s")
+              f"min={min(ts):.3f}s load1m={las}")
 
 
 if __name__ == "__main__":
