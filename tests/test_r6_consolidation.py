@@ -142,7 +142,8 @@ class TestStreamingUpsertBatchDedupe:
         dup = spark.createDataFrame(
             [(1, "a", None), (1, "b", None)], SCHEMA
         )
-        with pytest.raises(AssertionError, match="multiple rows per key"):
+        # r7: ValueError, not assert — the check must survive python -O
+        with pytest.raises(ValueError, match="multiple rows per key"):
             ups.apply_batch(dup)
 
     def test_unique_keys_without_order_col_pass(self, spark):
