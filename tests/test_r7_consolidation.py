@@ -96,6 +96,36 @@ def test_anf_memo_distinguishes_edge_sets(spark):
     assert _anf_static(spark, g2) is s2
 
 
+def test_triangles_chunked_property(spark, monkeypatch):
+    """Hypothesis sweep: arbitrary small graphs × a forced 3-wedge chunk
+    must equal brute force — every chunk-boundary interaction (partial
+    blocks, accumulation, single-edge fallback) on random shapes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from code_graph_backend_spark.operators import triangles as T
+
+    monkeypatch.setattr(T, "_WEDGE_CHUNK", 3)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(pairs=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0, max_size=20, unique=True,
+    ))
+    def run(pairs):
+        pairs = [(a, b) for a, b in pairs if a != b]
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in T._triangles_local(
+                spark, _edges_df(spark, pairs)
+            ).collect()
+        }
+        assert got == _brute_triangles(pairs)
+
+    run()
+
+
 def test_resource_allocation_wedge_cap_guard(spark):
     """The RA kernel enforces its support-pruned-substrate precondition:
     sum(deg^2) above the cap raises instead of silently emitting a
