@@ -403,6 +403,21 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
             )
         )
 
+    # Lineage cut: refs_eff carries the 5-level re-export hop unroll (five
+    # broadcast left-outer joins over two window dedups) and feeds FOUR
+    # downstream consumers (external nodes + three edge-kind joins) — with
+    # lineage intact Catalyst re-ANALYZES that whole subtree per consumer,
+    # and for repo-sized inputs the optimizer time dwarfs execution (the
+    # 20-row fixture graph spent ~5s in plan analysis, ~0.1s executing).
+    # This is the engine's ingest materialization boundary — the reference
+    # materializes the resolved graph into FalkorDB at exactly this point
+    # (api/analyzers/source_analyzer.py:118 second_pass writes edges as it
+    # resolves) — so truncating lineage here is the Spark-native analogue,
+    # not a cache-for-speed hack. ids are deterministic (xxhash64 business
+    # key, graph/model.py:75), so re-derivation vs checkpoint replay is
+    # value-identical either way.
+    refs_eff = refs_eff.localCheckpoint(eager=False)
+
     # entity nodes (labels + Searchable, reference api/graph.py:250,400)
     ent_nodes = ent.select(
         F.array(F.col("label"), F.lit("Searchable")).alias("labels"),
@@ -446,12 +461,15 @@ def graph_from_parsed(spark: SparkSession, parsed: DataFrame) -> tuple[DataFrame
     )
 
     all_nodes = ent_nodes.unionByName(file_nodes).unionByName(ext_nodes)
+    # second lineage cut: the node table fans out into every edge-kind
+    # resolution join below (ids is read 5+ times) — same analysis-time
+    # rationale as refs_eff above
     nodes = all_nodes.select(
         node_id_expr().alias("id"),
         "labels", "name", "path", "ext", "src_start", "src_end", "doc",
         F.lit(None).cast("map<string,string>").alias("props"),
         F.lit(None).cast("double").alias("coverage"),
-    )
+    ).localCheckpoint(eager=False)
 
     # id lookup views ----------------------------------------------------
     ids = nodes.select("id", F.element_at("labels", 1).alias("label"),
