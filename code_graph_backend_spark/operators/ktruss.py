@@ -96,7 +96,7 @@ def _local_rounds(spark, surv, need: int, rounds_left: int):
     remaining rounds run as set arithmetic on the driver instead of ~10
     more scheduled stages per round. Exact same semantics as
     `_edge_support` + filter (pinned local==distributed in pytest)."""
-    cur = {(r["a"], r["b"]) for r in surv}
+    cur = {(int(a), int(b)) for a, b in surv}
     sup: dict = {}
     for _ in range(rounds_left):
         adj: dict = {}
@@ -127,24 +127,38 @@ def ktruss_edges(
     k: int = 4,
     rounds: int = 2,
     local_max: int = LOCAL_MAX_EDGES,
+    local_caps: int | None = None,
 ) -> DataFrame:
     """Edges surviving `rounds` peels at truss level `k`, with their
     final-round support: each round recomputes triangle support on the
     current survivor subgraph and drops edges below k-2 (peeling an edge
     erases the triangles it closed, which can push its neighbors below
     the threshold next round — support must be re-derived, never reused).
-    Round 1 always runs the distributed wedge-join plan; if its survivor
-    count is measured small the remaining rounds finish driver-local.
-    Deterministic output ordering (a, b) so the row stream is
-    bit-stable."""
+
+    Measured-size duality, the same convention as triangles/landmarks/
+    mst: at or below `local_caps` undirected edges (default
+    LOCAL_MAX_EDGES; tests force the distributed branch with 0) ALL
+    rounds run driver-local on the shared edge-array cache. Above it,
+    round 1 runs the distributed wedge-join plan and the remaining
+    rounds go local only once the measured survivor count fits
+    `local_max`. Deterministic output ordering (a, b) so the row
+    stream is bit-stable."""
     need = k - 2
+    spark = edges.sparkSession
+    cap = LOCAL_MAX_EDGES if local_caps is None else local_caps
+    from .undirected import und_arrays, und_cached
+
+    if und_cached(spark, edges).count() <= cap:
+        arr = und_arrays(spark, edges)
+        return _local_rounds(spark, zip(arr["a"], arr["b"]), need, rounds)
     cur = scratch_persist(undirected_edges(edges))
     sup = scratch_persist(_edge_support(cur).filter(F.col("support") >= need))
     if rounds > 1:
-        spark = edges.sparkSession
         n = sup.count()
         if n <= local_max:
-            return _local_rounds(spark, sup.collect(), need, rounds - 1)
+            return _local_rounds(
+                spark, sup.select("a", "b").collect(), need, rounds - 1
+            )
         for _ in range(rounds - 1):
             cur = scratch_persist(sup.select("a", "b"))
             sup = _edge_support(cur).filter(F.col("support") >= need)

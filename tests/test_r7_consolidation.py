@@ -73,6 +73,31 @@ def test_triangles_local_chunk_one_edge_block(spark, monkeypatch):
     assert got == _brute_triangles(pairs)
 
 
+def test_ktruss_full_local_matches_distributed(spark):
+    """Measured-size duality for the WHOLE k-truss peel (round 1
+    included): the full-local path (cap high) must equal the
+    distributed round-1 plan (cap 0) on a random graph, for several
+    (k, rounds) settings."""
+    from code_graph_backend_spark.operators.ktruss import ktruss_edges
+
+    rng = random.Random(11)
+    n = 25
+    pairs = list({(a, b) for a, b in (
+        (rng.randrange(n), rng.randrange(n)) for _ in range(160)
+    ) if a != b})
+    e = _edges_df(spark, pairs)
+    for k, rounds in [(3, 1), (3, 2), (4, 2), (5, 3)]:
+        local = [tuple(r) for r in
+                 ktruss_edges(e, k=k, rounds=rounds).collect()]
+        dist = [tuple(r) for r in
+                ktruss_edges(e, k=k, rounds=rounds, local_caps=0,
+                             local_max=0).collect()]
+        assert local == dist, (k, rounds)
+        mixed = [tuple(r) for r in
+                 ktruss_edges(e, k=k, rounds=rounds, local_caps=0).collect()]
+        assert local == mixed, (k, rounds)
+
+
 def test_anf_memo_distinguishes_edge_sets(spark):
     """Same g.nodes object + DIFFERENT g.edges must produce different ANF
     states (the r6 memo keyed on nodes only and would serve stale edge
