@@ -140,6 +140,18 @@ def _strip(source: str):
                 if out[k] != "\n":
                     out[k] = " "
             i = j
+        elif source[i:i + 3] == '"""':
+            # Java text block / C# raw string literal: content is string
+            # text through the closing triple quote — internal single
+            # quotes must not terminate it, and its content must never
+            # read as code (an embedded SQL snippet's `foo(1)` is not a
+            # call in tree-sitter's string_literal node either)
+            j = source.find('"""', i + 3)
+            j = n if j < 0 else j + 3
+            for k in range(i, min(j, n)):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j
         elif c == "@" and nxt == '"':  # C# verbatim string: "" escapes a quote
             j = i + 2
             while j < n:
@@ -153,6 +165,62 @@ def _strip(source: str):
                 if out[k] != "\n":
                     out[k] = " "
             i = j + 1
+        elif c == "$" and nxt == '"':
+            # C# interpolated string: the literal text is blanked, but a
+            # `{...}` interpolation hole contains real CODE — tree-sitter
+            # parses invocation_expression nodes inside holes, so calls
+            # like $"got {Get(x)}" must survive into the cleaned text.
+            # `{{`/`}}` are literal-brace escapes; nested strings inside a
+            # hole are blanked by a mini string scan.
+            out[i] = " "
+            out[i + 1] = " "
+            k = i + 2
+            depth = 0
+            while k < n:
+                ch = source[k]
+                if depth == 0:
+                    if ch == "\\" and k + 1 < n:
+                        out[k] = " "
+                        if out[k + 1] != "\n":
+                            out[k + 1] = " "
+                        k += 2
+                        continue
+                    if ch == '"':
+                        out[k] = " "
+                        k += 1
+                        break
+                    if ch == "{":
+                        if k + 1 < n and source[k + 1] == "{":
+                            out[k] = " "
+                            out[k + 1] = " "
+                            k += 2
+                            continue
+                        depth = 1
+                        out[k] = " "
+                        k += 1
+                        continue
+                    if ch != "\n":
+                        out[k] = " "
+                    k += 1
+                else:
+                    if ch == "{":
+                        depth += 1
+                    elif ch == "}":
+                        depth -= 1
+                        if depth == 0:
+                            out[k] = " "
+                    elif ch == '"':
+                        # nested string inside the hole: blank it
+                        q = k + 1
+                        while q < n and source[q] != '"':
+                            q += 2 if source[q] == "\\" else 1
+                        for kk in range(k, min(q + 1, n)):
+                            if out[kk] != "\n":
+                                out[kk] = " "
+                        k = q + 1
+                        continue
+                    k += 1
+            i = k
         elif c in ('"', "'"):
             q, j = c, i + 1
             while j < n and source[j] != q:

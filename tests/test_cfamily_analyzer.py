@@ -881,3 +881,63 @@ def test_java_dotted_name_not_a_method():
     rows = parse_java_source("Box.java", src)
     meths = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
     assert meths == {"unwrap"}
+
+
+def test_java_text_block_content_is_not_code():
+    """Java text blocks (JLS 15.28): content is a string_literal in
+    tree-sitter — an embedded SQL snippet's `count(1)` must not read as
+    a call, and internal quotes must not terminate the literal."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    src = (
+        'public class Q {\n'
+        '    String sql = """\n'
+        '        SELECT count(1), "name" FROM t WHERE x = foo(2)\n'
+        '        """;\n'
+        '    public int run() { return exec(sql); }\n'
+        '}\n'
+    )
+    rows = parse_java_source("Q.java", src)
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"exec"}  # count/foo are string text, not invocations
+    meths = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert meths == {"run"}
+
+
+def test_csharp_interpolated_string_holes_are_code():
+    """tree-sitter-c-sharp parses `{...}` interpolation holes as real
+    expressions — invocations inside them are (invocation_expression)
+    captures (reference csharp/analyzer.py:94-99), while the literal
+    text around them is not code. `{{` stays a literal-brace escape and
+    nested strings inside a hole stay strings."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        'public class L {\n'
+        '    public string Render(int x) {\n'
+        '        return $"got {Get(x)} and {{literal}} plus {Fmt(Join(", ", x))}";\n'
+        '    }\n'
+        '    public string Plain() { return $"no holes here Marker(1)"; }\n'
+        '}\n'
+    )
+    rows = parse_csharp_source("L.cs", cs)
+    render_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Render"}
+    assert render_calls == {"Get", "Fmt", "Join"}
+    plain_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Plain"}
+    assert plain_calls == set()  # literal text never reads as a call
+    meths = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert meths == {"Render", "Plain"}
+
+
+def test_csharp_raw_string_literal_blanked():
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        'public class R {\n'
+        '    string q = """SELECT sum(v) FROM "t" WHERE f(1)""";\n'
+        '    public int Go() { return Run(q); }\n'
+        '}\n'
+    )
+    rows = parse_csharp_source("R.cs", cs)
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"Run"}
