@@ -113,6 +113,75 @@ def _blank_spans(text: str, regex: re.Pattern) -> str:
     return text if out is None else "".join(out)
 
 
+def _scan_interpolated(
+    source: str, out: list, k: int, verbatim: bool, start: int = -1
+) -> int:
+    """Blank a C# interpolated string starting AFTER its prefix+quote
+    (offset k), leaving `{...}` interpolation holes intact — tree-sitter
+    parses hole contents as real expressions (invocation_expression
+    nodes inside $\"got {Get(x)}\" are call captures), while the literal
+    text around them is string data. `{{`/`}}` are literal-brace
+    escapes; nested strings inside holes are blanked by a mini scan.
+    Verbatim mode ($@\"/@$\") treats backslash as text and \"\" as the
+    quote escape. Blanks the prefix itself and returns the offset past
+    the closing quote."""
+    n = len(source)
+    for kk in range(start if start >= 0 else k, k):
+        if out[kk] != "\n":
+            out[kk] = " "
+    depth = 0
+    while k < n:
+        ch = source[k]
+        if depth == 0:
+            if not verbatim and ch == "\\" and k + 1 < n:
+                out[k] = " "
+                if out[k + 1] != "\n":
+                    out[k + 1] = " "
+                k += 2
+                continue
+            if ch == '"':
+                if verbatim and k + 1 < n and source[k + 1] == '"':
+                    out[k] = " "
+                    out[k + 1] = " "
+                    k += 2
+                    continue
+                out[k] = " "
+                k += 1
+                break
+            if ch == "{":
+                if k + 1 < n and source[k + 1] == "{":
+                    out[k] = " "
+                    out[k + 1] = " "
+                    k += 2
+                    continue
+                depth = 1
+                out[k] = " "
+                k += 1
+                continue
+            if ch != "\n":
+                out[k] = " "
+            k += 1
+        else:
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    out[k] = " "
+            elif ch == '"':
+                # nested string inside the hole: blank it
+                q = k + 1
+                while q < n and source[q] != '"':
+                    q += 2 if source[q] == "\\" else 1
+                for kk in range(k, min(q + 1, n)):
+                    if out[kk] != "\n":
+                        out[kk] = " "
+                k = q + 1
+                continue
+            k += 1
+    return k
+
+
 def _strip(source: str):
     """Blank out comments and string/char literals, preserving offsets.
 
@@ -166,61 +235,9 @@ def _strip(source: str):
                     out[k] = " "
             i = j + 1
         elif c == "$" and nxt == '"':
-            # C# interpolated string: the literal text is blanked, but a
-            # `{...}` interpolation hole contains real CODE — tree-sitter
-            # parses invocation_expression nodes inside holes, so calls
-            # like $"got {Get(x)}" must survive into the cleaned text.
-            # `{{`/`}}` are literal-brace escapes; nested strings inside a
-            # hole are blanked by a mini string scan.
-            out[i] = " "
-            out[i + 1] = " "
-            k = i + 2
-            depth = 0
-            while k < n:
-                ch = source[k]
-                if depth == 0:
-                    if ch == "\\" and k + 1 < n:
-                        out[k] = " "
-                        if out[k + 1] != "\n":
-                            out[k + 1] = " "
-                        k += 2
-                        continue
-                    if ch == '"':
-                        out[k] = " "
-                        k += 1
-                        break
-                    if ch == "{":
-                        if k + 1 < n and source[k + 1] == "{":
-                            out[k] = " "
-                            out[k + 1] = " "
-                            k += 2
-                            continue
-                        depth = 1
-                        out[k] = " "
-                        k += 1
-                        continue
-                    if ch != "\n":
-                        out[k] = " "
-                    k += 1
-                else:
-                    if ch == "{":
-                        depth += 1
-                    elif ch == "}":
-                        depth -= 1
-                        if depth == 0:
-                            out[k] = " "
-                    elif ch == '"':
-                        # nested string inside the hole: blank it
-                        q = k + 1
-                        while q < n and source[q] != '"':
-                            q += 2 if source[q] == "\\" else 1
-                        for kk in range(k, min(q + 1, n)):
-                            if out[kk] != "\n":
-                                out[kk] = " "
-                        k = q + 1
-                        continue
-                    k += 1
-            i = k
+            i = _scan_interpolated(source, out, i + 2, verbatim=False, start=i)
+        elif source[i:i + 3] in ('$@"', '@$"'):
+            i = _scan_interpolated(source, out, i + 3, verbatim=True, start=i)
         elif c in ('"', "'"):
             q, j = c, i + 1
             while j < n and source[j] != q:

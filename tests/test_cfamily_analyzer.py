@@ -941,3 +941,28 @@ def test_csharp_raw_string_literal_blanked():
     rows = parse_csharp_source("R.cs", cs)
     calls = {r[9] for r in rows if r[0] == "call"}
     assert calls == {"Run"}
+
+
+def test_csharp_verbatim_interpolated_holes_are_code():
+    """$@\"...\" / @$\"...\" — verbatim text ('' escapes the quote,
+    backslashes are literal) with code holes, same capture semantics as
+    plain interpolated strings."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        'public class V {\n'
+        '    public string A(int x) {\n'
+        '        return $@"path\\to ""q"" {Get(x)} end";\n'
+        '    }\n'
+        '    public string B(int x) {\n'
+        '        return @$"row {Fmt(x)} {{esc}} tail";\n'
+        '    }\n'
+        '}\n'
+    )
+    rows = parse_csharp_source("V.cs", cs)
+    a_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "A"}
+    b_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "B"}
+    assert a_calls == {"Get"}
+    assert b_calls == {"Fmt"}
+    meths = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert meths == {"A", "B"}
