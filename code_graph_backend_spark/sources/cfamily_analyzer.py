@@ -356,6 +356,17 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
     types = []  # (kind, name, decl_off, open_off, close_off)
     for m in _TYPE_DECL_RE.finditer(cleaned):
         kind, name = m.group(1), m.group(2)
+        scan_from = m.end()
+        if kind == "record" and is_cs and name in ("struct", "class"):
+            # C# 10 `record struct P(...)` / `record class C(...)`: the
+            # keyword after `record` is the kind, the NAME follows it
+            # (tree-sitter: record_struct_declaration / record_declaration)
+            mm2 = re.match(r"\s*([A-Za-z_]\w*)", cleaned[m.end():])
+            if not mm2:
+                continue
+            kind = "record_struct" if name == "struct" else "record"
+            name = mm2.group(1)
+            scan_from = m.end() + mm2.end()
         if kind == "struct" and not is_cs:
             continue
         if kind == "interface":
@@ -369,9 +380,9 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                 k -= 1
             if k >= 0 and cleaned[k] == "@":
                 continue
-        open_off = cleaned.find("{", m.end())
-        if kind == "record":
-            semi = cleaned.find(";", m.end())
+        open_off = cleaned.find("{", scan_from)
+        if kind in ("record", "record_struct"):
+            semi = cleaned.find(";", scan_from)
             # C# positional record without a body: zero-length body span
             if semi >= 0 and (open_off < 0 or semi < open_off):
                 types.append((kind, name, m.start(), semi, semi))
@@ -391,8 +402,9 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
     label_of = {"class": "Class", "interface": "Interface",
                 "enum": "Enum", "struct": "Struct",
                 # records are final classes with value semantics — same
-                # label the reference's class capture would produce
-                "record": "Class"}
+                # label the reference's class capture would produce;
+                # `record struct` is a value type → Struct
+                "record": "Class", "record_struct": "Struct"}
 
     # type entity rows are emitted AFTER method discovery: a local
     # class/record declared inside a method body is DEFINES-parented at
@@ -422,7 +434,7 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                 bases = [_base_type_name(b) for b in _split_params(mm.group(1))]
                 bases = [b for b in bases if b]
                 for pos, b in enumerate(bases):
-                    if kind == "class":
+                    if kind in ("class", "record"):
                         # C# syntax can't distinguish base class from first
                         # interface (reference csharp/analyzer.py:80-87 NOTE);
                         # `cs_base` defers the EXTENDS-vs-IMPLEMENTS decision
@@ -480,8 +492,11 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         ret_base = ret.split("<")[0].split(".")[-1].strip()
         if ret_base in keywords or name in keywords or ret_base in _MODIFIERS:
             continue  # `public Task(` is a constructor, not a method `Task`
-        if ret_base == "record":
-            continue  # `record Point(int x, int y)` is a type, not a method
+        if ret_base in ("record", "struct", "class"):
+            # `record Point(int x)` / `record struct P(int x)` headers
+            # are type declarations, never methods (struct/class are
+            # reserved and cannot be return types)
+            continue
         if ret_base == "operator":
             # `implicit operator string(...)` is a conversion_operator_
             # declaration in tree-sitter — no method entity
@@ -620,7 +635,8 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
             dotted = "." in m.group(2)
             ret_base = ret.split("<")[0].split(".")[-1].strip()
             if (ret_base in keywords or name in keywords
-                    or ret_base in _MODIFIERS or ret_base == "record"
+                    or ret_base in _MODIFIERS
+                    or ret_base in ("record", "struct", "class")
                     or ret_base == "operator"):
                 continue
             if dotted and not is_cs:

@@ -966,3 +966,32 @@ def test_csharp_verbatim_interpolated_holes_are_code():
     assert b_calls == {"Fmt"}
     meths = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
     assert meths == {"A", "B"}
+
+
+def test_csharp_record_struct_and_record_class():
+    """C# 10 record struct / record class: the keyword after `record` is
+    the kind (tree-sitter record_struct_declaration), the name follows
+    it — previously the entity was named 'struct'. Value-type records
+    label Struct; record classes label Class and keep their
+    inheritance clause."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public record struct Point(int X, int Y);\n"
+        "public record class Boxed(string V) : BaseRec, IThing {\n"
+        "    public int L() { return Len(V); }\n"
+        "}\n"
+        "public readonly record struct Pair(int A, int B) {\n"
+        "    public int S() => Add(A, B);\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("P.cs", cs)
+    ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert ("Struct", "Point") in ents
+    assert ("Class", "Boxed") in ents
+    assert ("Struct", "Pair") in ents
+    assert not any(n in ("struct", "class") for _, n in ents)
+    meths = {(r[2], r[7]) for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert meths == {("L", "Boxed"), ("S", "Pair")}
+    assert {(r[0], r[9]) for r in rows if r[0] in ("cs_base", "implements")} \
+        == {("cs_base", "BaseRec"), ("implements", "IThing")}
