@@ -200,7 +200,85 @@ def triangle_count_total(edges: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_neighbors(edges: DataFrame, min_common: int = 1) -> DataFrame:
+def _jaccard_local(spark, edges: DataFrame, min_common: int) -> DataFrame:
+    """Driver-local twin of the jaccard wedge join: symmetric adjacency
+    blocks sorted by center, pair expansion streamed in _WEDGE_CHUNK
+    blocks (identical CSR-repeat trick as _triangles_local), pair counts
+    via per-chunk np.unique merged in one final aggregate. Rounding
+    replicates Spark's F.round on double EXACTLY: BigDecimal.valueOf
+    (i.e. the shortest decimal repr) quantized HALF_UP to 6 places —
+    Decimal(repr(x)) is the Python twin of that path, so local and
+    distributed emit bit-identical doubles."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from .undirected import und_arrays
+
+    schema = "i long, j long, jac double"
+    arr = und_arrays(spark, edges)
+    ai, bi, ids = arr["ai"], arr["bi"], arr["ids"]
+    n = len(ids)
+    if not len(ai):
+        return spark.createDataFrame([], schema)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    deg = np.bincount(src, minlength=n)
+    order = np.argsort(src, kind="stable")
+    s, t = src[order], dst[order]
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s, minlength=n), out=starts[1:])
+    cnt = starts[s + 1] - np.arange(len(s), dtype=np.int64) - 1
+    if not int(cnt.sum()):
+        return spark.createDataFrame([], schema)
+    edge_csum = np.concatenate([[0], np.cumsum(cnt)])
+    uniq_parts, cnt_parts = [], []
+    start_e = 0
+    while start_e < len(s):
+        end_e = int(np.searchsorted(
+            edge_csum, edge_csum[start_e] + _WEDGE_CHUNK, side="right"
+        )) - 1
+        end_e = max(end_e, start_e + 1)
+        c = cnt[start_e:end_e]
+        tot = int(c.sum())
+        start_prev, start_e = start_e, end_e
+        if not tot:
+            continue
+        fi = np.repeat(np.arange(start_prev, end_e, dtype=np.int64), c)
+        local_csum = np.cumsum(c)
+        si = fi + 1 + np.arange(tot, dtype=np.int64) \
+            - np.repeat(local_csum - c, c)
+        u1, u2 = t[fi], t[si]
+        keys = np.minimum(u1, u2).astype(np.int64) * n + np.maximum(u1, u2)
+        uq, ct = np.unique(keys, return_counts=True)
+        uniq_parts.append(uq)
+        cnt_parts.append(ct)
+    all_keys = np.concatenate(uniq_parts)
+    all_cnts = np.concatenate(cnt_parts)
+    uq, inv = np.unique(all_keys, return_inverse=True)
+    totals = np.zeros(len(uq), dtype=np.int64)
+    np.add.at(totals, inv, all_cnts)
+    sel = totals >= min_common
+    if not sel.any():
+        return spark.createDataFrame([], schema)
+    uq, totals = uq[sel], totals[sel]
+    li, lj = uq // n, uq % n
+    di, dj = deg[li], deg[lj]
+    jac = [
+        float(Decimal(repr(c / (a + b - c))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        ))
+        for c, a, b in zip(totals.tolist(), di.tolist(), dj.tolist())
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame({"i": ids[li], "j": ids[lj], "jac": jac}), schema
+    )
+
+
+def jaccard_neighbors(
+    edges: DataFrame, min_common: int = 1, local_caps: int | None = None
+) -> DataFrame:
     """Link-prediction primitive: neighborhood Jaccard similarity for every
     node pair sharing ≥ `min_common` neighbors — |N(a)∩N(b)| / |N(a)∪N(b)|
     over the undirected graph.
@@ -211,7 +289,17 @@ def jaccard_neighbors(edges: DataFrame, min_common: int = 1) -> DataFrame:
     from the O(n²) pair space; degrees join in for the union size. Hub
     neighbors fan out quadratically (same "curse of the last reducer" as
     triangles); production would cap/sample hub wedge lists — at our SF
-    the cap is unnecessary and omitted so the oracle stays exact."""
+    the cap is unnecessary and omitted so the oracle stays exact.
+    Measured-size duality (triangles/ktruss convention): at or below
+    `local_caps` undirected edges (default _LOCAL_E_CAP; tests force the
+    distributed branch with 0) the wedge enumeration runs driver-local
+    on the shared edge-array cache with chunked expansion."""
+    from .undirected import und_cached
+
+    spark = edges.sparkSession
+    cap = _LOCAL_E_CAP if local_caps is None else local_caps
+    if und_cached(spark, edges).count() <= cap:
+        return _jaccard_local(spark, edges, min_common)
     und = scratch_persist(undirected_edges(edges))
     # adj feeds the degree agg and BOTH wedge sides — persist or the
     # caller's edge derivation re-runs once per consumer

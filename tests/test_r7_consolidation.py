@@ -98,6 +98,34 @@ def test_ktruss_full_local_matches_distributed(spark):
         assert local == mixed, (k, rounds)
 
 
+def test_jaccard_local_matches_distributed_bitwise(spark, monkeypatch):
+    """Measured-size duality for neighborhood Jaccard: the local path
+    must match the distributed wedge join BIT-EXACTLY, including the
+    F.round HALF_UP double semantics (Decimal(repr(x)) is the Python
+    twin of BigDecimal.valueOf), across random graphs, min_common
+    settings and forced chunk boundaries."""
+    from code_graph_backend_spark.operators import triangles as T
+
+    monkeypatch.setattr(T, "_WEDGE_CHUNK", 4)
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 18
+        pairs = list({(a, b) for a, b in (
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ) if a != b})
+        e = _edges_df(spark, pairs)
+        for mc in (1, 2):
+            loc = sorted(
+                tuple(r) for r in
+                T.jaccard_neighbors(e, min_common=mc).collect()
+            )
+            dist = sorted(
+                tuple(r) for r in
+                T.jaccard_neighbors(e, min_common=mc, local_caps=0).collect()
+            )
+            assert loc == dist, (trial, mc)
+
+
 def test_anf_memo_distinguishes_edge_sets(spark):
     """Same g.nodes object + DIFFERENT g.edges must produce different ANF
     states (the r6 memo keyed on nodes only and would serve stale edge
