@@ -60,83 +60,123 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Grading-order rotation (the driver caps correctness rows per round,
-# ~50). Round 7 spends the ENTIRE budget on the evidence debt (VERDICT
-# r6 item 1) and is GENERATED from the mechanized audit
+# ~50). Round 8 is GENERATED from the mechanized audit
 # (`python tools/staleness.py`; gate: tests/test_rotation_staleness.py).
-# The registry stays FROZEN at 234. Order:
-# (A) the 13 never-graded tail (the r6 rotation's declared sacrifice);
-# (B) queries whose implementing code changed THIS round and so must
-#     meet the driver again: graph_anf_sketch (memo-key fix),
-#     graph_resource_allocation + its registry_ext21 file-mates
-#     (wedge-cap guard commit touches their module),
-#     triangle-kernel consumers (chunked wedge expansion),
-#     s2_cfamily_analyzer (C# generic/explicit-interface methods),
-#     j13_symbol_resolution (binding tie-break);
-# (C) the r5-green rows predating the r6 caps-hoist commit d05e23e;
-# (D) the 33 r2-stale rows — §2 parity rows first, then the pipeline
-#     rows, then the property-test-heaviest 8 as the declared spill
-#     (w_*/text_* have dedicated pytest suites) if the ~50-row cap
-#     lands mid-block;
-# (E) the r3/r4 rows whose own registry module changed after their
-#     grade (r5 function-file edits), oldest evidence first — next
-#     round's backlog, ordered so the driver overflow starts here.
+# At the r7 close the audit reads: hard debt 99 = 55 expired + 40
+# changed + 4 dep-impact (the r7 advisory dep-changed class is now
+# ADJUDICATED at symbol level — tools/staleness.py:_dep_impacted — 30
+# of its 34 rows cleared, 4 escalated to hard). The registry stays
+# FROZEN at 234 (VERDICT r7 item 2). Order:
+# (A) the 55 EXPIRED rows, oldest evidence first — the 9 r2-green rows
+#     (the entire windowed-analytics surface, VERDICT r7 item 6), then
+#     the r3 rows. The gate requires every never/expired row within the
+#     first 60 positions, which is why this block precedes the changed
+#     block even though the r7 VERDICT prose suggested changed-first:
+#     55 expired + 40 changed cannot both fit a 60-position head, and
+#     expired is the strictly older evidence.
+# (B) the declared 5-row spill at positions 50-54 (if the ~50-row cap
+#     lands mid-block): p1/j6/m7/dedup_exact/graph_pagerank — exactly
+#     the expired rows the r7 judge independently re-oracled green at
+#     the close, i.e. the freshest alternate evidence.
+# (C) the 40 CHANGED rows (r4-green families whose kernel modules —
+#     functions/dedup.py, bpe.py, sketches.py, similarity.py,
+#     packing.py — have commits newer than their green round), oldest
+#     first, then (D) the 4 dep-impact rows: round 9's budget,
+#     pre-ordered so driver overflow starts here.
+# Then the 30 dep-cleared rows and the 105 fresh rows in r7 order.
 _PRIORITY = [
-    # (A) never graded
-    "dq_k_anonymity", "graph_eccentricity_bounds", "graph_core_decomposition",
-    "events_window_funnel", "events_slo_burn",
-    "curation_gate_ablation", "dedup_cluster_sizes",
-    "shard_zorder_prune", "supply_risk_single_source",
-    "shard_hash_ring", "events_bot_regularity",
-    "events_latency_percentiles", "emb_silhouette_proxy",
-    # (B) changed this round
-    "graph_anf_sketch", "graph_resource_allocation",
-    "graph_clustering_coeff", "graph_rich_club", "corpus_ks_lengths",
-    "graph_triangle_count", "graph_ktruss", "graph_jaccard_neighbors",
-    "s2_cfamily_analyzer", "j13_symbol_resolution",
-    # (C) r5-green rows predating the r6 kernel hardening (d05e23e)
-    "graph_landmark_distances", "graph_stress_centrality",
-    "graph_random_walks", "walk_skipgram_pairs",
-    # (D) r2-stale (four rounds old at the r7 close)
-    "m1_merge_upsert", "m2_merge_edges", "m5_cascade_delete",
-    "m6_edge_prop_update", "m8_switch_commit_derived",
-    "j3_callees", "j8_chain_payloads",
-    "p5_null_predicate", "p6_dynamic_filters", "p7_fixed_projection",
-    "p8_ext_ignore_filters",
-    "o1_commit_list_ordering", "o4_topk_orders",
-    "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
-    "f7_json_props", "x3_auto_complete",
-    "asof_prior_click", "contamination_ngram", "corpus_stats",
-    "dedup_clusters", "sample_stratified", "skew_salted_agg",
-    # (D-spill: pytest-property-covered, graded first in r8 if capped)
-    "text_bpe_tokens", "text_char_entropy", "text_rolling_fingerprint",
-    "text_tfidf_topterms", "value_histogram",
+    # (A) EXPIRED head: 9 r2-green rows then r3 rows (50)
+    "skew_salted_agg", "text_bpe_tokens", "text_char_entropy",
+    "text_rolling_fingerprint", "text_tfidf_topterms", "value_histogram",
     "w_session_30m", "w_sliding_1h_30m", "w_tumbling_1h",
-    # (E) own-module changed after freshest grade, oldest first — r3
-    "graph_pagerank", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
-    "mm_media_features", "mm_frame_features",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_lsh_topk", "mm_media_features", "mm_frame_features",
     "text_token_stats", "text_quality_score", "text_lang_pred",
     "text_fingerprint", "text_repetition", "text_unigram_logprob",
     "cypher_frontend_hop", "pii_redact", "stream_click_attribution",
     "cohort_retention", "graph_sssp_bounded", "graph_degree_histogram",
-    "ann_ivf_indexed_topk", "sample_weighted",
-    # (E) — r4
-    "graph_label_propagation", "dedup_minhash_exact", "dedup_simhash_exact",
-    "dedup_minhash_incremental", "dedup_minhash_clusters",
-    "dedup_substring_spans", "ann_lsh_exact", "ann_pq_exact",
-    "pack_sequences", "pack_sequences_sharded", "sample_temperature",
-    "bpe_pair_stats", "bpe_train_merges", "bpe_apply_token_counts",
-    "corpus_distinct_hll", "corpus_hll_merge",
+    "ann_ivf_indexed_topk", "sample_weighted", "flagship_region_revenue",
+    "a1_a2_graph_stats", "p2_point_lookup_by_id",
+    "p3_composite_key_lookup", "p4_in_list_lookup", "j1_out_neighbors",
+    "j2_in_neighbors", "j4_subgraph_sample", "j5_two_hop_pattern",
+    "j7_reachable_closure", "j10_unreachable_parts",
+    "j12_range_join_coverage", "a3_collect_parts_per_order",
+    "f4_unwind_indexed", "a4_ordered_collect", "x2_prefix_table",
+    "m3_bulk_props", "m4_propagate_coverage", "j9_chain_successor",
+    "j11_edge_endpoint_validation", "a5_a6_coverage_ratio",
+    # (B) declared spill 50-54: judge re-oracled green at the r7 close
+    "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
+    "dedup_exact", "graph_pagerank",
+    # (C) CHANGED: own module moved after green round (40) — r9 head
+    "graph_label_propagation", "dedup_minhash_exact",
+    "dedup_simhash_exact", "dedup_minhash_incremental",
+    "dedup_minhash_clusters", "dedup_substring_spans", "ann_lsh_exact",
+    "ann_pq_exact", "pack_sequences", "pack_sequences_sharded",
+    "sample_temperature", "bpe_pair_stats", "bpe_train_merges",
+    "bpe_apply_token_counts", "corpus_distinct_hll", "corpus_hll_merge",
     "emb_kmeans_assign", "emb_power_iteration", "emb_label_centroids",
     "emb_similarity_histogram", "mm_wav_features", "mm_avi_frames",
     "boilerplate_stats", "ann_pq_topk", "quality_percentile",
     "stream_event_dedup", "corpus_length_deciles", "funnel_conversion",
-    "events_rollup", "graph_hits", "corpus_vocab_stats",
-    "events_outliers", "corpus_length_regression", "trending_events",
-    "corpus_lang_pivot", "graph_closeness_approx", "corpus_train_val_split",
-    "skew_salted_join", "events_transition_matrix",
-    # (E) — r5
-    "graph_edge_embeddedness",
+    "events_rollup", "graph_hits", "corpus_vocab_stats", "events_outliers",
+    "corpus_length_regression", "trending_events", "corpus_lang_pivot",
+    "graph_closeness_approx", "corpus_train_val_split", "skew_salted_join",
+    "events_transition_matrix", "graph_edge_embeddedness",
+    # (D) DEP-IMPACT: symbol-level reachability hits (4)
+    "a7_usage_count", "ann_ivf_topk", "graph_kcore", "graph_wcc_bounded",
+    # fresh / dep-cleared (135)
+    "ann_ivf_exact", "token_budget_select", "emb_hard_negatives",
+    "curation_pipeline_v2", "dedup_semantic_clusters",
+    "contamination_bloom", "corpus_heavy_hitters", "graph_scc_bounded",
+    "dedup_containment", "shard_manifest", "quality_linear_score",
+    "w_distinct_users_hll", "shard_manifest_incremental",
+    "corpus_vocab_coverage", "graph_ffl_motifs", "mm_tga_features",
+    "graph_modularity", "events_retention_cohorts", "text_readability",
+    "corpus_ccnet_buckets", "emb_matryoshka_overlap",
+    "corpus_source_overlap", "dedup_semdedup", "er_fuzzy_name_pairs",
+    "text_kn_bigram_logprob", "events_trigram_patterns",
+    "text_rake_keywords", "events_outliers_mad",
+    "quality_calibration_bins", "events_changepoint", "dq_k_anonymity",
+    "graph_eccentricity_bounds", "graph_core_decomposition",
+    "events_window_funnel", "events_slo_burn", "curation_gate_ablation",
+    "dedup_cluster_sizes", "shard_zorder_prune",
+    "supply_risk_single_source", "shard_hash_ring",
+    "events_bot_regularity", "events_latency_percentiles",
+    "emb_silhouette_proxy", "graph_anf_sketch",
+    "graph_resource_allocation", "graph_clustering_coeff",
+    "graph_rich_club", "corpus_ks_lengths", "graph_triangle_count",
+    "graph_ktruss", "graph_jaccard_neighbors", "s2_cfamily_analyzer",
+    "j13_symbol_resolution", "graph_landmark_distances",
+    "graph_stress_centrality", "graph_random_walks", "walk_skipgram_pairs",
+    "m1_merge_upsert", "m2_merge_edges", "m5_cascade_delete",
+    "m6_edge_prop_update", "m8_switch_commit_derived", "j3_callees",
+    "j8_chain_payloads", "p5_null_predicate", "p6_dynamic_filters",
+    "p7_fixed_projection", "p8_ext_ignore_filters",
+    "o1_commit_list_ordering", "o4_topk_orders", "f2_f5_size_contains",
+    "f3_path_functions", "f6_string_parsing", "f7_json_props",
+    "x3_auto_complete", "asof_prior_click", "contamination_ngram",
+    "corpus_stats", "dedup_clusters", "sample_stratified",
+    "ann_cosine_topk", "dedup_embedding_cosine", "curation_pipeline",
+    "gopher_quality_gates", "corpus_mixture_plan", "bpe_fertility_by_lang",
+    "text_bigram_logprob", "dedup_lsh_eval", "curation_pipeline_v3",
+    "pack_boundary_stats", "dsir_importance_select",
+    "corpus_quantile_summary", "chunk_documents", "token_ngram_novelty",
+    "corpus_profile", "emb_kcenter_select", "events_user_ewma",
+    "graph_assortativity", "emb_int8_calibration", "graph_ppr",
+    "chunk_dedup_stats", "corpus_lang_confusion", "vocab_zipf_spectrum",
+    "mm_ppm_features", "corpus_cross_entropy_shift", "emb_norm_outliers",
+    "source_template_overlap", "events_stickiness", "events_rfm",
+    "emb_centroid_drift", "graph_mst_boruvka", "events_autocorrelation",
+    "corpus_simpson_diversity", "graph_butterfly_count", "graph_luby_mis",
+    "shard_zonemap_prune", "events_lateness_profile",
+    "corpus_pmi_collocations", "orders_basket_rules",
+    "events_gini_engagement", "events_seasonality", "events_markov_mixing",
+    "events_forecast_backtest", "orders_sla_division",
+    "orders_ltv_triangle", "trade_flow_matrix", "market_segment_share",
+    "customers_prospects", "part_hierarchy_rollup",
+    "events_scd2_dimension", "dq_referential_checks",
+    "orders_benford_firstdigit", "graph_topological_layers",
+    "events_concurrency_profile", "orders_purchase_intervals",
 ]
 
 

@@ -61,10 +61,21 @@ def test_all_registered_queries_have_a_rotation_position(rotation_and_debt):
     assert not missing, f"_PRIORITY names unregistered queries: {missing}"
 
 
+def test_debt_classes_are_fully_adjudicated(rotation_and_debt):
+    """VERDICT r7 item 3: no advisory limbo. Every debt entry is one of
+    the four HARD classes; dep edits the entry function cannot reach
+    must be cleared (absent), not parked in a 'dep-changed' bucket."""
+    _, debt = rotation_and_debt
+    allowed = {"never", "expired", "changed", "dep-impact"}
+    stray = {q: c for q, c in debt.items() if c not in allowed}
+    assert not stray, f"un-adjudicated debt classes: {stray}"
+
+
 def test_hard_debt_precedes_fresh_queries(rotation_and_debt):
     """Every query with hard evidence debt (never graded, row older than
-    4 rounds at the coming close, or own-module commit newer than its
-    green round) must be ordered before every fully-fresh query."""
+    4 rounds at the coming close, own-module commit newer than its
+    green round, or a symbol-level dep impact) must be ordered before
+    every fully-fresh query."""
     order, debt = rotation_and_debt
     pos = {q: i for i, q in enumerate(order)}
     hard = [q for q, c in debt.items() if c != "dep-changed"]
@@ -94,3 +105,63 @@ def test_never_and_expired_fit_the_rotation_head(rotation_and_debt):
         f"never/expired queries ordered past the driver budget: "
         f"{[(q, pos[q]) for q in over]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Symbol-level provenance unit tests (pure: no git, no Spark) — the
+# machinery behind the 'dep-impact' class.
+# ---------------------------------------------------------------------------
+
+OLD_SRC = '''
+CAP = 100
+
+def helper(x):
+    return x + CAP
+
+def untouched(y):
+    return y * 2
+
+class Kernel:
+    def run(self):
+        return helper(1)
+'''
+
+NEW_SRC = '''
+CAP = 200
+
+def helper(x):
+    return x + CAP
+
+def untouched(y):
+    return y * 2
+
+class Kernel:
+    def run(self):
+        return helper(1)
+'''
+
+
+def test_symbol_table_isolates_the_changed_assignment():
+    import staleness as S
+
+    old = S._symbol_table(OLD_SRC)
+    new = S._symbol_table(NEW_SRC)
+    changed = {s for s in set(old) | set(new) if old.get(s) != new.get(s)}
+    assert changed == {"CAP"}
+
+
+def test_symbol_table_decorators_are_part_of_the_symbol():
+    import staleness as S
+
+    a = S._symbol_table("@deco('v1')\ndef f():\n    return 1\n")
+    b = S._symbol_table("@deco('v2')\ndef f():\n    return 1\n")
+    assert a["f"] != b["f"]  # oracle SQL lives in @register decorators
+
+
+def test_symbol_table_module_level_statements_fold_into_pseudo_symbol():
+    import staleness as S
+
+    a = S._symbol_table("import os\nprint('x')\n")
+    b = S._symbol_table("import os\nprint('y')\n")
+    assert a["<module>"] != b["<module>"]
+    assert set(a) == {"<module>"}

@@ -9,8 +9,19 @@ changed after that round's boundary commit. The debt classes:
 - ``never``   — no green driver row in any CORRECTNESS_r*.json;
 - ``expired`` — freshest green row is >= STALE_ROUNDS rounds old at the
   coming close;
-- ``changed`` — some file in the query's import closure has a commit
-  newer than the boundary commit of its freshest green round.
+- ``changed`` — the file holding the query's own code has a commit
+  newer than the boundary commit of its freshest green round;
+- ``dep-impact`` — the query's own file is unchanged but symbol-level
+  reachability (VERDICT r7 item 3) proves the query's entry function
+  transitively references a top-level symbol, in some file of its
+  import closure, whose SOURCE TEXT differs between the green round's
+  boundary commit and HEAD. This is HARD debt: the code the driver
+  graded is not the code that runs today.
+
+Dep-file changes the entry function provably does NOT reach are
+cleared (no debt class): the r7 ``dep-changed`` advisory limbo is gone.
+Adjudication failures (unparseable old version, unresolvable entry
+symbol) fall back to ``dep-impact`` — conservative, never silent.
 
 ``tests/test_rotation_staleness.py`` asserts the rotation in
 ``__spark_entry__._PRIORITY`` spends the driver's ~50-row budget on this
@@ -162,29 +173,284 @@ def round_boundary_ts() -> dict[int, int]:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def round_boundary_commits() -> dict[int, str]:
+    """round number -> commit hash of its 'round N: verdict' commit."""
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %ct %s"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        ).stdout
+    except Exception:
+        return {}
+    out: dict[int, str] = {}
+    for line in log.splitlines():
+        m = re.match(r"([0-9a-f]{40}) \d+ round (\d+): verdict", line)
+        if m:
+            out.setdefault(int(m.group(2)), m.group(1))
+    return out
+
+
 def query_file(fn) -> str:
     mod = getattr(fn, "__module__", "") or ""
     return mod.replace(".", "/") + ".py"
 
 
+# ---------------------------------------------------------------------------
+# Symbol-level provenance (VERDICT r7 item 3): adjudicate dep-changed.
+#
+# A query whose own module is untouched since its green round, but whose
+# import closure moved, is only stale if its entry function can actually
+# REACH a changed top-level symbol. We build a (file, symbol) reference
+# graph at HEAD — top-level def/class/assign symbols, edges from the
+# names each symbol's body references, resolved through the file's
+# import bindings — and diff each changed closure file's symbol table
+# between the green round's boundary commit and HEAD. BFS from the
+# registry entry's defining function: hit a changed symbol -> hard
+# 'dep-impact'; exhaust without a hit -> cleared. Over-approximates
+# (whole class = one symbol; a changed module-level statement marks the
+# file's '<module>' pseudo-symbol, which every symbol in that file
+# depends on) — never under-approximates on static references.
+# ---------------------------------------------------------------------------
+
+_MODULE_SYM = "<module>"
+
+
+def _symbol_table(source: str) -> dict[str, str]:
+    """Top-level symbol name -> exact source segment (decorators
+    included). Non-def/assign module-level statements concatenate into
+    the '<module>' pseudo-symbol."""
+    tree = ast.parse(source)
+    lines = source.splitlines()
+
+    def seg(node, include_deco=()) -> str:
+        start = min([node.lineno] + [d.lineno for d in include_deco])
+        return "\n".join(lines[start - 1: node.end_lineno])
+
+    out: dict[str, str] = {}
+    module_parts: list[str] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out[node.name] = seg(node, node.decorator_list)
+        elif isinstance(node, ast.Assign):
+            text = seg(node)
+            for tgt in node.targets:
+                for n in ast.walk(tgt):
+                    if isinstance(n, ast.Name):
+                        out[n.id] = text
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            out[node.target.id] = seg(node)
+        else:
+            module_parts.append(seg(node))
+    out[_MODULE_SYM] = "\n".join(module_parts)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _head_symbols(relpath: str) -> dict[str, str] | None:
+    try:
+        return _symbol_table(open(os.path.join(REPO, relpath)).read())
+    except (OSError, SyntaxError):
+        return None
+
+
+@functools.lru_cache(maxsize=None)
+def _changed_symbols(relpath: str, commit: str) -> frozenset[str] | None:
+    """Symbols of relpath whose source differs between commit and HEAD
+    (added/deleted count as changed). None = adjudication impossible."""
+    head = _head_symbols(relpath)
+    if head is None:
+        return None
+    try:
+        show = subprocess.run(
+            ["git", "show", f"{commit}:{relpath}"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        )
+        if show.returncode != 0:  # file did not exist at the boundary
+            return frozenset(head)
+        old = _symbol_table(show.stdout)
+    except Exception:
+        return None
+    return frozenset(
+        s for s in set(head) | set(old) if head.get(s) != old.get(s)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _file_bindings(relpath: str) -> tuple[dict, dict]:
+    """(name -> (dep relpath, original symbol), module-alias -> dep
+    relpath) from the file's in-package imports at HEAD."""
+    try:
+        tree = ast.parse(open(os.path.join(REPO, relpath)).read())
+    except (OSError, SyntaxError):
+        return {}, {}
+    pkg_dir = os.path.dirname(relpath)
+
+    def resolve(modpath: str) -> str | None:
+        for cand in (modpath + ".py", os.path.join(modpath, "__init__.py")):
+            if os.path.exists(os.path.join(REPO, cand)):
+                return cand
+        return None
+
+    sym_bind: dict[str, tuple[str, str]] = {}
+    mod_bind: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg_dir
+                for _ in range(node.level - 1):
+                    base = os.path.dirname(base)
+                mod = (node.module or "").replace(".", "/")
+                target = os.path.join(base, mod) if mod else base
+            elif node.module and node.module.startswith(PKG):
+                target = node.module.replace(".", "/")
+            else:
+                continue
+            for alias in node.names:
+                bound = alias.asname or alias.name
+                sub = resolve(os.path.join(target, alias.name))
+                if sub:  # `from . import mod` — binds a module
+                    mod_bind[bound] = sub
+                else:
+                    dep = resolve(target)
+                    if dep:
+                        sym_bind[bound] = (dep, alias.name)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(PKG):
+                    dep = resolve(alias.name.replace(".", "/"))
+                    if dep:
+                        mod_bind[alias.asname or alias.name] = dep
+    return sym_bind, mod_bind
+
+
+@functools.lru_cache(maxsize=None)
+def _symbol_refs(relpath: str) -> dict[str, tuple[frozenset, frozenset]] | None:
+    """symbol -> (bare names referenced, (base, attr) pairs referenced)
+    inside that top-level symbol's body, at HEAD."""
+    try:
+        tree = ast.parse(open(os.path.join(REPO, relpath)).read())
+    except (OSError, SyntaxError):
+        return None
+
+    def refs(node) -> tuple[frozenset, frozenset]:
+        names, attrs = set(), set()
+        for n in ast.walk(node):
+            if isinstance(n, ast.Name):
+                names.add(n.id)
+            elif isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+                attrs.add((n.value.id, n.attr))
+        return frozenset(names), frozenset(attrs)
+
+    out: dict[str, tuple[frozenset, frozenset]] = {}
+    mod_names, mod_attrs = set(), set()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out[node.name] = refs(node)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            n, a = refs(node)
+            targets = {
+                t.id
+                for t in ast.walk(node)
+                if isinstance(t, ast.Name) and isinstance(t.ctx, ast.Store)
+            }
+            for tgt in targets:
+                prev = out.get(tgt, (frozenset(), frozenset()))
+                out[tgt] = (prev[0] | n, prev[1] | a)
+        else:
+            n, a = refs(node)
+            mod_names |= n
+            mod_attrs |= a
+    out[_MODULE_SYM] = (frozenset(mod_names), frozenset(mod_attrs))
+    return out
+
+
+def _dep_impacted(
+    qfile: str, entry_symbol: str, commit: str, boundary_ts: int
+) -> bool | None:
+    """BFS the (file, symbol) reference graph at HEAD from the query's
+    entry function; True if any reachable symbol changed between the
+    boundary commit and HEAD. None = could not adjudicate."""
+    changed_cache: dict[str, frozenset[str] | None] = {}
+
+    def changed_in(f: str) -> frozenset[str] | None:
+        if f not in changed_cache:
+            if _last_commit_ts(f) <= boundary_ts:
+                changed_cache[f] = frozenset()  # file untouched since green
+            else:
+                changed_cache[f] = _changed_symbols(f, commit)
+        return changed_cache[f]
+
+    head = _head_symbols(qfile)
+    if head is None or entry_symbol not in head:
+        return None
+    seen: set[tuple[str, str]] = set()
+    stack = [(qfile, entry_symbol)]
+    while stack:
+        f, s = stack.pop()
+        if (f, s) in seen:
+            continue
+        seen.add((f, s))
+        ch = changed_in(f)
+        if ch is None:
+            return None
+        if s in ch:
+            return True
+        refs = _symbol_refs(f)
+        table = _head_symbols(f)
+        if refs is None or table is None:
+            return None
+        if s not in refs:
+            continue
+        names, attrs = refs[s]
+        sym_bind, mod_bind = _file_bindings(f)
+        if s != _MODULE_SYM:
+            stack.append((f, _MODULE_SYM))
+        for n in names:
+            if n != s and n in table:
+                stack.append((f, n))
+            elif n in sym_bind:
+                dep, orig = sym_bind[n]
+                stack.append((dep, orig))
+            elif n in mod_bind:
+                # bare module reference (passed around): depend on the
+                # whole module conservatively
+                dep = mod_bind[n]
+                dep_table = _head_symbols(dep)
+                if dep_table is None:
+                    return None
+                stack.extend((dep, ds) for ds in dep_table)
+        for base, attr in attrs:
+            if base in mod_bind:
+                dep = mod_bind[base]
+                dep_table = _head_symbols(dep) or {}
+                if attr in dep_table:
+                    stack.append((dep, attr))
+                stack.append((dep, _MODULE_SYM))
+    return False
+
+
 def debt(queries: dict) -> dict[str, str]:
     """query name -> debt class, omitting fresh queries.
 
-    Classes, strongest evidence first:
+    Classes, strongest evidence first (ALL are hard debt — the r7
+    'dep-changed' advisory limbo is adjudicated away, VERDICT r7 item 3):
     - 'never'    — no green driver row ever (precise);
     - 'expired'  — green row's age exceeds 4 rounds at the coming close
       (precise);
     - 'changed'  — the query's OWN registry module file has a commit
       newer than its green round's boundary commit (precise at file
       level: the file holding the query's code changed);
-    - 'dep-changed' — ADVISORY: some file in the module's transitive
-      in-package import closure changed after the green round. Shared
-      kernels (operators/undirected.py, functions/*.py) sit under many
-      families, so this class over-approximates by design — it feeds
-      rotation ORDERING judgment, not the hard gate.
+    - 'dep-impact' — own file unchanged, but the entry function
+      transitively references a symbol (in a closure file) whose source
+      differs between the boundary commit and HEAD — symbol-level BFS,
+      see _dep_impacted. Adjudication failure also lands here
+      (conservative). Dep-file edits the entry function provably cannot
+      reach are CLEARED — no debt entry at all.
     """
     fresh, cur = freshest_green()
     boundaries = round_boundary_ts()
+    commits = round_boundary_commits()
     out: dict[str, str] = {}
     for name, fn in queries.items():
         rnd = fresh.get(name)
@@ -204,7 +470,15 @@ def debt(queries: dict) -> dict[str, str]:
                     (_last_commit_ts(p) for p in import_closure(qf)),
                     default=0,
                 ) > boundary:
-                    out[name] = "dep-changed"
+                    impacted = (
+                        _dep_impacted(
+                            qf, getattr(fn, "__name__", ""), commits[rnd], boundary
+                        )
+                        if rnd in commits
+                        else None
+                    )
+                    if impacted is not False:
+                        out[name] = "dep-impact"
     return out
 
 
@@ -218,10 +492,10 @@ def main() -> None:
     d = debt(qs)
     fresh, cur = freshest_green()
     order = list(qs)
-    hard = sum(1 for c in d.values() if c != "dep-changed")
     print(f"current round: r{cur}; registered: {len(qs)}; "
-          f"hard debt: {hard}; advisory dep-changed: {len(d) - hard}")
-    for cls in ("never", "changed", "expired", "dep-changed"):
+          f"hard debt: {len(d)} (all classes hard since r8; "
+          f"unreachable dep edits are cleared, not listed)")
+    for cls in ("never", "changed", "expired", "dep-impact"):
         members = [q for q in order if d.get(q) == cls]
         print(f"\n[{cls}] {len(members)}")
         for q in members:
