@@ -189,3 +189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return registry.oracle_sql()
+
+
+def oracle_twins() -> dict[str, str]:
+    """Machine-readable waiver for the approximate-by-design queries
+    (driver records rows-only, err == "no_oracle"): maps each such
+    query to the registered EXACT query that replays the same machinery
+    with the approximation disabled and is hash-graded. Also available
+    as `.oracle_twin` on the callables returned by queries()."""
+    return registry.oracle_twins()

@@ -36,13 +36,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+# approximate-by-design queries (no SQL oracle; driver records rows-only)
+# -> the registered EXACT query that replays the same machinery with the
+# approximation disabled and IS hash-graded (VERDICT r7 item 7: the
+# waiver is machine-readable, not prose)
+ORACLE_TWIN: dict[str, str] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, oracle_twin: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if oracle_twin is not None:
+            ORACLE_TWIN[name] = oracle_twin
+            fn.oracle_twin = oracle_twin
         return fn
 
     return deco
@@ -801,3 +809,10 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLE)
+
+
+def oracle_twins() -> dict[str, str]:
+    """For each no-oracle (approximate-by-design) query: the registered
+    exact twin whose green hash-graded row vouches for the shared
+    machinery. Also set as `.oracle_twin` on the query callables."""
+    return dict(ORACLE_TWIN)

@@ -58,13 +58,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # Approximate families — no SQL oracle (driver records rows-only): the
 # pytest suite instead asserts recall against the exact jaccard pairs.
 
-@register("dedup_minhash_lsh")
+@register("dedup_minhash_lsh", oracle_twin="dedup_minhash_exact")
 def dedup_minhash_lsh(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs)
 
 
-@register("dedup_simhash")
+@register("dedup_simhash", oracle_twin="dedup_simhash_exact")
 def dedup_simhash(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dup_pairs(docs)
@@ -99,7 +99,7 @@ def ann_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
-@register("ann_lsh_topk")
+@register("ann_lsh_topk", oracle_twin="ann_lsh_exact")
 def ann_lsh_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)

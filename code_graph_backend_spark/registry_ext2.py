@@ -428,7 +428,7 @@ def text_rolling_fingerprint(spark, sf_dir):
 # Approximate ⇒ rows-only check; pytest asserts recall vs brute force.
 # ---------------------------------------------------------------------------
 
-@register("ann_ivf_topk")
+@register("ann_ivf_topk", oracle_twin="ann_ivf_exact")
 def ann_ivf_topk(spark, sf_dir):
     from .functions import similarity
 

@@ -488,7 +488,7 @@ def graph_degree_histogram(spark, sf_dir):
     )
 
 
-@register("ann_ivf_indexed_topk")
+@register("ann_ivf_indexed_topk", oracle_twin="ann_ivf_exact")
 def ann_ivf_indexed_topk(spark, sf_dir):
     """The persisted-IVF scale path: build the cell-PARTITIONED index once
     (functions/similarity.build_ivf_index), then probe it — the cell

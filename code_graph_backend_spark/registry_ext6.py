@@ -211,7 +211,7 @@ def dedup_minhash_incremental_q(spark, sf_dir):
     )
 
 
-@register("ann_pq_topk")
+@register("ann_pq_topk", oracle_twin="ann_pq_exact")
 def ann_pq_topk_q(spark, sf_dir):
     """Product-quantization ANN (functions/similarity.py pq_topk): codes
     compress vectors 32× and the ADC scan reads only the code table —
