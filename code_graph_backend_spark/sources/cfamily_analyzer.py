@@ -40,6 +40,9 @@ _MODIFIERS = {
     "abstract", "sealed", "virtual", "override", "async", "readonly",
     "partial", "extern", "unsafe", "native", "synchronized", "strictfp",
     "default", "transient", "volatile", "new", "const",
+    # Java 17 sealed hierarchies: both are plain modifiers in
+    # tree-sitter-java (the hyphen survives whitespace tokenization)
+    "non-sealed",
 }
 
 _TYPE_DECL_RE = re.compile(
@@ -56,10 +59,11 @@ _ANNOT_ARGS_RE = re.compile(r"@[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\)")
 _CS_ATTR_PREFIX_RE = re.compile(r"^(?:\s*\[[^\[\]]*\])+")
 # `ReturnType name(`: two identifier-ish tokens (the first possibly generic/
 # array/dotted) separated by whitespace, immediately before an open paren.
-# The generic section allows ONE level of nesting (`Map<String,
-# List<Integer>>`) — deeper nesting in a RETURN type is vanishingly rare
-# and degrades to a missed method, not a wrong one. Bounded repetition
-# keeps the scan linear on adversarial input.
+# The generic section allows TWO levels of nesting (`Map<String,
+# Map<String, List<Integer>>>`) — deeper nesting in a RETURN type is
+# vanishingly rare and degrades to a missed method, not a wrong one. The
+# alternation branches are disjoint on their first character and every
+# repetition is bounded, so the scan stays linear on adversarial input.
 #
 # Group 2 is the FULL declared name, group 3 the simple name:
 # - a dotted prefix admits C# explicit interface implementations
@@ -73,7 +77,8 @@ _CS_ATTR_PREFIX_RE = re.compile(r"^(?:\s*\[[^\[\]]*\])+")
 #   so Java declarations never produce it). The char class excludes
 #   operators, so `a < b && c > (d)` can't read as type arguments.
 _METHOD_RE = re.compile(
-    r"([A-Za-z_][\w.$]*(?:\s*<(?:[^<>;{}]|<[^<>;{}]{0,80}>){0,80}>)?"
+    r"([A-Za-z_][\w.$]*"
+    r"(?:\s*<(?:[^<>;{}]|<(?:[^<>;{}]|<[^<>;{}]{0,60}>){0,60}>){0,80}>)?"
     r"(?:\s*\[\s*\])*[?]?)\s+"
     r"((?:[A-Za-z_][\w.]*\s*\.\s*)?([A-Za-z_]\w*))\s*"
     r"(?:<[\w\s,.?\[\]]{0,60}>)?\s*\("
@@ -425,7 +430,11 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         # `extends Base<T>` must match on the erased name. C# `where`
         # constraint clauses are cut for the same reason.
         header = _GENERIC_SPAN_RE.sub("", cleaned[decl_off:open_off])
-        header = re.split(r"\bwhere\b", header)[0] if is_cs else header
+        # clauses that follow the inheritance list must not read as
+        # inheritance targets: C# generic `where` constraints; Java 17
+        # `permits` lists (tree-sitter-java: a `permits` node, never
+        # superclass/super_interfaces — reference java/analyzer.py:72-86)
+        header = re.split(r"\bwhere\b" if is_cs else r"\bpermits\b", header)[0]
         if is_cs:
             # `name : Base, IFoo` — first base of a CLASS is by convention the
             # base class; everything else implements (csharp/analyzer.py:76-95)
@@ -456,7 +465,7 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                     if bn:
                         rows.append(("extends", None, name, path, start, end,
                                      None, None, None, bn, None, None))
-            if imp and kind == "class":
+            if imp and kind in ("class", "record"):
                 for b in _split_params(imp.group(1)):
                     bn = _base_type_name(b)
                     if bn:
@@ -555,9 +564,20 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
         j = close + 1
         while j < len(cleaned) and cleaned[j] not in "{;}":
             j += 1
-        if j >= len(cleaned) or cleaned[j] != "{":
+        if j < len(cleaned) and cleaned[j] == "{":
+            body_open, body_close = j, braces.get(j)
+        elif is_cs and j < len(cleaned) and cleaned[j] == ";":
+            # C# expression-bodied constructor: `public C(int v) => _v =
+            # Init(v);` — constructor_declaration with an
+            # arrow_expression_clause body, captured like any other
+            # constructor (csharp/analyzer.py get_entity_types)
+            arrow = cleaned.find("=>", close + 1, j)
+            if arrow < 0:
+                continue
+            body_open, body_close = arrow + 1, j
+        else:
             continue
-        methods.append((name, m.start(1), m.end() - 1, j, braces.get(j),
+        methods.append((name, m.start(1), m.end() - 1, body_open, body_close,
                         None, cleaned[m.end():close], owner, "ctor"))
 
     # Java compact canonical constructors: inside a record body, `Name {`
@@ -743,6 +763,21 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                     # a LOCAL record's positional header (`record Pair(int
                     # a, int b)`) is a declaration, not an invocation
                     continue
+                # a matched "name(" whose argument list is followed by a
+                # block or an arrow is a DECLARATION header, not an
+                # invocation: C# local functions (`int Local(int k) {` /
+                # `static int F(int k) => ...;`, local_function_statement
+                # in tree-sitter, absent from the reference's entity-type
+                # list) and Java local-class member headers. Genuine
+                # invocation statements are followed by an operator, `;`,
+                # `)` or `,` — never directly by `{` or `=>`.
+                pclose = _find_paren_close(body, cm.end() - 1)
+                if pclose is not None:
+                    nxt = _next_nonspace(body, pclose + 1)
+                    if nxt is not None and (
+                        body[nxt] == "{" or body[nxt: nxt + 2] == "=>"
+                    ):
+                        continue
                 sites[cm.start(1)] = callee
             for cm in _CHAIN_CALL_RE.finditer(body):
                 callee = cm.group(1)

@@ -995,3 +995,134 @@ def test_csharp_record_struct_and_record_class():
     assert meths == {("L", "Boxed"), ("S", "Pair")}
     assert {(r[0], r[9]) for r in rows if r[0] in ("cs_base", "implements")} \
         == {("cs_base", "BaseRec"), ("implements", "IThing")}
+
+
+def test_java_sealed_types_permits_clause():
+    """Java 17 sealed hierarchies: `sealed`/`non-sealed` are modifiers on
+    ordinary class/interface declarations (tree-sitter-java `modifiers`),
+    and the `permits` list is NOT an inheritance clause — it must never
+    leak into EXTENDS/IMPLEMENTS targets (reference java/analyzer.py:72-86
+    reads only superclass / super_interfaces nodes)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "/** Shape doc. */\n"
+        "public sealed interface Shape permits Circle, Square {\n"
+        "    double area();\n"
+        "}\n"
+        "public sealed class Base extends Root permits Mid {\n"
+        "}\n"
+        "/** Circle doc. */\n"
+        "non-sealed class Circle extends Base implements Shape {\n"
+        "    public double area() { return 0.0; }\n"
+        "}\n"
+    )
+    rows = parse_java_source("S.java", java)
+    ents = {(r[1], r[2]): r[6] for r in rows if r[0] == "entity"}
+    assert ("Interface", "Shape") in ents
+    assert ("Class", "Base") in ents
+    assert ("Class", "Circle") in ents
+    # doc comment above a non-sealed decl is still adjacent
+    assert ents[("Class", "Circle")] == "/** Circle doc. */"
+    inh = {(r[0], r[2], r[9]) for r in rows if r[0] in ("extends", "implements")}
+    assert inh == {
+        ("extends", "Base", "Root"),
+        ("extends", "Circle", "Base"),
+        ("implements", "Circle", "Shape"),
+    }
+    # the permits targets never appear as inheritance targets
+    assert not any(t in ("Mid", "Square") for _, _, t in inh)
+
+
+def test_java_record_implements_and_members():
+    """Java records: emitted as Class entities (value-semantics finals —
+    same decision as the C# record handling, beyond the reference whose
+    entity-type list predates records), with their `implements` clause
+    kept and members parented at the record."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "record Point(int x, int y) implements Shape, Cmp {\n"
+        "    public double area() { return scale(x * y); }\n"
+        "}\n"
+    )
+    rows = parse_java_source("R.java", java)
+    ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert ("Class", "Point") in ents
+    assert ("Method", "area") in ents
+    imp = {r[9] for r in rows if r[0] == "implements" and r[2] == "Point"}
+    assert imp == {"Shape", "Cmp"}
+    calls = {r[9] for r in rows if r[0] == "call" and r[2] == "area"}
+    assert calls == {"scale"}
+
+
+def test_java_deeply_nested_generic_return_type():
+    """A return type with two levels of generic nesting
+    (`Map<String, Map<String, List<Integer>>>`) is still a
+    method_declaration — the bounded regex must admit it."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class Deep {\n"
+        "    java.util.Map<String, java.util.Map<String, java.util.List<Integer>>>"
+        " index() { return build(); }\n"
+        "    Map<K, Map<V, W>> pairs(Map<K, List<V>> m) { return remap(m); }\n"
+        "}\n"
+    )
+    rows = parse_java_source("D.java", java)
+    meths = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert meths == {"index", "pairs"}
+    calls = {(r[2], r[9]) for r in rows if r[0] == "call"}
+    assert calls == {("index", "build"), ("pairs", "remap")}
+
+
+def test_csharp_expression_bodied_constructor():
+    """C# `public Calc(int v) => _v = Init(v);` is a
+    constructor_declaration with an arrow_expression_clause body — the
+    reference captures it like any constructor; its body invocations are
+    calls. Destructors (`~Calc() => ...`) stay excluded."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public class Calc {\n"
+        "    private int _v;\n"
+        "    public Calc(int v) => _v = Init(v);\n"
+        "    ~Calc() => Shutdown();\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("C.cs", cs)
+    ctors = [r for r in rows if r[0] == "entity" and r[1] == "Constructor"]
+    assert [(r[2], r[4]) for r in ctors] == [("Calc", 2)]  # 0-based line
+    calls = {(r[2], r[9]) for r in rows if r[0] == "call"}
+    assert ("Calc", "Init") in calls
+    # destructor is not an entity and its body calls attach to nothing
+    assert not any(r[9] == "Shutdown" for r in rows if r[0] == "call")
+
+
+def test_csharp_local_functions_are_not_entities_or_calls():
+    """C# local functions (local_function_statement) are NOT captured by
+    the reference's entity-type list, and their DECLARATION headers are
+    not invocation_expressions — only genuine invocations inside the
+    enclosing method's span (including those within the local function's
+    own body, which tree-sitter's recursive query picks up) are calls."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public class Calc {\n"
+        "    public int Outer(int n)\n"
+        "    {\n"
+        "        int Local(int k) { return Helper(k) + 1; }\n"
+        "        static int LocalStatic(int k) => Scale(k) * 2;\n"
+        "        return Local(LocalStatic(n));\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("L.cs", cs)
+    meths = {r[2] for r in rows if r[0] == "entity" and r[1] == "Method"}
+    assert meths == {"Outer"}
+    calls = sorted((r[9], r[10]) for r in rows if r[0] == "call")
+    # declaration headers (0-based lines 3/4) are NOT calls; the genuine
+    # invocations on lines 3, 4 and 5 are
+    assert calls == [
+        ("Helper", 3), ("Local", 5), ("LocalStatic", 5), ("Scale", 4),
+    ]
