@@ -62,28 +62,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # Grading-order rotation (the driver caps correctness rows per round,
 # ~50). Round 8 is GENERATED from the mechanized audit
 # (`python tools/staleness.py`; gate: tests/test_rotation_staleness.py).
-# At the r7 close the audit reads: hard debt 99 = 55 expired + 40
-# changed + 4 dep-impact (the r7 advisory dep-changed class is now
-# ADJUDICATED at symbol level — tools/staleness.py:_dep_impacted — 30
-# of its 34 rows cleared, 4 escalated to hard). The registry stays
-# FROZEN at 234 (VERDICT r7 item 2). Order:
+# The audit is SYMBOL-LEVEL since r8 (VERDICT r7 item 3): a query is
+# hard debt only if its own top-level symbol changed since its green
+# round ('changed'), or its entry function transitively reaches a
+# changed symbol ('dep-impact'); unreachable edits — including edits
+# elsewhere in the same registry file — are cleared. At this close the
+# audit reads: hard debt 78 = 55 expired + 3 changed + 20 dep-impact
+# (the r7 file-level audit read 95+34 advisory; symbol granularity
+# cleared 51 rows mechanically). The registry stays FROZEN at 234
+# (VERDICT r7 item 2). Order:
 # (A) the 55 EXPIRED rows, oldest evidence first — the 9 r2-green rows
 #     (the entire windowed-analytics surface, VERDICT r7 item 6), then
 #     the r3 rows. The gate requires every never/expired row within the
 #     first 60 positions, which is why this block precedes the changed
 #     block even though the r7 VERDICT prose suggested changed-first:
-#     55 expired + 40 changed cannot both fit a 60-position head, and
-#     expired is the strictly older evidence.
+#     55 expired + the changed block cannot both fit a 60-position
+#     head, and expired is the strictly older evidence.
 # (B) the declared 5-row spill at positions 50-54 (if the ~50-row cap
 #     lands mid-block): p1/j6/m7/dedup_exact/graph_pagerank — exactly
 #     the expired rows the r7 judge independently re-oracled green at
 #     the close, i.e. the freshest alternate evidence.
-# (C) the 40 CHANGED rows (r4-green families whose kernel modules —
-#     functions/dedup.py, bpe.py, sketches.py, similarity.py,
-#     packing.py — have commits newer than their green round), oldest
-#     first, then (D) the 4 dep-impact rows: round 9's budget,
-#     pre-ordered so driver overflow starts here.
-# Then the 30 dep-cleared rows and the 105 fresh rows in r7 order.
+# (C) the 3 CHANGED rows (own symbol moved: lpa kernel edit; the
+#     oracle_twin decorator added to ann_pq_topk/ann_ivf_topk), then
+# (D) the 20 DEP-IMPACT rows, oldest first: round 9's head, pre-ordered
+#     so driver overflow starts here.
+# Then the 156 cleared/fresh rows in r7 order.
 _PRIORITY = [
     # (A) EXPIRED head: 9 r2-green rows then r3 rows (50)
     "skew_salted_agg", "text_bpe_tokens", "text_char_entropy",
@@ -107,35 +110,36 @@ _PRIORITY = [
     # (B) declared spill 50-54: judge re-oracled green at the r7 close
     "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
     "dedup_exact", "graph_pagerank",
-    # (C) CHANGED: own module moved after green round (40) — r9 head
-    "graph_label_propagation", "dedup_minhash_exact",
-    "dedup_simhash_exact", "dedup_minhash_incremental",
-    "dedup_minhash_clusters", "dedup_substring_spans", "ann_lsh_exact",
+    # (C) CHANGED: own symbol differs since green round (3)
+    "graph_label_propagation", "ann_pq_topk", "ann_ivf_topk",
+    # (D) DEP-IMPACT: symbol-level reachability hits (20) — r9 head
+    "dedup_minhash_exact", "dedup_simhash_exact",
+    "dedup_minhash_incremental", "dedup_minhash_clusters",
+    "dedup_substring_spans", "ann_lsh_exact", "bpe_train_merges",
+    "bpe_apply_token_counts", "emb_kmeans_assign", "mm_wav_features",
+    "mm_avi_frames", "boilerplate_stats", "graph_hits",
+    "corpus_vocab_stats", "trending_events", "graph_closeness_approx",
+    "a7_usage_count", "graph_kcore", "graph_wcc_bounded",
+    "s2_cfamily_analyzer",
+    # cleared / fresh (156)
     "ann_pq_exact", "pack_sequences", "pack_sequences_sharded",
-    "sample_temperature", "bpe_pair_stats", "bpe_train_merges",
-    "bpe_apply_token_counts", "corpus_distinct_hll", "corpus_hll_merge",
-    "emb_kmeans_assign", "emb_power_iteration", "emb_label_centroids",
-    "emb_similarity_histogram", "mm_wav_features", "mm_avi_frames",
-    "boilerplate_stats", "ann_pq_topk", "quality_percentile",
-    "stream_event_dedup", "corpus_length_deciles", "funnel_conversion",
-    "events_rollup", "graph_hits", "corpus_vocab_stats", "events_outliers",
-    "corpus_length_regression", "trending_events", "corpus_lang_pivot",
-    "graph_closeness_approx", "corpus_train_val_split", "skew_salted_join",
-    "events_transition_matrix", "graph_edge_embeddedness",
-    # (D) DEP-IMPACT: symbol-level reachability hits (4)
-    "a7_usage_count", "ann_ivf_topk", "graph_kcore", "graph_wcc_bounded",
-    # fresh / dep-cleared (135)
-    "ann_ivf_exact", "token_budget_select", "emb_hard_negatives",
-    "curation_pipeline_v2", "dedup_semantic_clusters",
-    "contamination_bloom", "corpus_heavy_hitters", "graph_scc_bounded",
-    "dedup_containment", "shard_manifest", "quality_linear_score",
-    "w_distinct_users_hll", "shard_manifest_incremental",
-    "corpus_vocab_coverage", "graph_ffl_motifs", "mm_tga_features",
-    "graph_modularity", "events_retention_cohorts", "text_readability",
-    "corpus_ccnet_buckets", "emb_matryoshka_overlap",
-    "corpus_source_overlap", "dedup_semdedup", "er_fuzzy_name_pairs",
-    "text_kn_bigram_logprob", "events_trigram_patterns",
-    "text_rake_keywords", "events_outliers_mad",
+    "sample_temperature", "bpe_pair_stats", "corpus_distinct_hll",
+    "corpus_hll_merge", "emb_power_iteration", "emb_label_centroids",
+    "emb_similarity_histogram", "quality_percentile", "stream_event_dedup",
+    "corpus_length_deciles", "funnel_conversion", "events_rollup",
+    "events_outliers", "corpus_length_regression", "corpus_lang_pivot",
+    "corpus_train_val_split", "skew_salted_join",
+    "events_transition_matrix", "graph_edge_embeddedness", "ann_ivf_exact",
+    "token_budget_select", "emb_hard_negatives", "curation_pipeline_v2",
+    "dedup_semantic_clusters", "contamination_bloom",
+    "corpus_heavy_hitters", "graph_scc_bounded", "dedup_containment",
+    "shard_manifest", "quality_linear_score", "w_distinct_users_hll",
+    "shard_manifest_incremental", "corpus_vocab_coverage",
+    "graph_ffl_motifs", "mm_tga_features", "graph_modularity",
+    "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
+    "emb_matryoshka_overlap", "corpus_source_overlap", "dedup_semdedup",
+    "er_fuzzy_name_pairs", "text_kn_bigram_logprob",
+    "events_trigram_patterns", "text_rake_keywords", "events_outliers_mad",
     "quality_calibration_bins", "events_changepoint", "dq_k_anonymity",
     "graph_eccentricity_bounds", "graph_core_decomposition",
     "events_window_funnel", "events_slo_burn", "curation_gate_ablation",
@@ -145,39 +149,39 @@ _PRIORITY = [
     "emb_silhouette_proxy", "graph_anf_sketch",
     "graph_resource_allocation", "graph_clustering_coeff",
     "graph_rich_club", "corpus_ks_lengths", "graph_triangle_count",
-    "graph_ktruss", "graph_jaccard_neighbors", "s2_cfamily_analyzer",
-    "j13_symbol_resolution", "graph_landmark_distances",
-    "graph_stress_centrality", "graph_random_walks", "walk_skipgram_pairs",
-    "m1_merge_upsert", "m2_merge_edges", "m5_cascade_delete",
-    "m6_edge_prop_update", "m8_switch_commit_derived", "j3_callees",
-    "j8_chain_payloads", "p5_null_predicate", "p6_dynamic_filters",
-    "p7_fixed_projection", "p8_ext_ignore_filters",
-    "o1_commit_list_ordering", "o4_topk_orders", "f2_f5_size_contains",
-    "f3_path_functions", "f6_string_parsing", "f7_json_props",
-    "x3_auto_complete", "asof_prior_click", "contamination_ngram",
-    "corpus_stats", "dedup_clusters", "sample_stratified",
-    "ann_cosine_topk", "dedup_embedding_cosine", "curation_pipeline",
-    "gopher_quality_gates", "corpus_mixture_plan", "bpe_fertility_by_lang",
-    "text_bigram_logprob", "dedup_lsh_eval", "curation_pipeline_v3",
-    "pack_boundary_stats", "dsir_importance_select",
-    "corpus_quantile_summary", "chunk_documents", "token_ngram_novelty",
-    "corpus_profile", "emb_kcenter_select", "events_user_ewma",
-    "graph_assortativity", "emb_int8_calibration", "graph_ppr",
-    "chunk_dedup_stats", "corpus_lang_confusion", "vocab_zipf_spectrum",
-    "mm_ppm_features", "corpus_cross_entropy_shift", "emb_norm_outliers",
-    "source_template_overlap", "events_stickiness", "events_rfm",
-    "emb_centroid_drift", "graph_mst_boruvka", "events_autocorrelation",
-    "corpus_simpson_diversity", "graph_butterfly_count", "graph_luby_mis",
-    "shard_zonemap_prune", "events_lateness_profile",
-    "corpus_pmi_collocations", "orders_basket_rules",
-    "events_gini_engagement", "events_seasonality", "events_markov_mixing",
-    "events_forecast_backtest", "orders_sla_division",
-    "orders_ltv_triangle", "trade_flow_matrix", "market_segment_share",
-    "customers_prospects", "part_hierarchy_rollup",
+    "graph_ktruss", "graph_jaccard_neighbors", "j13_symbol_resolution",
+    "graph_landmark_distances", "graph_stress_centrality",
+    "graph_random_walks", "walk_skipgram_pairs", "m1_merge_upsert",
+    "m2_merge_edges", "m5_cascade_delete", "m6_edge_prop_update",
+    "m8_switch_commit_derived", "j3_callees", "j8_chain_payloads",
+    "p5_null_predicate", "p6_dynamic_filters", "p7_fixed_projection",
+    "p8_ext_ignore_filters", "o1_commit_list_ordering", "o4_topk_orders",
+    "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
+    "f7_json_props", "x3_auto_complete", "asof_prior_click",
+    "contamination_ngram", "corpus_stats", "dedup_clusters",
+    "sample_stratified", "ann_cosine_topk", "dedup_embedding_cosine",
+    "curation_pipeline", "gopher_quality_gates", "corpus_mixture_plan",
+    "bpe_fertility_by_lang", "text_bigram_logprob", "dedup_lsh_eval",
+    "curation_pipeline_v3", "pack_boundary_stats",
+    "dsir_importance_select", "corpus_quantile_summary", "chunk_documents",
+    "token_ngram_novelty", "corpus_profile", "emb_kcenter_select",
+    "events_user_ewma", "graph_assortativity", "emb_int8_calibration",
+    "graph_ppr", "chunk_dedup_stats", "corpus_lang_confusion",
+    "vocab_zipf_spectrum", "mm_ppm_features", "corpus_cross_entropy_shift",
+    "emb_norm_outliers", "source_template_overlap", "events_stickiness",
+    "events_rfm", "emb_centroid_drift", "graph_mst_boruvka",
+    "events_autocorrelation", "corpus_simpson_diversity",
+    "graph_butterfly_count", "graph_luby_mis", "shard_zonemap_prune",
+    "events_lateness_profile", "corpus_pmi_collocations",
+    "orders_basket_rules", "events_gini_engagement", "events_seasonality",
+    "events_markov_mixing", "events_forecast_backtest",
+    "orders_sla_division", "orders_ltv_triangle", "trade_flow_matrix",
+    "market_segment_share", "customers_prospects", "part_hierarchy_rollup",
     "events_scd2_dimension", "dq_referential_checks",
     "orders_benford_firstdigit", "graph_topological_layers",
     "events_concurrency_profile", "orders_purchase_intervals",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

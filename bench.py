@@ -176,9 +176,21 @@ def main() -> None:
     # goes to bench_summary.json (committed), and the final stdout line is a
     # SHORT (~90 byte) JSON that always fits the capture window.
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_summary.json"), "w") as fh:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_summary.json"), "w") as fh:
             fh.write(summary + "\n")
+        # The driver's own bench run OVERWRITES bench_summary.json, which
+        # destroyed the per-sample [sec, load1m] pairs the BENCH_NOTES
+        # waiver bands cite (r7 verdict, "What's wrong" item 3). The
+        # builder's close run sets SPARK_GRAFT_BENCH_SNAPSHOT=bench_close_rN
+        # to ALSO write an immutable per-round snapshot the driver never
+        # touches.
+        snap = os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT")
+        if snap:
+            if not snap.endswith(".json"):
+                snap += ".json"
+            with open(os.path.join(here, os.path.basename(snap)), "w") as fh:
+                fh.write(summary + "\n")
     except Exception:
         pass
     short = json.dumps(

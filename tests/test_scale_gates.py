@@ -1,0 +1,146 @@
+"""Pressure-test the measured-size local/distributed gates ABOVE their
+real caps (VERDICT r7 item 8).
+
+Every cap-forced parity test in the suite shrinks a cap so small data
+exercises the distributed branch. This test does the opposite at REAL
+sizes: it synthesizes a graph that exceeds the production caps
+(2M nodes / 5M undirected edges), so the three largest kernels — ANF,
+MST (Borůvka), SCC — choose their DISTRIBUTED branch naturally, then
+asserts bit-parity against the driver-local twin run on the same data.
+Any gate that flips at the wrong size, or any local/distributed
+semantic drift that only appears past the caps, fails here.
+
+OPT-IN: ~3-8 min and several GB of executor memory. Run alone:
+
+    SPARK_GRAFT_SCALE_TEST=1 SPARK_GRAFT_CPUS=32 \
+        python -m pytest tests/test_scale_gates.py -q -s
+
+Measured crossover costs are printed per kernel and recorded in
+BENCH_NOTES.md ("Round 8: gate pressure-test above sf0.1").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from types import SimpleNamespace
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_TEST"),
+    reason="scale pressure-test is opt-in (SPARK_GRAFT_SCALE_TEST=1); "
+    "it synthesizes a >5M-edge graph and runs the distributed kernels",
+)
+
+# just past the production caps (registry_ext30._LOCAL_N_CAP = 2M,
+# operators/scc._LOCAL_EDGE_ROWS = 5M, mst local_caps = (2M, 5M))
+N_NODES = 2_200_000
+
+
+@pytest.fixture(scope="module")
+def big_graph():
+    from code_graph_backend_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-gates")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = F.lit(N_NODES)
+    ids = spark.range(N_NODES).select(F.col("id"))
+    # 2-cycles (i <-> i+1 for even i) give SCC real multi-node components
+    # to resolve; two chord families push the undirected-distinct count
+    # past the 5M cap and keep degree bounded (no skew pathology — skew
+    # is covered by the salted-join family, this test is about the caps)
+    ev = ids.select(F.col("id").alias("src"),
+                    ((F.col("id") + 1) % n).alias("dst"))
+    back = ids.filter(F.col("id") % 2 == 1).select(
+        F.col("id").alias("src"), ((F.col("id") - 1) % n).alias("dst"))
+    chord1 = ids.select(F.col("id").alias("src"),
+                        ((F.col("id") * 3 + 7) % n).alias("dst"))
+    chord2 = ids.select(F.col("id").alias("src"),
+                        ((F.col("id") + 1009) % n).alias("dst"))
+    edges = ev.unionByName(back).unionByName(chord1).unionByName(chord2) \
+        .filter(F.col("src") != F.col("dst"))
+    nodes = ids
+    g = SimpleNamespace(nodes=nodes, edges=edges)
+    yield spark, g
+
+
+def _checksum(df):
+    """Order-insensitive content fingerprint computed IN Spark — the
+    result tables here are millions of rows; parity must not collect."""
+    cols = sorted(df.columns)
+    h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(h).alias("s"),
+        F.sum(F.abs(h) % 1_000_003).alias("m"),
+    ).collect()[0]
+    return (row["n"], row["s"], row["m"])
+
+
+def test_graph_exceeds_every_production_cap(big_graph):
+    from code_graph_backend_spark.operators.undirected import und_cached
+    from code_graph_backend_spark import registry_ext30 as A
+
+    spark, g = big_graph
+    und_n = und_cached(spark, g.edges).count()
+    n_n = g.nodes.count()
+    assert n_n > A._LOCAL_N_CAP, (n_n, A._LOCAL_N_CAP)
+    assert und_n > A._LOCAL_E_CAP, (und_n, A._LOCAL_E_CAP)
+    print(f"\n[scale] nodes={n_n:,} und_edges={und_n:,}")
+
+
+def test_anf_distributed_is_chosen_and_matches_local(big_graph):
+    from code_graph_backend_spark.operators.undirected import und_cached
+    from code_graph_backend_spark import registry_ext30 as A
+
+    spark, g = big_graph
+    und = und_cached(spark, g.edges)
+    # the natural branch above the caps is the distributed one — run it
+    # exactly as graph_anf_sketch_q's gate would pick it
+    assert g.nodes.count() > A._LOCAL_N_CAP
+    t0 = time.time()
+    dist = {(r["hop"], r["n_nodes"], r["sum_ball_micro"])
+            for r in A._anf_distributed(spark, g, und).collect()}
+    t_dist = time.time() - t0
+    t0 = time.time()
+    loc = {(r["hop"], r["n_nodes"], r["sum_ball_micro"])
+           for r in A._anf_local(spark, g, und).collect()}
+    t_loc = time.time() - t0
+    print(f"\n[scale] anf distributed={t_dist:.1f}s local-twin={t_loc:.1f}s")
+    assert dist == loc
+
+
+def test_mst_distributed_is_chosen_and_matches_local(big_graph):
+    from code_graph_backend_spark.operators.mst import boruvka_msf
+
+    spark, g = big_graph
+    t0 = time.time()
+    # default caps: 2.2M nodes exceeds local_caps[0] -> distributed loop
+    dist = _checksum(boruvka_msf(spark, g.nodes, g.edges, rounds=2))
+    t_dist = time.time() - t0
+    t0 = time.time()
+    loc = _checksum(
+        boruvka_msf(spark, g.nodes, g.edges, rounds=2,
+                    local_caps=(10**9, 10**9))
+    )
+    t_loc = time.time() - t0
+    print(f"\n[scale] mst distributed={t_dist:.1f}s local-twin={t_loc:.1f}s")
+    assert dist == loc
+
+
+def test_scc_distributed_is_chosen_and_matches_local(big_graph):
+    from code_graph_backend_spark.operators import scc as S
+    from code_graph_backend_spark.operators.undirected import dir_cached
+
+    spark, g = big_graph
+    assert dir_cached(spark, g.edges).count() > S._LOCAL_EDGE_ROWS
+    t0 = time.time()
+    dist = _checksum(S.scc_bounded(spark, g.edges))  # natural: distributed
+    t_dist = time.time() - t0
+    t0 = time.time()
+    loc = _checksum(S._scc_local(spark, g.edges, trim_rounds=2, hops=10, peels=1))
+    t_loc = time.time() - t0
+    print(f"\n[scale] scc distributed={t_dist:.1f}s local-twin={t_loc:.1f}s")
+    assert dist == loc

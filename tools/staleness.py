@@ -9,19 +9,21 @@ changed after that round's boundary commit. The debt classes:
 - ``never``   — no green driver row in any CORRECTNESS_r*.json;
 - ``expired`` — freshest green row is >= STALE_ROUNDS rounds old at the
   coming close;
-- ``changed`` — the file holding the query's own code has a commit
-  newer than the boundary commit of its freshest green round;
-- ``dep-impact`` — the query's own file is unchanged but symbol-level
-  reachability (VERDICT r7 item 3) proves the query's entry function
-  transitively references a top-level symbol, in some file of its
-  import closure, whose SOURCE TEXT differs between the green round's
-  boundary commit and HEAD. This is HARD debt: the code the driver
-  graded is not the code that runs today.
+- ``changed`` — the query's OWN top-level symbol (decorators included,
+  so an @register oracle edit counts) differs between the boundary
+  commit of its freshest green round and HEAD;
+- ``dep-impact`` — own symbol unchanged, but symbol-level reachability
+  (VERDICT r7 item 3) proves the query's entry function transitively
+  references a top-level symbol — in its own file or any closure
+  file — whose SOURCE TEXT differs between the green round's boundary
+  commit and HEAD. This is HARD debt: the code the driver graded is
+  not the code that runs today.
 
-Dep-file changes the entry function provably does NOT reach are
-cleared (no debt class): the r7 ``dep-changed`` advisory limbo is gone.
+Changes the entry function provably cannot reach — including
+unrelated edits elsewhere in the query's own file — are cleared (no
+debt class): the r7 ``dep-changed`` advisory limbo is gone.
 Adjudication failures (unparseable old version, unresolvable entry
-symbol) fall back to ``dep-impact`` — conservative, never silent.
+symbol) fall back to ``changed`` — conservative, never silent.
 
 ``tests/test_rotation_staleness.py`` asserts the rotation in
 ``__spark_entry__._PRIORITY`` spends the driver's ~50-row budget on this
@@ -394,7 +396,7 @@ def _dep_impacted(
         ch = changed_in(f)
         if ch is None:
             return None
-        if s in ch:
+        if s in ch and not (f == _HUB and s in _HUB_PLUMBING):
             return True
         refs = _symbol_refs(f)
         table = _head_symbols(f)
@@ -407,10 +409,18 @@ def _dep_impacted(
         if s != _MODULE_SYM:
             stack.append((f, _MODULE_SYM))
         for n in names:
-            if n != s and n in table:
+            if n == s or (f == _HUB and n in _HUB_PLUMBING):
+                pass
+            elif n in table:
                 stack.append((f, n))
             elif n in sym_bind:
                 dep, orig = sym_bind[n]
+                # the registration-plumbing carve-out, same rationale as
+                # _HUB_PLUMBING in the file-level closure: every ext
+                # module's decorators reference `register`, so an edit to
+                # the hub's plumbing would otherwise flag all 234 queries
+                if dep == _HUB and orig in _HUB_PLUMBING:
+                    continue
                 stack.append((dep, orig))
             elif n in mod_bind:
                 # bare module reference (passed around): depend on the
@@ -438,15 +448,16 @@ def debt(queries: dict) -> dict[str, str]:
     - 'never'    — no green driver row ever (precise);
     - 'expired'  — green row's age exceeds 4 rounds at the coming close
       (precise);
-    - 'changed'  — the query's OWN registry module file has a commit
-      newer than its green round's boundary commit (precise at file
-      level: the file holding the query's code changed);
-    - 'dep-impact' — own file unchanged, but the entry function
-      transitively references a symbol (in a closure file) whose source
-      differs between the boundary commit and HEAD — symbol-level BFS,
-      see _dep_impacted. Adjudication failure also lands here
-      (conservative). Dep-file edits the entry function provably cannot
-      reach are CLEARED — no debt entry at all.
+    - 'changed'  — the query's OWN top-level symbol (decorator included,
+      so @register oracle edits count) differs between its green round's
+      boundary commit and HEAD;
+    - 'dep-impact' — own symbol unchanged, but the entry function
+      transitively references a symbol (own file or closure file) whose
+      source differs between the boundary commit and HEAD — symbol-level
+      BFS, see _dep_impacted. Adjudication failure lands in 'changed'
+      (conservative). Edits the entry function provably cannot reach —
+      including unrelated edits elsewhere in the query's OWN file — are
+      CLEARED: no debt entry at all.
     """
     fresh, cur = freshest_green()
     boundaries = round_boundary_ts()
@@ -461,24 +472,31 @@ def debt(queries: dict) -> dict[str, str]:
             out[name] = "expired"
             continue
         boundary = boundaries.get(rnd)
-        if boundary:
-            qf = query_file(fn)
-            if os.path.exists(os.path.join(REPO, qf)):
-                if _last_commit_ts(qf) > boundary:
-                    out[name] = "changed"
-                elif max(
-                    (_last_commit_ts(p) for p in import_closure(qf)),
-                    default=0,
-                ) > boundary:
-                    impacted = (
-                        _dep_impacted(
-                            qf, getattr(fn, "__name__", ""), commits[rnd], boundary
-                        )
-                        if rnd in commits
-                        else None
-                    )
-                    if impacted is not False:
-                        out[name] = "dep-impact"
+        if not boundary:
+            continue
+        qf = query_file(fn)
+        if not os.path.exists(os.path.join(REPO, qf)):
+            continue
+        closure_moved = max(
+            (_last_commit_ts(p) for p in import_closure(qf)), default=0
+        ) > boundary
+        if not closure_moved:
+            continue
+        if rnd not in commits:
+            out[name] = "changed"  # no boundary commit: can't adjudicate
+            continue
+        sym = getattr(fn, "__name__", "")
+        own = _changed_symbols(qf, commits[rnd]) if _last_commit_ts(
+            qf
+        ) > boundary else frozenset()
+        if own is None or sym in own:
+            out[name] = "changed"
+            continue
+        impacted = _dep_impacted(qf, sym, commits[rnd], boundary)
+        if impacted is None:
+            out[name] = "changed"
+        elif impacted:
+            out[name] = "dep-impact"
     return out
 
 
