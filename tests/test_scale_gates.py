@@ -71,9 +71,11 @@ def _checksum(df):
     result tables here are millions of rows; parity must not collect."""
     cols = sorted(df.columns)
     h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    # DECIMAL(38) accumulation: summing millions of full-range int64
+    # hashes overflows BIGINT under ANSI mode
     row = df.agg(
         F.count("*").alias("n"),
-        F.sum(h).alias("s"),
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
         F.sum(F.abs(h) % 1_000_003).alias("m"),
     ).collect()[0]
     return (row["n"], row["s"], row["m"])
