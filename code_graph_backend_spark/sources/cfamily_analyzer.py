@@ -278,6 +278,10 @@ def _base_type_name(tok: str) -> str | None:
     leftover argument parens must not shadow the actual type token."""
     tok = _ANNOT_RE.sub(" ", tok)
     tok = _CS_ATTR_PREFIX_RE.sub(" ", tok)
+    # C# 12 primary-constructor base: `class Circle(double r) :
+    # Shape(r)` — the trailing argument list is not part of the type
+    # (tree-sitter: primary_constructor_base_type's type field)
+    tok = re.sub(r"\((?:[^()]|\([^()]*\))*\)\s*$", " ", tok)
     tok = re.sub(r"<[^<>]*(?:<[^<>]*>[^<>]*)*>", "", tok)
     tok = tok.replace("[", " ").replace("]", " ").replace("?", " ")
     tok = tok.replace("...", " ")
@@ -752,10 +756,16 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                 # can't read as a callee
                 body = _blank_spans(body, _ANNOT_ARGS_RE)
             sites: dict[int, str] = {}
+            # parenthesized spans of non-invocation heads (declaration
+            # headers, record patterns): nested matches inside them are
+            # sub-patterns, not calls
+            dead_end = -1
             for cm in _CALL_RE.finditer(body):
                 callee = cm.group(1)
                 if callee in keywords:
                     continue
+                if cm.start() <= dead_end:
+                    continue  # inside a record pattern's argument span
                 pre = body[: cm.start()].rstrip()
                 if pre.endswith("new"):  # object creation, not invocation
                     continue
@@ -777,6 +787,18 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                     if nxt is not None and (
                         body[nxt] == "{" or body[nxt: nxt + 2] == "=>"
                     ):
+                        continue
+                    # Java 21 record deconstruction pattern in a switch
+                    # arm: `case Point(int x, int y) -> ...` is a
+                    # record_pattern, not an invocation, and every match
+                    # nested in its argument span (`case Box(Point(int a,
+                    # int b), int w)`) is a sub-pattern. No valid Java
+                    # CALL is ever directly followed by `->` (lambda
+                    # parameter lists are plain identifiers); C# keeps
+                    # `->` (unsafe pointer member access CAN follow a
+                    # genuine call: `GetPtr(x)->field`).
+                    if not is_cs and nxt is not None and body[nxt: nxt + 2] == "->":
+                        dead_end = max(dead_end, pclose)
                         continue
                 sites[cm.start(1)] = callee
             for cm in _CHAIN_CALL_RE.finditer(body):

@@ -1126,3 +1126,47 @@ def test_csharp_local_functions_are_not_entities_or_calls():
     assert calls == [
         ("Helper", 3), ("Local", 5), ("LocalStatic", 5), ("Scale", 4),
     ]
+
+
+def test_java_record_patterns_in_switch_are_not_calls():
+    """Java 21 record deconstruction patterns (`case Point(int x, int y)
+    ->`) are record_pattern nodes in tree-sitter, never
+    method_invocations — only the arm bodies' genuine invocations are
+    calls."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class Shapes {\n"
+        "    double area(Object s) {\n"
+        "        return switch (s) {\n"
+        "            case Point(int x, int y) -> compute(x, y);\n"
+        "            case Box(Point(int a, int b), int w) -> boxArea(a, b, w);\n"
+        "            case Circle c -> circleArea(c);\n"
+        "            case null, default -> 0.0;\n"
+        "        };\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("S.java", java)
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    assert calls == ["boxArea", "circleArea", "compute"]
+
+
+def test_csharp_primary_constructor_base_with_arguments():
+    """C# 12 primary constructors: `class Circle(double r) : Shape(r),
+    IDrawable` — the base list's first entry is a
+    primary_constructor_base_type whose TYPE is the base class; the
+    argument list must not destroy the cs_base symbol (reference
+    csharp/analyzer.py:74-95 captures every base_list child)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public class Circle(double r) : Shape(r), IDrawable\n"
+        "{\n"
+        "    public double Area() => Compute(r);\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("P.cs", cs)
+    inh = {(r[0], r[9]) for r in rows if r[0] in ("cs_base", "implements")}
+    assert inh == {("cs_base", "Shape"), ("implements", "IDrawable")}
+    assert ("entity", "Class", "Circle") in {(r[0], r[1], r[2]) for r in rows}
