@@ -787,6 +787,10 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                     if nxt is not None and (
                         body[nxt] == "{" or body[nxt: nxt + 2] == "=>"
                     ):
+                        # the argument span holds parameters or nested
+                        # sub-patterns (C# `Box(Point(var a, var b), _)
+                        # =>` positional patterns), never invocations
+                        dead_end = max(dead_end, pclose)
                         continue
                     # Java 21 record deconstruction pattern in a switch
                     # arm: `case Point(int x, int y) -> ...` is a

@@ -1170,3 +1170,26 @@ def test_csharp_primary_constructor_base_with_arguments():
     inh = {(r[0], r[9]) for r in rows if r[0] in ("cs_base", "implements")}
     assert inh == {("cs_base", "Shape"), ("implements", "IDrawable")}
     assert ("entity", "Class", "Circle") in {(r[0], r[1], r[2]) for r in rows}
+
+
+def test_csharp_positional_patterns_in_switch_expression_not_calls():
+    """C# positional/recursive patterns in a switch expression
+    (`Box(Point(var a, var b), var w) => ...`) are recursive_pattern
+    nodes, never invocations — including nested sub-patterns inside the
+    outer pattern's argument span."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public class M {\n"
+        "    public string Name(object s) {\n"
+        "        return s switch {\n"
+        "            Box(Point(var a, var b), var w) => Fmt(a, b, w),\n"
+        "            Circle c => CircleName(c),\n"
+        "            _ => Other()\n"
+        "        };\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("M.cs", cs)
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    assert calls == ["CircleName", "Fmt", "Other"]
