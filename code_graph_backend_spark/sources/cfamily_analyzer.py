@@ -773,6 +773,14 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                     # a LOCAL record's positional header (`record Pair(int
                     # a, int b)`) is a declaration, not an invocation
                     continue
+                if pre.endswith("instanceof"):
+                    # Java 21 record pattern in instanceof (`s instanceof
+                    # Point(int x, int y)`): a record_pattern; its
+                    # argument span holds sub-patterns, not calls
+                    pclose = _find_paren_close(body, cm.end() - 1)
+                    if pclose is not None:
+                        dead_end = max(dead_end, pclose)
+                    continue
                 # a matched "name(" whose argument list is followed by a
                 # block or an arrow is a DECLARATION header, not an
                 # invocation: C# local functions (`int Local(int k) {` /

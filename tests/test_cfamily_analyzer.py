@@ -1193,3 +1193,23 @@ def test_csharp_positional_patterns_in_switch_expression_not_calls():
     rows = parse_csharp_source("M.cs", cs)
     calls = sorted(r[9] for r in rows if r[0] == "call")
     assert calls == ["CircleName", "Fmt", "Other"]
+
+
+def test_java_instanceof_record_pattern_not_a_call():
+    """`s instanceof Point(int x, int y)` (Java 21) is a record_pattern,
+    not an invocation; `instanceof Circle c` type patterns never matched
+    anyway. Accessor-style field lambdas stay call-free (field
+    initializers are not entities in the reference)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class A {\n"
+        "    void m(Object s) {\n"
+        "        if (s instanceof Point(int x, int y)) { use(x, y); }\n"
+        "        if (s instanceof Box(Point(int a, int b), int w)) { g(a); }\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("A.java", java)
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    assert calls == ["g", "use"]
