@@ -1213,3 +1213,49 @@ def test_java_instanceof_record_pattern_not_a_call():
     rows = parse_java_source("A.java", java)
     calls = sorted(r[9] for r in rows if r[0] == "call")
     assert calls == ["g", "use"]
+
+
+# ---------------------------------------------------------------------------
+# Robustness fuzz (hypothesis): the scanner must never raise and must
+# stay effectively linear on adversarial input — its regexes advertise
+# bounded repetition, this pins it.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SRC_ALPHABET = st.sampled_from(
+    list("abcXY_09 \n\t(){}<>[];:,./\\*&|^%$#@!?+-=~\"'`")
+)
+
+
+@given(st.text(alphabet=_SRC_ALPHABET, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_scanner_never_raises_on_arbitrary_text(src):
+    from code_graph_backend_spark.sources.cfamily_analyzer import (
+        parse_c_source,
+        parse_csharp_source,
+        parse_java_source,
+    )
+
+    for fn, name in ((parse_java_source, "f.java"),
+                     (parse_csharp_source, "f.cs"),
+                     (parse_c_source, "f.c")):
+        rows = fn(name, src)
+        assert isinstance(rows, list)
+        for r in rows:
+            assert len(r) == 12
+
+
+def test_scanner_linear_on_adversarial_angle_brackets():
+    """The bounded-repetition claim: a pathological run of unclosed
+    angle brackets and parens must complete quickly, not backtrack
+    exponentially."""
+    import time
+
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    evil = ("A" + "<" * 200 + "B" * 200 + "," * 200 + "(" * 100) * 20
+    t0 = time.time()
+    parse_java_source("evil.java", evil)
+    assert time.time() - t0 < 10.0

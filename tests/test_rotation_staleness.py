@@ -165,3 +165,40 @@ def test_symbol_table_module_level_statements_fold_into_pseudo_symbol():
     b = S._symbol_table("import os\nprint('y')\n")
     assert a["<module>"] != b["<module>"]
     assert set(a) == {"<module>"}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PY_SNIPPETS = st.lists(
+    st.sampled_from([
+        "import os\n",
+        "from .dep import helper\n",
+        "X = 1\n",
+        "X: int = 2\n",
+        "def f(a):\n    return helper(a) + X\n",
+        "@deco\ndef g():\n    return f(1)\n",
+        "class K:\n    def m(self):\n        return g()\n",
+        "if True:\n    Y = 3\n",
+        "A = B = 4\n",
+    ]),
+    min_size=0, max_size=8,
+)
+
+
+@given(_PY_SNIPPETS)
+@settings(max_examples=40, deadline=None)
+def test_symbol_table_total_and_self_consistent(snips):
+    """The provenance symbol-table is total on valid python (never
+    raises), idempotent (same source -> same table), and every symbol
+    segment is literal source text (so diffing tables is diffing code)."""
+    import staleness as S
+
+    src = "".join(snips)
+    t1 = S._symbol_table(src)
+    t2 = S._symbol_table(src)
+    assert t1 == t2
+    for sym, seg in t1.items():
+        if sym != "<module>" and seg:
+            # each non-module segment is a literal slice of the source
+            assert seg.splitlines()[0] in src
