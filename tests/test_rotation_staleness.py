@@ -202,3 +202,26 @@ def test_symbol_table_total_and_self_consistent(snips):
         if sym != "<module>" and seg:
             # each non-module segment is a literal slice of the source
             assert seg.splitlines()[0] in src
+
+
+def test_emit_priority_is_complete_and_debt_ordered(rotation_and_debt):
+    """--emit-priority renders every registered query exactly once, hard
+    debt ahead of cleared/fresh rows — the mechanical starting point for
+    each round's rotation regeneration."""
+    import re
+
+    import staleness as S
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    _, debt = rotation_and_debt
+    fresh, _ = S.freshest_green()
+    body = S.emit_priority(qs, debt, fresh)
+    names = re.findall(r'"([A-Za-z0-9_]+)"', body)
+    assert len(names) == len(set(names)) == len(qs)
+    pos = {q: i for i, q in enumerate(names)}
+    hard = [q for q in names if q in debt]
+    clean = [q for q in names if q not in debt]
+    if hard and clean:
+        assert max(pos[q] for q in hard) < min(pos[q] for q in clean)

@@ -500,6 +500,43 @@ def debt(queries: dict) -> dict[str, str]:
     return out
 
 
+def emit_priority(queries: dict, d: dict[str, str], fresh: dict[str, int]) -> str:
+    """Render a ready-to-paste _PRIORITY body from the audit: never,
+    then expired (oldest green first), then changed, then dep-impact,
+    then the cleared/fresh remainder in current rotation order. The
+    builder still owns the judgment calls (spill block choice, etc.) —
+    this is the mechanical starting point."""
+    order = list(queries)
+
+    def block(cls):
+        members = [q for q in order if d.get(q) == cls]
+        if cls != "never":
+            members.sort(key=lambda q: (fresh.get(q, 0), order.index(q)))
+        return members
+
+    segments = [
+        ("never graded", block("never")),
+        ("expired, oldest green first", block("expired")),
+        ("changed: own symbol differs since green round", block("changed")),
+        ("dep-impact: reachable symbol changed", block("dep-impact")),
+        ("cleared / fresh", [q for q in order if q not in d]),
+    ]
+    lines = []
+    for title, members in segments:
+        if not members:
+            continue
+        lines.append(f"    # {title} ({len(members)})")
+        cur_line = "    "
+        for q in members:
+            tok = f'"{q}",'
+            if len(cur_line) + len(tok) + 1 > 76:
+                lines.append(cur_line.rstrip())
+                cur_line = "    "
+            cur_line += tok + " "
+        lines.append(cur_line.rstrip())
+    return "\n".join(lines)
+
+
 def main() -> None:
     import sys
 
@@ -509,6 +546,11 @@ def main() -> None:
     qs = e.queries()
     d = debt(qs)
     fresh, cur = freshest_green()
+    if "--emit-priority" in sys.argv:
+        print("_PRIORITY = [")
+        print(emit_priority(qs, d, fresh))
+        print("]")
+        return
     order = list(qs)
     print(f"current round: r{cur}; registered: {len(qs)}; "
           f"hard debt: {len(d)} (all classes hard since r8; "
