@@ -872,6 +872,14 @@ _C_TYPE_QUALS = ("const", "struct", "union", "enum", "unsigned", "signed",
                  "volatile", "register", "restrict", "static", "inline")
 
 _C_STRUCT_RE = re.compile(r"\bstruct\s+([A-Za-z_]\w*)\s*\{")
+# a preprocessor directive line, following backslash continuations —
+# tree-sitter-c parses `#define MAX(a,b) ...` as preproc_function_def,
+# never function_definition, so directive text must not reach the
+# method/struct scan (a function-like macro would otherwise read as a
+# Function entity and swallow the next brace block as its body). Macro
+# USES inside function bodies stay: tree-sitter parses those as
+# ordinary call_expression nodes.
+_C_PREPROC_RE = re.compile(r"^[ \t]*#(?:\\\r?\n|[^\n])*", re.M)
 
 
 def _c_base_type(tok: str) -> str | None:
@@ -892,6 +900,7 @@ def parse_c_source(path: str, source: str) -> list[tuple]:
     reference detail our row schema doesn't model (documented divergence).
     """
     cleaned, comments = _strip(source)
+    cleaned = _blank_spans(cleaned, _C_PREPROC_RE)
     braces = _brace_match(cleaned)
     rows: list[tuple] = []
     src_lines = source.splitlines()

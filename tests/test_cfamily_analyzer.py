@@ -1259,3 +1259,33 @@ def test_scanner_linear_on_adversarial_angle_brackets():
     t0 = time.time()
     parse_java_source("evil.java", evil)
     assert time.time() - t0 < 10.0
+
+
+def test_c_preprocessor_directives_are_not_entities():
+    """tree-sitter-c parses `#define MAX(a,b) ...` as
+    preproc_function_def, never function_definition — a function-like
+    macro must not become a Function entity (it previously also swallowed
+    the NEXT brace block as its body). Macro USES inside function bodies
+    are ordinary call_expressions and stay calls."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_c_source
+
+    c = (
+        "#include <stdio.h>\n"
+        "#define MAX(a,b) ((a)>(b)?(a):(b))\n"
+        "#define LONG_MACRO(x) \\\n"
+        "    do { helper(x); } while (0)\n"
+        "\n"
+        "typedef struct Node { int v; } Node;\n"
+        "\n"
+        "int main(void) {\n"
+        "    Node n = {0};\n"
+        "    return MAX(twice(1), n.v);\n"
+        "}\n"
+    )
+    rows = parse_c_source("m.c", c)
+    ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert ents == {("Struct", "Node"), ("Function", "main")}
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    # MAX and twice are genuine call_expressions in main; helper lives
+    # only in macro replacement text (directive line) — not a call
+    assert calls == ["MAX", "twice"]
