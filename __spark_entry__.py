@@ -59,91 +59,88 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["curation_pipeline_v3"](spark, "/root/testdata/sf0.001")
 
 
-# Grading-order rotation (the driver caps correctness rows per round,
-# ~50). Round 8 is GENERATED from the mechanized audit
-# (`python tools/staleness.py`; gate: tests/test_rotation_staleness.py).
-# The audit is SYMBOL-LEVEL since r8 (VERDICT r7 item 3): a query is
-# hard debt only if its own top-level symbol changed since its green
-# round ('changed'), or its entry function transitively reaches a
-# changed symbol ('dep-impact'); unreachable edits — including edits
-# elsewhere in the same registry file — are cleared. At this close the
-# audit reads: hard debt 78 = 55 expired + 3 changed + 20 dep-impact
-# (the r7 file-level audit read 95+34 advisory; symbol granularity
-# cleared 51 rows mechanically). The registry stays FROZEN at 234
-# (VERDICT r7 item 2). Order:
-# (A) the 55 EXPIRED rows, oldest evidence first — the 9 r2-green rows
-#     (the entire windowed-analytics surface, VERDICT r7 item 6), then
-#     the r3 rows. The gate requires every never/expired row within the
-#     first 60 positions, which is why this block precedes the changed
-#     block even though the r7 VERDICT prose suggested changed-first:
-#     55 expired + the changed block cannot both fit a 60-position
-#     head, and expired is the strictly older evidence.
-# (B) the declared 5-row spill at positions 50-54 (if the ~50-row cap
-#     lands mid-block): p1/j6/m7/dedup_exact/graph_pagerank — exactly
-#     the expired rows the r7 judge independently re-oracled green at
-#     the close, i.e. the freshest alternate evidence.
-# (C) the 3 CHANGED rows (own symbol moved: lpa kernel edit; the
-#     oracle_twin decorator added to ann_pq_topk/ann_ivf_topk), then
-# (D) the 20 DEP-IMPACT rows, oldest first: round 9's head, pre-ordered
-#     so driver overflow starts here.
-# Then the 156 cleared/fresh rows in r7 order.
+# Grading-order rotation (the driver caps correctness rows per round;
+# observed cap r8 = 50, read mechanically by tools/staleness.py
+# .observed_driver_cap()). Round 9 is GENERATED verbatim from
+# `python tools/staleness.py --emit-priority` — including the spill:
+# since r9 the emitter orders the cleared/fresh remainder OLDEST GREEN
+# FIRST, so positions cap..cap+SPILL are automatically the rows whose
+# evidence expires next round (VERDICT r8 item 7: nothing left to
+# hand-pick). Gate: tests/test_rotation_staleness.py. At this close the
+# audit reads: hard debt 49 = 46 expired + 3 dep-impact — one full
+# driver budget, so a green r9 run clears evidence debt to ZERO for
+# the first time. The registry stays FROZEN at 234 (VERDICT r8 item 2).
+# Order:
+# (A) the 46 EXPIRED rows, oldest evidence first — the 5 r3 rows the
+#     r8 cap never reached (p1/j6/m7/dedup_exact/graph_pagerank, all
+#     re-oracled green by the r7/r8 judges), then the r4 block (exact
+#     dedup/ANN twins, BPE, sketches, emb_*, packing, streaming).
+# (B) the 3 DEP-IMPACT rows (kcore/wcc_bounded: shared kernel moved;
+#     s2_cfamily_analyzer: r9 grammar tranche) at positions 46-48.
+# (C) position 49 = graph_edge_embeddedness (r5, first to expire, and
+#     the one perf-weak query — a cap-50 run grades it right after the
+#     substrate memo fix), then the mechanical spill at 50-54: the
+#     next-oldest r5 rows (ann_ivf_exact, token_budget_select,
+#     emb_hard_negatives, curation_pipeline_v2, dedup_semantic_clusters).
+# Then the remaining cleared/fresh rows, still oldest green first.
 _PRIORITY = [
-    # (A) EXPIRED head: 9 r2-green rows then r3 rows (50)
-    "skew_salted_agg", "text_bpe_tokens", "text_char_entropy",
-    "text_rolling_fingerprint", "text_tfidf_topterms", "value_histogram",
-    "w_session_30m", "w_sliding_1h_30m", "w_tumbling_1h",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_lsh_topk", "mm_media_features", "mm_frame_features",
-    "text_token_stats", "text_quality_score", "text_lang_pred",
-    "text_fingerprint", "text_repetition", "text_unigram_logprob",
-    "cypher_frontend_hop", "pii_redact", "stream_click_attribution",
-    "cohort_retention", "graph_sssp_bounded", "graph_degree_histogram",
-    "ann_ivf_indexed_topk", "sample_weighted", "flagship_region_revenue",
-    "a1_a2_graph_stats", "p2_point_lookup_by_id",
-    "p3_composite_key_lookup", "p4_in_list_lookup", "j1_out_neighbors",
-    "j2_in_neighbors", "j4_subgraph_sample", "j5_two_hop_pattern",
-    "j7_reachable_closure", "j10_unreachable_parts",
-    "j12_range_join_coverage", "a3_collect_parts_per_order",
-    "f4_unwind_indexed", "a4_ordered_collect", "x2_prefix_table",
-    "m3_bulk_props", "m4_propagate_coverage", "j9_chain_successor",
-    "j11_edge_endpoint_validation", "a5_a6_coverage_ratio",
-    # (B) declared spill 50-54: judge re-oracled green at the r7 close
+    # expired, oldest green first (46)
     "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
-    "dedup_exact", "graph_pagerank",
-    # (C) CHANGED: own symbol differs since green round (3)
-    "graph_label_propagation", "ann_pq_topk", "ann_ivf_topk",
-    # (D) DEP-IMPACT: symbol-level reachability hits (20) — r9 head
-    "dedup_minhash_exact", "dedup_simhash_exact",
-    "dedup_minhash_incremental", "dedup_minhash_clusters",
-    "dedup_substring_spans", "ann_lsh_exact", "bpe_train_merges",
-    "bpe_apply_token_counts", "emb_kmeans_assign", "mm_wav_features",
-    "mm_avi_frames", "boilerplate_stats", "graph_hits",
+    "dedup_exact", "graph_pagerank", "graph_label_propagation",
+    "ann_pq_topk", "ann_ivf_topk", "dedup_minhash_exact",
+    "dedup_simhash_exact", "dedup_minhash_incremental",
+    "dedup_minhash_clusters", "dedup_substring_spans", "ann_lsh_exact",
+    "bpe_train_merges", "bpe_apply_token_counts", "emb_kmeans_assign",
+    "mm_wav_features", "mm_avi_frames", "boilerplate_stats", "graph_hits",
     "corpus_vocab_stats", "trending_events", "graph_closeness_approx",
-    "a7_usage_count", "graph_kcore", "graph_wcc_bounded",
-    "s2_cfamily_analyzer",
-    # cleared / fresh (156)
-    "ann_pq_exact", "pack_sequences", "pack_sequences_sharded",
-    "sample_temperature", "bpe_pair_stats", "corpus_distinct_hll",
-    "corpus_hll_merge", "emb_power_iteration", "emb_label_centroids",
-    "emb_similarity_histogram", "quality_percentile", "stream_event_dedup",
-    "corpus_length_deciles", "funnel_conversion", "events_rollup",
-    "events_outliers", "corpus_length_regression", "corpus_lang_pivot",
+    "a7_usage_count", "ann_pq_exact", "pack_sequences",
+    "pack_sequences_sharded", "sample_temperature", "bpe_pair_stats",
+    "corpus_distinct_hll", "corpus_hll_merge", "emb_power_iteration",
+    "emb_label_centroids", "emb_similarity_histogram",
+    "quality_percentile", "stream_event_dedup", "corpus_length_deciles",
+    "funnel_conversion", "events_rollup", "events_outliers",
+    "corpus_length_regression", "corpus_lang_pivot",
     "corpus_train_val_split", "skew_salted_join",
-    "events_transition_matrix", "graph_edge_embeddedness", "ann_ivf_exact",
-    "token_budget_select", "emb_hard_negatives", "curation_pipeline_v2",
+    "events_transition_matrix",
+    # dep-impact: reachable symbol changed (3)
+    "graph_kcore", "graph_wcc_bounded", "s2_cfamily_analyzer",
+    # cleared / fresh, oldest green first (head = next round's spill) (185)
+    "graph_edge_embeddedness", "ann_ivf_exact", "token_budget_select",
+    "emb_hard_negatives", "curation_pipeline_v2",
     "dedup_semantic_clusters", "contamination_bloom",
     "corpus_heavy_hitters", "graph_scc_bounded", "dedup_containment",
     "shard_manifest", "quality_linear_score", "w_distinct_users_hll",
     "shard_manifest_incremental", "corpus_vocab_coverage",
     "graph_ffl_motifs", "mm_tga_features", "graph_modularity",
+    "ann_cosine_topk", "dedup_embedding_cosine", "curation_pipeline",
+    "gopher_quality_gates", "corpus_mixture_plan", "bpe_fertility_by_lang",
+    "text_bigram_logprob", "dedup_lsh_eval", "curation_pipeline_v3",
+    "pack_boundary_stats", "dsir_importance_select",
+    "corpus_quantile_summary", "chunk_documents", "token_ngram_novelty",
+    "corpus_profile", "emb_kcenter_select", "events_user_ewma",
+    "graph_assortativity", "emb_int8_calibration", "graph_ppr",
+    "chunk_dedup_stats", "corpus_lang_confusion", "vocab_zipf_spectrum",
     "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
     "emb_matryoshka_overlap", "corpus_source_overlap", "dedup_semdedup",
     "er_fuzzy_name_pairs", "text_kn_bigram_logprob",
     "events_trigram_patterns", "text_rake_keywords", "events_outliers_mad",
-    "quality_calibration_bins", "events_changepoint", "dq_k_anonymity",
-    "graph_eccentricity_bounds", "graph_core_decomposition",
-    "events_window_funnel", "events_slo_burn", "curation_gate_ablation",
-    "dedup_cluster_sizes", "shard_zorder_prune",
+    "quality_calibration_bins", "events_changepoint", "mm_ppm_features",
+    "corpus_cross_entropy_shift", "emb_norm_outliers",
+    "source_template_overlap", "events_stickiness", "events_rfm",
+    "emb_centroid_drift", "graph_mst_boruvka", "events_autocorrelation",
+    "corpus_simpson_diversity", "graph_butterfly_count", "graph_luby_mis",
+    "shard_zonemap_prune", "events_lateness_profile",
+    "corpus_pmi_collocations", "orders_basket_rules",
+    "events_gini_engagement", "events_seasonality", "events_markov_mixing",
+    "events_forecast_backtest", "orders_sla_division",
+    "orders_ltv_triangle", "trade_flow_matrix", "market_segment_share",
+    "customers_prospects", "part_hierarchy_rollup",
+    "events_scd2_dimension", "dq_referential_checks",
+    "orders_benford_firstdigit", "graph_topological_layers",
+    "events_concurrency_profile", "orders_purchase_intervals",
+    "dq_k_anonymity", "graph_eccentricity_bounds",
+    "graph_core_decomposition", "events_window_funnel", "events_slo_burn",
+    "curation_gate_ablation", "dedup_cluster_sizes", "shard_zorder_prune",
     "supply_risk_single_source", "shard_hash_ring",
     "events_bot_regularity", "events_latency_percentiles",
     "emb_silhouette_proxy", "graph_anf_sketch",
@@ -159,27 +156,25 @@ _PRIORITY = [
     "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
     "f7_json_props", "x3_auto_complete", "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
-    "sample_stratified", "ann_cosine_topk", "dedup_embedding_cosine",
-    "curation_pipeline", "gopher_quality_gates", "corpus_mixture_plan",
-    "bpe_fertility_by_lang", "text_bigram_logprob", "dedup_lsh_eval",
-    "curation_pipeline_v3", "pack_boundary_stats",
-    "dsir_importance_select", "corpus_quantile_summary", "chunk_documents",
-    "token_ngram_novelty", "corpus_profile", "emb_kcenter_select",
-    "events_user_ewma", "graph_assortativity", "emb_int8_calibration",
-    "graph_ppr", "chunk_dedup_stats", "corpus_lang_confusion",
-    "vocab_zipf_spectrum", "mm_ppm_features", "corpus_cross_entropy_shift",
-    "emb_norm_outliers", "source_template_overlap", "events_stickiness",
-    "events_rfm", "emb_centroid_drift", "graph_mst_boruvka",
-    "events_autocorrelation", "corpus_simpson_diversity",
-    "graph_butterfly_count", "graph_luby_mis", "shard_zonemap_prune",
-    "events_lateness_profile", "corpus_pmi_collocations",
-    "orders_basket_rules", "events_gini_engagement", "events_seasonality",
-    "events_markov_mixing", "events_forecast_backtest",
-    "orders_sla_division", "orders_ltv_triangle", "trade_flow_matrix",
-    "market_segment_share", "customers_prospects", "part_hierarchy_rollup",
-    "events_scd2_dimension", "dq_referential_checks",
-    "orders_benford_firstdigit", "graph_topological_layers",
-    "events_concurrency_profile", "orders_purchase_intervals",
+    "sample_stratified", "skew_salted_agg", "text_bpe_tokens",
+    "text_char_entropy", "text_rolling_fingerprint", "text_tfidf_topterms",
+    "value_histogram", "w_session_30m", "w_sliding_1h_30m",
+    "w_tumbling_1h", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_lsh_topk", "mm_media_features",
+    "mm_frame_features", "text_token_stats", "text_quality_score",
+    "text_lang_pred", "text_fingerprint", "text_repetition",
+    "text_unigram_logprob", "cypher_frontend_hop", "pii_redact",
+    "stream_click_attribution", "cohort_retention", "graph_sssp_bounded",
+    "graph_degree_histogram", "ann_ivf_indexed_topk", "sample_weighted",
+    "flagship_region_revenue", "a1_a2_graph_stats",
+    "p2_point_lookup_by_id", "p3_composite_key_lookup",
+    "p4_in_list_lookup", "j1_out_neighbors", "j2_in_neighbors",
+    "j4_subgraph_sample", "j5_two_hop_pattern", "j7_reachable_closure",
+    "j10_unreachable_parts", "j12_range_join_coverage",
+    "a3_collect_parts_per_order", "f4_unwind_indexed",
+    "a4_ordered_collect", "x2_prefix_table", "m3_bulk_props",
+    "m4_propagate_coverage", "j9_chain_successor",
+    "j11_edge_endpoint_validation", "a5_a6_coverage_ratio",
 ]
 
 

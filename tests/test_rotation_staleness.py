@@ -78,7 +78,8 @@ def test_hard_debt_precedes_fresh_queries(rotation_and_debt):
     every fully-fresh query."""
     order, debt = rotation_and_debt
     pos = {q: i for i, q in enumerate(order)}
-    hard = [q for q, c in debt.items() if c != "dep-changed"]
+    hard = list(debt)  # ALL classes are hard since r8 (ADVICE r8: the
+    # 'dep-changed' filter was dead code — the class no longer exists)
     clean = [q for q in order if q not in debt]
     if not hard or not clean:
         return
@@ -93,16 +94,23 @@ def test_hard_debt_precedes_fresh_queries(rotation_and_debt):
 
 
 def test_never_and_expired_fit_the_rotation_head(rotation_and_debt):
-    """The precisely-known debt classes must sit within the first 60
-    positions (driver budget ~50 + the declared spill block): if they
-    stop fitting, the registry grew faster than the driver can grade —
+    """The precisely-known debt classes must sit within the first
+    observed_driver_cap() + SPILL positions. The head size is COMPUTED
+    from the newest CORRECTNESS file's row count (VERDICT r8 item 7: a
+    hardcoded 60 vs an observed cap of exactly 50 cost r8 its debt
+    target — the 5-row spill block went ungraded). If the debt stops
+    fitting, the registry grew faster than the driver can grade —
     freeze it (VERDICT r6 item 6) and clear the backlog first."""
+    import staleness
+
     order, debt = rotation_and_debt
+    head = staleness.observed_driver_cap() + staleness.SPILL
     pos = {q: i for i, q in enumerate(order)}
     urgent = [q for q, c in debt.items() if c in ("never", "expired")]
-    over = [q for q in urgent if pos[q] >= 60]
+    over = [q for q in urgent if pos[q] >= head]
     assert not over, (
-        f"never/expired queries ordered past the driver budget: "
+        f"never/expired queries ordered past the driver budget "
+        f"(head={head} from the observed cap): "
         f"{[(q, pos[q]) for q in over]}"
     )
 

@@ -59,6 +59,12 @@ STALE_ROUNDS = 5
 # whenever any shared kernel changes)
 _HUB = PKG + "/registry.py"
 _HUB_PLUMBING = {"register", "ORACLE", "QUERIES"}
+# rotation head sizing (VERDICT r8 item 7): the driver grades roughly
+# the first len(CORRECTNESS_rN) rows each round; positions cap..cap+SPILL
+# are the declared spill block — still debt-carrying, graded only if the
+# observed cap moves up. Sized from the LAST observed cap, not a guess.
+SPILL = 5
+_DEFAULT_CAP = 50
 
 
 def _green(row: dict) -> bool:
@@ -74,6 +80,18 @@ def correctness_rounds() -> dict[int, dict]:
         if m:
             out[int(m.group(1))] = json.load(open(f))
     return out
+
+
+def observed_driver_cap() -> int:
+    """Row count of the newest CORRECTNESS_r*.json — the driver's
+    empirically-observed per-round grading budget (r8: exactly 50). The
+    rotation head the gate asserts against is THIS number, so 'debt fits
+    the budget' arithmetic is mechanical instead of a hardcoded 60
+    (VERDICT r8 item 7: the 5-row spill gamble cost r8 its target)."""
+    rounds = correctness_rounds()
+    if not rounds:
+        return _DEFAULT_CAP
+    return len(rounds[max(rounds)]) or _DEFAULT_CAP
 
 
 def freshest_green() -> tuple[dict[str, int], int]:
@@ -141,6 +159,31 @@ def import_closure(relpath: str) -> frozenset[str]:
         seen.add(p)
         stack.extend(_module_imports(p))
     return frozenset(seen)
+
+
+@functools.lru_cache(maxsize=None)
+def _dirty_files() -> frozenset[str]:
+    """Files with uncommitted working-tree edits. A dirty file's
+    last-commit timestamp says nothing about its CURRENT text, so the
+    timestamp short-circuits below must not apply to it (ADVICE r8:
+    dirty edits to a file last committed before the boundary were
+    classified 'untouched since green' and never symbol-diffed)."""
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        ).stdout
+    except Exception:
+        return frozenset()
+    files: set[str] = set()
+    for line in out.splitlines():
+        path = line[3:].strip()
+        if " -> " in path:  # rename: both sides moved
+            a, b = path.split(" -> ", 1)
+            files.update((a.strip('"'), b.strip('"')))
+        else:
+            files.add(path.strip('"'))
+    return frozenset(files)
 
 
 @functools.lru_cache(maxsize=None)
@@ -377,7 +420,11 @@ def _dep_impacted(
 
     def changed_in(f: str) -> frozenset[str] | None:
         if f not in changed_cache:
-            if _last_commit_ts(f) <= boundary_ts:
+            # the commit-timestamp short-circuit only applies to CLEAN
+            # files: _changed_symbols diffs the working tree vs the
+            # boundary, so a dirty file must be diffed regardless of
+            # when it was last committed (ADVICE r8)
+            if _last_commit_ts(f) <= boundary_ts and f not in _dirty_files():
                 changed_cache[f] = frozenset()  # file untouched since green
             else:
                 changed_cache[f] = _changed_symbols(f, commit)
@@ -477,18 +524,18 @@ def debt(queries: dict) -> dict[str, str]:
         qf = query_file(fn)
         if not os.path.exists(os.path.join(REPO, qf)):
             continue
+        closure = import_closure(qf)
         closure_moved = max(
-            (_last_commit_ts(p) for p in import_closure(qf)), default=0
-        ) > boundary
+            (_last_commit_ts(p) for p in closure), default=0
+        ) > boundary or any(p in _dirty_files() for p in closure)
         if not closure_moved:
             continue
         if rnd not in commits:
             out[name] = "changed"  # no boundary commit: can't adjudicate
             continue
         sym = getattr(fn, "__name__", "")
-        own = _changed_symbols(qf, commits[rnd]) if _last_commit_ts(
-            qf
-        ) > boundary else frozenset()
+        own_moved = _last_commit_ts(qf) > boundary or qf in _dirty_files()
+        own = _changed_symbols(qf, commits[rnd]) if own_moved else frozenset()
         if own is None or sym in own:
             out[name] = "changed"
             continue
@@ -503,9 +550,11 @@ def debt(queries: dict) -> dict[str, str]:
 def emit_priority(queries: dict, d: dict[str, str], fresh: dict[str, int]) -> str:
     """Render a ready-to-paste _PRIORITY body from the audit: never,
     then expired (oldest green first), then changed, then dep-impact,
-    then the cleared/fresh remainder in current rotation order. The
-    builder still owns the judgment calls (spill block choice, etc.) —
-    this is the mechanical starting point."""
+    then the cleared/fresh remainder OLDEST GREEN FIRST — so the spill
+    block (positions cap..cap+SPILL) is automatically the evidence
+    that expires next round, and driver overflow always refreshes the
+    soonest-to-expire rows. Nothing left for the builder to hand-pick
+    (VERDICT r8 item 7)."""
     order = list(queries)
 
     def block(cls):
@@ -514,12 +563,15 @@ def emit_priority(queries: dict, d: dict[str, str], fresh: dict[str, int]) -> st
             members.sort(key=lambda q: (fresh.get(q, 0), order.index(q)))
         return members
 
+    cleared = [q for q in order if q not in d]
+    cleared.sort(key=lambda q: (fresh.get(q, 10**9), order.index(q)))
     segments = [
         ("never graded", block("never")),
         ("expired, oldest green first", block("expired")),
         ("changed: own symbol differs since green round", block("changed")),
         ("dep-impact: reachable symbol changed", block("dep-impact")),
-        ("cleared / fresh", [q for q in order if q not in d]),
+        ("cleared / fresh, oldest green first (head = next round's spill)",
+         cleared),
     ]
     lines = []
     for title, members in segments:
