@@ -773,14 +773,27 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                     # a LOCAL record's positional header (`record Pair(int
                     # a, int b)`) is a declaration, not an invocation
                     continue
-                if pre.endswith("instanceof"):
+                if pre.endswith("instanceof") or (is_cs and pre.endswith(" is")):
                     # Java 21 record pattern in instanceof (`s instanceof
-                    # Point(int x, int y)`): a record_pattern; its
-                    # argument span holds sub-patterns, not calls
+                    # Point(int x, int y)`) / C# positional pattern in an
+                    # `is` expression (`c.Center is Point(0, 0)`): pattern
+                    # nodes; their argument spans hold sub-patterns, not
+                    # calls
                     pclose = _find_paren_close(body, cm.end() - 1)
                     if pclose is not None:
                         dead_end = max(dead_end, pclose)
                     continue
+                # a `when` guard between the last clause boundary and this
+                # match means we are inside a guard EXPRESSION (Java 21
+                # `case Point p when check(p) ->` / C# `Circle c when
+                # Valid(c) =>`): tree-sitter parses these as genuine
+                # method_invocation / invocation_expression nodes and the
+                # reference captures them (java/analyzer.py:87,
+                # csharp/analyzer.py:95) — exempt them from the
+                # declaration-header rule below (ADVICE r8)
+                in_guard = re.search(
+                    r"\bwhen\b", re.split(r"[;{},]", pre)[-1]
+                ) is not None
                 # a matched "name(" whose argument list is followed by a
                 # block or an arrow is a DECLARATION header, not an
                 # invocation: C# local functions (`int Local(int k) {` /
@@ -790,8 +803,21 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                 # invocation statements are followed by an operator, `;`,
                 # `)` or `,` — never directly by `{` or `=>`.
                 pclose = _find_paren_close(body, cm.end() - 1)
-                if pclose is not None:
+                if pclose is not None and not in_guard:
                     nxt = _next_nonspace(body, pclose + 1)
+                    # a paren span directly followed by the `when` keyword
+                    # is a GUARDED pattern header (`case Box(Point(int a,
+                    # int b), int w) when valid(w) ->`): record/positional
+                    # pattern, sub-patterns inside, never a call — no
+                    # valid Java/C# invocation is followed by a bare
+                    # identifier
+                    if (
+                        nxt is not None
+                        and body[nxt: nxt + 4] == "when"
+                        and not re.match(r"\w", body[nxt + 4: nxt + 5] or " ")
+                    ):
+                        dead_end = max(dead_end, pclose)
+                        continue
                     if nxt is not None and (
                         body[nxt] == "{" or body[nxt: nxt + 2] == "=>"
                     ):

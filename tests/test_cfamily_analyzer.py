@@ -1289,3 +1289,187 @@ def test_c_preprocessor_directives_are_not_entities():
     # MAX and twice are genuine call_expressions in main; helper lives
     # only in macro replacement text (directive line) — not a call
     assert calls == ["MAX", "twice"]
+
+
+def test_java_switch_when_guard_calls_are_captured():
+    """Java 21 guarded patterns: `case Point p when check(p) -> ...` —
+    the guard is an EXPRESSION, so check(p) is a genuine
+    method_invocation the reference captures (java/analyzer.py:87).
+    The declaration-header rule (call followed by `->`) must not
+    dead-span it (ADVICE r8)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class Guards {\n"
+        "    String label(Object s) {\n"
+        "        return switch (s) {\n"
+        "            case Point p when check(p) -> describe(p);\n"
+        "            case Box(Point(int a, int b), int w) when valid(w) -> big(w);\n"
+        "            default -> fallback();\n"
+        "        };\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("G.java", java)
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    assert calls == ["big", "check", "describe", "fallback", "valid"]
+
+
+def test_csharp_switch_when_guard_calls_are_captured():
+    """C# `Circle c when Valid(c) => ...` guard invocations are
+    invocation_expression nodes (reference csharp/analyzer.py:95); the
+    `=>` declaration-header rule must exempt matches after a `when`
+    token (ADVICE r8). A positional pattern inside the guard's `is`
+    expression stays a pattern, not a call."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "class Guards {\n"
+        "    string Label(object s) => s switch {\n"
+        "        Circle c when Valid(c) => Describe(c),\n"
+        "        Square q when q.Center is Point(0, 0) => Origin(q),\n"
+        "        _ => Fallback(),\n"
+        "    };\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("G.cs", cs)
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    assert calls == ["Describe", "Fallback", "Origin", "Valid"]
+
+
+def test_java_anonymous_inner_class_methods_are_entities():
+    """Anonymous inner class bodies (`new Runnable() { ... }`) contain
+    genuine method_declaration nodes, so the reference captures them as
+    Method entities (java/analyzer.py:66 lists method_declaration with
+    no enclosing-context restriction) — in statement AND field-
+    initializer position. The `new X(...) {` header itself is object
+    creation, never a call or entity."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class Outer {\n"
+        "    Runnable fieldInit = new Runnable() {\n"
+        "        public void run() { fromField(); }\n"
+        "    };\n"
+        "    void setup() {\n"
+        "        Runnable r = new Handler(cfg) {\n"
+        "            public void run() { helper(); }\n"
+        "        };\n"
+        "        r.run();\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("A.java", java)
+    methods = sorted(r[2] for r in rows if r[0] == "entity" and r[1] == "Method")
+    assert methods == ["run", "run", "setup"]
+    by_owner = {}
+    for r in rows:
+        if r[0] == "call":
+            by_owner.setdefault(r[2], set()).add(r[9])
+    # each anonymous run() owns its body's call (both share the name, so
+    # the owner map merges them); setup also sees helper (the anon node
+    # nests inside setup's span — the reference's per-entity query over
+    # setup's method node captures it too)
+    assert by_owner["run"] == {"fromField", "helper"}
+    assert "helper" in by_owner["setup"] and "run" in by_owner["setup"]
+    assert "Handler" not in {c for v in by_owner.values() for c in v}
+
+
+def test_java_enum_constant_bodies_methods_are_entities():
+    """Enum constants with class bodies (`PLUS { int apply() {...} }`)
+    hold method_declaration nodes — entities per the reference's type
+    list; the constant itself is not an entity or a call."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "enum Op {\n"
+        "    PLUS { int apply(int a) { return add(a); } },\n"
+        "    MINUS { int apply(int a) { return sub(a); } },\n"
+        "    NOP;\n"
+        "    int base() { return zero(); }\n"
+        "}\n"
+    )
+    rows = parse_java_source("Op.java", java)
+    assert {r[2] for r in rows if r[0] == "entity" and r[1] == "Enum"} == {"Op"}
+    methods = sorted(r[2] for r in rows if r[0] == "entity" and r[1] == "Method")
+    assert methods == ["apply", "apply", "base"]
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"add", "sub", "zero"}
+
+
+def test_java_annotation_type_is_not_an_entity():
+    """`@interface Marker` is an annotation_type_declaration — ABSENT
+    from the reference's entity-type list (java/analyzer.py:66), so no
+    entity; its element declarations (`String value();`) are
+    annotation_type_element_declaration nodes, never methods or calls."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "@interface Marker {\n"
+        "    String value();\n"
+        "    int priority() default 0;\n"
+        "}\n"
+        "class Uses { void go() { act(); } }\n"
+    )
+    rows = parse_java_source("M.java", java)
+    names = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert names == {("Class", "Uses"), ("Method", "go")}
+    assert {r[9] for r in rows if r[0] == "call"} == {"act"}
+
+
+def test_java_initializer_blocks_match_reference_call_scope():
+    """static/instance initializer blocks are static_initializer/block
+    nodes — not entities, and the reference's call query runs ONLY over
+    method/constructor entities (java/analyzer.py:86-91), so calls
+    inside initializer blocks are captured by NEITHER side. Pin the
+    agreed absence, and that the blocks don't corrupt neighbors."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class Boot {\n"
+        "    static { init(); }\n"
+        "    { instanceInit(); }\n"
+        "    Boot() { seed(); }\n"
+        "    void after() { work(); }\n"
+        "}\n"
+    )
+    rows = parse_java_source("B.java", java)
+    kinds = sorted((r[1], r[2]) for r in rows if r[0] == "entity")
+    assert kinds == [("Class", "Boot"), ("Constructor", "Boot"), ("Method", "after")]
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"seed", "work"}  # init/instanceInit: out of scope both sides
+
+
+def test_csharp_indexer_operator_conversion_event_not_entities():
+    """C# indexers, operator overloads, conversion operators, events and
+    finalizers are indexer_/operator_/conversion_operator_/event_/
+    destructor_declaration nodes — none in the reference's entity list
+    (csharp/analyzer.py:69-71), and its call query runs only over
+    method/constructor entities (csharp/analyzer.py:94-97), so their
+    body invocations are captured by neither side. They must not emit
+    spurious entities or corrupt the surrounding class scan."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "class Vec {\n"
+        "    public int this[int i] { get => Fetch(i); set { Store(i, value); } }\n"
+        "    public static Vec operator +(Vec a, Vec b) { return Combine(a, b); }\n"
+        "    public static implicit operator double(Vec v) => Norm(v);\n"
+        "    public event EventHandler Changed {\n"
+        "        add { Register(value); }\n"
+        "        remove { Unregister(value); }\n"
+        "    }\n"
+        "    ~Vec() { Cleanup(); }\n"
+        "    static Vec() { Boot(); }\n"
+        "    public double Len() { return Math.Sqrt(Dot(this)); }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("V.cs", cs)
+    ents = sorted((r[1], r[2]) for r in rows if r[0] == "entity")
+    assert ents == [("Class", "Vec"), ("Constructor", "Vec"), ("Method", "Len")]
+    by_owner = {}
+    for r in rows:
+        if r[0] == "call":
+            by_owner.setdefault(r[2], set()).add(r[9])
+    assert by_owner.get("Len") == {"Sqrt", "Dot"}
+    assert by_owner.get("Vec") == {"Boot"}  # static ctor is a constructor
