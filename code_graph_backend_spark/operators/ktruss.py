@@ -151,7 +151,12 @@ def ktruss_edges(
     if und_cached(spark, edges).count() <= cap:
         arr = und_arrays(spark, edges)
         return _local_rounds(spark, zip(arr["a"], arr["b"]), need, rounds)
-    cur = scratch_persist(undirected_edges(edges))
+    from .undirected import und_ab
+
+    # the session-memoized und table (materialized by the gate count)
+    # is round 1's survivor set — later rounds re-persist their own
+    # shrinking survivor tables below
+    cur = und_ab(spark, edges)
     sup = scratch_persist(_edge_support(cur).filter(F.col("support") >= need))
     if rounds > 1:
         n = sup.count()

@@ -141,11 +141,14 @@ def triangle_count_per_node(
     spark = edges.sparkSession
     if und_cached(spark, edges).count() <= cap:
         return _triangles_local(spark, edges)
-    # und feeds the degree agg (twice) and the orientation join;
-    # oriented feeds both wedge sides and the closing list — without the
-    # persists Catalyst re-evaluates the whole upstream (including the
-    # caller's edge derivation) once per consumer
-    und = scratch_persist(undirected_edges(edges))
+    # und feeds the degree agg (twice) and the orientation join; the
+    # session-memoized und_cached table (already materialized by the
+    # gate count above) backs it, so every kernel sharing this edges
+    # object shares ONE distinct — oriented below still needs its own
+    # persist (both wedge sides + the closing list)
+    from .undirected import und_ab
+
+    und = und_ab(spark, edges)
     # degree per endpoint
     deg = (
         und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b").alias("v")))
@@ -300,7 +303,9 @@ def jaccard_neighbors(
     cap = _LOCAL_E_CAP if local_caps is None else local_caps
     if und_cached(spark, edges).count() <= cap:
         return _jaccard_local(spark, edges, min_common)
-    und = scratch_persist(undirected_edges(edges))
+    from .undirected import und_ab
+
+    und = und_ab(spark, edges)
     # adj feeds the degree agg and BOTH wedge sides — persist or the
     # caller's edge derivation re-runs once per consumer
     adj = scratch_persist(und.unionAll(

@@ -281,11 +281,14 @@ def graph_edge_embeddedness_q(spark, sf_dir):
     Shape: one wedge equi-join per edge side (the triangle kernel's
     join pattern, skew-bounded by the support prune), a degree hash-agg
     broadcast back, no cartesian anywhere. Integer counts only."""
+    from .operators.undirected import und_ab
     from .registry_ext5 import _cooc_edges
-    from .operators.triangles import undirected_edges
     from .scratch import scratch_persist
 
-    und = scratch_persist(undirected_edges(_cooc_edges(spark, sf_dir)))
+    # session-memoized und-of-cooc (VERDICT r8 item 3): shared with the
+    # triangle/jaccard/ktruss family, so this query's cost no longer
+    # depends on where the rotation placed it relative to them
+    und = und_ab(spark, _cooc_edges(spark, sf_dir))
     sym = scratch_persist(
         und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
