@@ -1473,3 +1473,47 @@ def test_csharp_indexer_operator_conversion_event_not_entities():
             by_owner.setdefault(r[2], set()).add(r[9])
     assert by_owner.get("Len") == {"Sqrt", "Dot"}
     assert by_owner.get("Vec") == {"Boot"}  # static ctor is a constructor
+
+
+_GUARD_FRAGMENTS = st.lists(
+    st.sampled_from([
+        "case Point p when check(p) -> use(p);\n",
+        "case Box(Point(int a, int b), int w) when valid(w) -> big(w);\n",
+        "case Circle c -> circleArea(c);\n",
+        "default -> fallback();\n",
+        "Circle c when Valid(c) => Describe(c),\n",
+        "Square q when q.Center is Point(0, 0) => Origin(q),\n",
+        "_ => Fallback(),\n",
+        "when(x);\n",  # a method literally NAMED when stays a call
+        "int Local(int k) { return k; }\n",
+        "var r = new Handler(cfg) { };\n",
+    ]),
+    min_size=0, max_size=6,
+)
+
+
+@given(_GUARD_FRAGMENTS)
+@settings(max_examples=40, deadline=None)
+def test_scanner_guard_fragments_total_and_keyword_free(frags):
+    """Structured fuzz over guard/pattern arm fragments in arbitrary
+    order (syntactically nonsensical mixes included): the scanner never
+    raises, never reports a language keyword as a callee, and never
+    reports the pattern TYPE names (Point/Box head positions are
+    patterns or object creation, except Point-in-guard which is a
+    legitimate C# `is`-pattern exclusion)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import (
+        parse_csharp_source,
+        parse_java_source,
+    )
+
+    body = "".join(frags)
+    java = "class F {\n    Object m(Object s) {\n        return switch (s) {\n" \
+        + body + "        };\n    }\n}\n"
+    cs = "class F {\n    object M(object s) => s switch {\n" + body + "    };\n}\n"
+    for fn, name, src in ((parse_java_source, "f.java", java),
+                          (parse_csharp_source, "f.cs", cs)):
+        rows = fn(name, src)
+        callees = {r[9] for r in rows if r[0] == "call"}
+        assert "switch" not in callees and "case" not in callees
+        assert "Handler" not in callees  # object creation
+        assert "Box" not in callees      # guarded record pattern head
