@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..scratch import scratch_persist
-from .triangles import undirected_edges
 
 
 def _edge_support(und: DataFrame) -> DataFrame:
