@@ -171,3 +171,27 @@ def test_landmarks_distributed_is_chosen_and_matches_local(big_graph):
     print(f"\n[scale] landmarks distributed={t_dist:.1f}s "
           f"local-twin={t_loc:.1f}s")
     assert dist == loc
+
+
+def test_stress_distributed_is_chosen_and_matches_local(big_graph):
+    """landmark_stress (graph_stress_centrality's kernel) is the fifth
+    and last measured-size family: at 2.2M nodes the default caps
+    (stress._LOCAL_N_CAP = 2M) choose the distributed sigma-counting
+    BFS naturally; the vectorized local twin must be bit-equal."""
+    from code_graph_backend_spark.operators import stress as S
+
+    spark, g = big_graph
+    assert g.nodes.count() > S._LOCAL_N_CAP
+    t0 = time.time()
+    dist = _checksum(S.landmark_stress(g.nodes, g.edges,
+                                       n_landmarks=8, hops=2,
+                                       landmark_by="id"))
+    t_dist = time.time() - t0
+    t0 = time.time()
+    loc = _checksum(S._stress_local(g.nodes, g.edges,
+                                    n_landmarks=8, hops=2,
+                                    landmark_by="id"))
+    t_loc = time.time() - t0
+    print(f"\n[scale] stress distributed={t_dist:.1f}s "
+          f"local-twin={t_loc:.1f}s")
+    assert dist == loc
