@@ -1517,3 +1517,124 @@ def test_scanner_guard_fragments_total_and_keyword_free(frags):
         assert "switch" not in callees and "case" not in callees
         assert "Handler" not in callees  # object creation
         assert "Box" not in callees      # guarded record pattern head
+
+
+def test_java_interface_default_static_private_methods():
+    """Default, static and private interface methods are all
+    method_declaration nodes — entities with their body calls."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "interface Repo {\n"
+        "    default int size() { return count(); }\n"
+        "    static Repo create() { return make(); }\n"
+        "    private int helper() { return 3; }\n"
+        "}\n"
+    )
+    rows = parse_java_source("R.java", java)
+    methods = sorted(r[2] for r in rows if r[0] == "entity" and r[1] == "Method")
+    assert methods == ["create", "helper", "size"]
+    assert {r[9] for r in rows if r[0] == "call"} == {"count", "make"}
+
+
+def test_java_generic_method_annotations_varargs_synchronized():
+    """Generic type-parameter headers (`<T extends Comparable<T>> T
+    max(...)`), @Override annotations, varargs and synchronized
+    modifiers must not hide the method entity or its calls."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class G {\n"
+        "    <T extends Comparable<T>> T max(java.util.List<T> xs) { return pick(xs); }\n"
+        "    @Override\n"
+        "    public String toString() { return render(); }\n"
+        "    void vararg(int... xs) { use(xs); }\n"
+        "    synchronized void locked() { body(); }\n"
+        "}\n"
+    )
+    rows = parse_java_source("G.java", java)
+    methods = sorted(r[2] for r in rows if r[0] == "entity" and r[1] == "Method")
+    assert methods == ["locked", "max", "toString", "vararg"]
+    assert {r[9] for r in rows if r[0] == "call"} == {
+        "pick", "render", "use", "body"}
+
+
+def test_java_lambda_bodies_and_local_classes():
+    """Calls inside lambda bodies belong to the enclosing method (the
+    reference queries method_invocation over the whole method node);
+    a method-local class is a class_declaration — an entity — and its
+    methods are entities too."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class L {\n"
+        "    void go() {\n"
+        "        Runnable r = () -> ping();\n"
+        "        list.forEach(x -> handle(x));\n"
+        "        java.util.function.Function<Integer,Integer> f ="
+        " y -> { return wrap(y); };\n"
+        "        class Local { void m() { inner(); } }\n"
+        "        new Local().m();\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("L.java", java)
+    classes = sorted(r[2] for r in rows if r[0] == "entity" and r[1] == "Class")
+    assert classes == ["L", "Local"]
+    go_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "go"}
+    assert go_calls == {"ping", "forEach", "handle", "wrap", "inner", "m"}
+    m_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "m"}
+    assert m_calls == {"inner"}
+
+
+def test_csharp_async_generics_constraints_accessors_yield():
+    """async methods, generic methods with `where` constraints, yield
+    generators and Deconstruct(out ...) are method entities with body
+    calls; property accessors (block, auto, expression-bodied) and
+    field-initializer lambdas are NOT captured by either side (no
+    method/constructor entity encloses them — reference
+    csharp/analyzer.py:94-97)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "class G<T> where T : class, new() {\n"
+        "    public async Task<int> FetchAsync(int id) { return await Load(id); }\n"
+        "    public T Pick<U>(List<U> xs) where U : T { return Choose(xs); }\n"
+        "    public int Prop { get { return Calc(); } set { Store(value); } }\n"
+        "    public int Auto { get; set; }\n"
+        "    public int Arrow => Quick();\n"
+        "    private Func<int,int> f = x => Twice(x);\n"
+        "    public IEnumerable<int> Gen() { yield return Next(); }\n"
+        "    public void Deconstruct(out int a, out int b) { a = A(); b = B(); }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("G.cs", cs)
+    methods = sorted(r[2] for r in rows if r[0] == "entity" and r[1] == "Method")
+    assert methods == ["Deconstruct", "FetchAsync", "Gen", "Pick"]
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"Load", "Choose", "Next", "A", "B"}
+    # accessor/field-lambda bodies: agreed absence on both sides
+    assert {"Calc", "Store", "Quick", "Twice"} & calls == set()
+
+
+def test_csharp_lambdas_and_local_functions_attribute_to_method():
+    """Lambda and local-function bodies sit inside the enclosing
+    method_declaration node, so their invocations attribute to it; the
+    local function itself is not an entity but calling it IS a call."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "class L {\n"
+        "    void Go() {\n"
+        "        Action a = () => Ping();\n"
+        "        items.ForEach(x => Handle(x));\n"
+        "        Func<int,int> f = y => { return Wrap(y); };\n"
+        "        int Local(int k) => Fold(k);\n"
+        "        var z = Local(3);\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("L.cs", cs)
+    assert sorted(r[2] for r in rows if r[0] == "entity") == ["Go", "L"]
+    go_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Go"}
+    assert go_calls == {"Ping", "ForEach", "Handle", "Wrap", "Fold", "Local"}
