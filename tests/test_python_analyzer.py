@@ -436,3 +436,48 @@ def test_conditional_reexport_with_renames_and_use_site_alias(spark):
     run_id = by_key[("run", "user.py")]
     run_calls = [d for s, d in calls if s == run_id]
     assert run_calls == [by_key[("fast_encode", "pkg/_fast.py")]]
+
+
+def test_import_module_as_alias_attribute_call(spark):
+    """`import pkg.mod as m` + `m.f()`: the module-alias binding routes
+    the attribute call to the def-site in pkg/mod.py."""
+    files = {
+        "pkg/__init__.py": "",
+        "pkg/mod.py": "def f():\n    return 1\n",
+        "user.py": "import pkg.mod as m\n\ndef run():\n    return m.f()\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = [(r["src"], r["dst"])
+             for r in edges.filter(F.col("type") == "CALLS").collect()]
+    assert calls == [(by_key[("run", "user.py")], by_key[("f", "pkg/mod.py")])]
+
+
+def test_star_import_resolves_to_origin_module(spark):
+    """`from lib import *` + a bare `g()` call resolves to lib.g — the
+    LSP-grade behavior for the common star-import shape."""
+    files = {
+        "lib.py": "def g():\n    return 1\n",
+        "user.py": "from lib import *\n\ndef go():\n    return g()\n",
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = [(r["src"], r["dst"])
+             for r in edges.filter(F.col("type") == "CALLS").collect()]
+    assert calls == [(by_key[("go", "user.py")], by_key[("g", "lib.py")])]
+
+
+def test_self_method_call_resolves_within_class(spark):
+    """`self.b()` inside C.a resolves to the sibling method C.b."""
+    files = {
+        "cls.py": (
+            "class C:\n"
+            "    def a(self):\n        return self.b()\n"
+            "    def b(self):\n        return 2\n"
+        ),
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = [(r["src"], r["dst"])
+             for r in edges.filter(F.col("type") == "CALLS").collect()]
+    assert calls == [(by_key[("a", "cls.py")], by_key[("b", "cls.py")])]
