@@ -67,10 +67,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST, so positions cap..cap+SPILL are automatically the rows whose
 # evidence expires next round (VERDICT r8 item 7: nothing left to
 # hand-pick). Gate: tests/test_rotation_staleness.py. At this close the
-# audit reads: hard debt 54 = 46 expired + 1 changed + 7 dep-impact —
-# the 46+1 oldest fit the 50-row budget exactly; a green r9 run clears
-# every EXPIRED row for the first time. The registry stays FROZEN at
-# 234 (VERDICT r8 item 2). Order:
+# audit reads: hard debt 56 = 46 expired + 1 changed + 9 dep-impact —
+# the 46 expired + changed + the 3 oldest dep-impact fit the 50-row
+# budget; a green r9 run clears every EXPIRED row for the first time.
+# The registry stays FROZEN at 234 (VERDICT r8 item 2). Order:
 # (A) the 46 EXPIRED rows, oldest evidence first — the 5 r3 rows the
 #     r8 cap never reached (p1/j6/m7/dedup_exact/graph_pagerank, all
 #     re-oracled green by the r7/r8 judges), then the r4 block (exact
@@ -78,12 +78,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (B) position 46 = graph_edge_embeddedness ('changed': the r9
 #     substrate-memo fix edited its own symbol — a cap-50 run grades
 #     it right after the fix, closing the one perf-weak item), then
-# (C) the 7 DEP-IMPACT rows at 47-53: kcore/wcc_bounded (r5, shared
+# (C) the 9 DEP-IMPACT rows at 47-55: kcore/wcc_bounded (r5, shared
 #     kernel moved), s2_cfamily_analyzer (r9 grammar tranche), and the
-#     r7-green triangle-family rows the memo fix touched
-#     (clustering_coeff at 50, triangle/ktruss/jaccard in the spill —
-#     all 7 re-verified green at sf0.01 by this round's builder after
-#     the change; spill rows that go ungraded stay visible debt).
+#     r7-green rows the two r9 substrate memos touched (triangle
+#     family + eccentricity/landmark_distances — all re-verified green
+#     at sf0.01 by this round's builder after each change; spill rows
+#     that go ungraded stay visible debt).
 # Then the cleared/fresh rows, oldest green first (the r5 block that
 # expires at r10 heads it).
 _PRIORITY = [
@@ -107,11 +107,12 @@ _PRIORITY = [
     "events_transition_matrix",
     # changed: own symbol differs since green round (1)
     "graph_edge_embeddedness",
-    # dep-impact: reachable symbol changed (7)
+    # dep-impact: reachable symbol changed (9)
     "graph_kcore", "graph_wcc_bounded", "s2_cfamily_analyzer",
     "graph_clustering_coeff", "graph_triangle_count", "graph_ktruss",
-    "graph_jaccard_neighbors",
-    # cleared / fresh, oldest green first (head = next round's spill) (180)
+    "graph_jaccard_neighbors", "graph_eccentricity_bounds",
+    "graph_landmark_distances",
+    # cleared / fresh, oldest green first (head = next round's spill) (178)
     "ann_ivf_exact", "token_budget_select", "emb_hard_negatives",
     "curation_pipeline_v2", "dedup_semantic_clusters",
     "contamination_bloom", "corpus_heavy_hitters", "graph_scc_bounded",
@@ -145,40 +146,39 @@ _PRIORITY = [
     "events_scd2_dimension", "dq_referential_checks",
     "orders_benford_firstdigit", "graph_topological_layers",
     "events_concurrency_profile", "orders_purchase_intervals",
-    "dq_k_anonymity", "graph_eccentricity_bounds",
-    "graph_core_decomposition", "events_window_funnel", "events_slo_burn",
-    "curation_gate_ablation", "dedup_cluster_sizes", "shard_zorder_prune",
-    "supply_risk_single_source", "shard_hash_ring",
+    "dq_k_anonymity", "graph_core_decomposition", "events_window_funnel",
+    "events_slo_burn", "curation_gate_ablation", "dedup_cluster_sizes",
+    "shard_zorder_prune", "supply_risk_single_source", "shard_hash_ring",
     "events_bot_regularity", "events_latency_percentiles",
     "emb_silhouette_proxy", "graph_anf_sketch",
     "graph_resource_allocation", "graph_rich_club", "corpus_ks_lengths",
-    "j13_symbol_resolution", "graph_landmark_distances",
-    "graph_stress_centrality", "graph_random_walks", "walk_skipgram_pairs",
-    "m1_merge_upsert", "m2_merge_edges", "m5_cascade_delete",
-    "m6_edge_prop_update", "m8_switch_commit_derived", "j3_callees",
-    "j8_chain_payloads", "p5_null_predicate", "p6_dynamic_filters",
-    "p7_fixed_projection", "p8_ext_ignore_filters",
-    "o1_commit_list_ordering", "o4_topk_orders", "f2_f5_size_contains",
-    "f3_path_functions", "f6_string_parsing", "f7_json_props",
-    "x3_auto_complete", "asof_prior_click", "contamination_ngram",
-    "corpus_stats", "dedup_clusters", "sample_stratified",
-    "skew_salted_agg", "text_bpe_tokens", "text_char_entropy",
-    "text_rolling_fingerprint", "text_tfidf_topterms", "value_histogram",
-    "w_session_30m", "w_sliding_1h_30m", "w_tumbling_1h",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_lsh_topk", "mm_media_features", "mm_frame_features",
-    "text_token_stats", "text_quality_score", "text_lang_pred",
-    "text_fingerprint", "text_repetition", "text_unigram_logprob",
-    "cypher_frontend_hop", "pii_redact", "stream_click_attribution",
-    "cohort_retention", "graph_sssp_bounded", "graph_degree_histogram",
-    "ann_ivf_indexed_topk", "sample_weighted", "flagship_region_revenue",
-    "a1_a2_graph_stats", "p2_point_lookup_by_id",
-    "p3_composite_key_lookup", "p4_in_list_lookup", "j1_out_neighbors",
-    "j2_in_neighbors", "j4_subgraph_sample", "j5_two_hop_pattern",
-    "j7_reachable_closure", "j10_unreachable_parts",
-    "j12_range_join_coverage", "a3_collect_parts_per_order",
-    "f4_unwind_indexed", "a4_ordered_collect", "x2_prefix_table",
-    "m3_bulk_props", "m4_propagate_coverage", "j9_chain_successor",
+    "j13_symbol_resolution", "graph_stress_centrality",
+    "graph_random_walks", "walk_skipgram_pairs", "m1_merge_upsert",
+    "m2_merge_edges", "m5_cascade_delete", "m6_edge_prop_update",
+    "m8_switch_commit_derived", "j3_callees", "j8_chain_payloads",
+    "p5_null_predicate", "p6_dynamic_filters", "p7_fixed_projection",
+    "p8_ext_ignore_filters", "o1_commit_list_ordering", "o4_topk_orders",
+    "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
+    "f7_json_props", "x3_auto_complete", "asof_prior_click",
+    "contamination_ngram", "corpus_stats", "dedup_clusters",
+    "sample_stratified", "skew_salted_agg", "text_bpe_tokens",
+    "text_char_entropy", "text_rolling_fingerprint", "text_tfidf_topterms",
+    "value_histogram", "w_session_30m", "w_sliding_1h_30m",
+    "w_tumbling_1h", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_lsh_topk", "mm_media_features",
+    "mm_frame_features", "text_token_stats", "text_quality_score",
+    "text_lang_pred", "text_fingerprint", "text_repetition",
+    "text_unigram_logprob", "cypher_frontend_hop", "pii_redact",
+    "stream_click_attribution", "cohort_retention", "graph_sssp_bounded",
+    "graph_degree_histogram", "ann_ivf_indexed_topk", "sample_weighted",
+    "flagship_region_revenue", "a1_a2_graph_stats",
+    "p2_point_lookup_by_id", "p3_composite_key_lookup",
+    "p4_in_list_lookup", "j1_out_neighbors", "j2_in_neighbors",
+    "j4_subgraph_sample", "j5_two_hop_pattern", "j7_reachable_closure",
+    "j10_unreachable_parts", "j12_range_join_coverage",
+    "a3_collect_parts_per_order", "f4_unwind_indexed",
+    "a4_ordered_collect", "x2_prefix_table", "m3_bulk_props",
+    "m4_propagate_coverage", "j9_chain_successor",
     "j11_edge_endpoint_validation", "a5_a6_coverage_ratio",
 ]
 

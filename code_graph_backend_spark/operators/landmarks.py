@@ -36,6 +36,18 @@ from pyspark.sql import functions as F
 _LOCAL_N_CAP = 2_000_000
 _LOCAL_E_CAP = 5_000_000
 
+# Session-scoped result memo, the und_cached / walk-table discipline
+# (VERDICT r8 item 3 applied to the landmark family): three registry
+# queries (graph_landmark_distances, graph_closeness_approx,
+# graph_eccentricity_bounds) consume the identical (nodes, edges, 8, 3)
+# BFS off the resident graph cache, and each was re-running it —
+# which also made their suite cost depend on rotation order. Keyed by
+# object identity of the resident tables; values pin the sources so
+# id() cannot be recycled; oldest-first eviction with unpersist
+# (operators/undirected._evict_oldest rationale).
+_LD_MEMO: dict = {}
+_LD_CAP = 8
+
 
 def landmark_distances(
     nodes: DataFrame,
@@ -47,10 +59,37 @@ def landmark_distances(
     """(landmark, node, dist) for every node within `hops` of a landmark,
     following edge direction (src -> dst). dist = exact hop count
     (min over paths), landmarks = the `n_landmarks` smallest node ids."""
-    from ..scratch import scratch_persist
-
     if local_caps is None:
         local_caps = (_LOCAL_N_CAP, _LOCAL_E_CAP)
+    key = (
+        id(nodes.sparkSession), id(nodes), id(edges),
+        n_landmarks, hops, local_caps,
+    )
+    hit = _LD_MEMO.get(key)
+    if hit is not None:
+        return hit[2]
+    out = _landmark_distances_uncached(
+        nodes, edges, n_landmarks, hops, local_caps
+    ).persist()
+    while len(_LD_MEMO) >= _LD_CAP:
+        _, _, old = _LD_MEMO.pop(next(iter(_LD_MEMO)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _LD_MEMO[key] = ((nodes, edges), key, out)
+    return out
+
+
+def _landmark_distances_uncached(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_landmarks: int,
+    hops: int,
+    local_caps: tuple[int, int],
+) -> DataFrame:
+    from ..scratch import scratch_persist
+
     lms = nodes.select(F.col("id").alias("landmark")).orderBy("landmark").limit(
         n_landmarks
     )
