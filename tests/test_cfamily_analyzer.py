@@ -1638,3 +1638,66 @@ def test_csharp_lambdas_and_local_functions_attribute_to_method():
     assert sorted(r[2] for r in rows if r[0] == "entity") == ["Go", "L"]
     go_calls = {r[9] for r in rows if r[0] == "call" and r[2] == "Go"}
     assert go_calls == {"Ping", "ForEach", "Handle", "Wrap", "Fold", "Local"}
+
+
+def test_java_record_compact_constructor_and_nested_types():
+    """Records with compact constructors, overloaded canonical-delegating
+    constructors, and interface-nested enum/class members. The compact
+    constructor is a DELIBERATE superset of the reference: tree-sitter
+    types it compact_constructor_declaration, which java/analyzer.py:66
+    does not list (the reference silently misses it) — but it is
+    semantically a constructor and its body calls are real, so the
+    scanner captures it. `this(...)` delegation is a keyword, not a
+    call."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "record R(int x, int y) {\n"
+        "    R {\n"
+        "        validate(x);\n"
+        "    }\n"
+        "    R(int x) { this(x, 0); init(x); }\n"
+        "    int mag() { return calc(x, y); }\n"
+        "}\n"
+        "interface Holder {\n"
+        "    enum Kind { A, B }\n"
+        "    class Impl { void go() { run(); } }\n"
+        "}\n"
+    )
+    rows = parse_java_source("R.java", java)
+    ents = sorted((r[1], r[2]) for r in rows if r[0] == "entity")
+    assert ents == [
+        ("Class", "Impl"), ("Class", "R"), ("Constructor", "R"),
+        ("Constructor", "R"), ("Enum", "Kind"), ("Interface", "Holder"),
+        ("Method", "go"), ("Method", "mag"),
+    ]
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"validate", "init", "calc", "run"}
+    assert "this" not in calls
+
+
+def test_csharp_record_bodies_and_nested_types():
+    """C# records with member bodies and delegating constructors;
+    class-nested class and struct members are entities (the reference
+    query matches declaration nodes at any depth)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "record Point(int X, int Y) {\n"
+        "    public int Mag() { return Calc(X, Y); }\n"
+        "    public Point(int x) : this(x, 0) { Init(x); }\n"
+        "}\n"
+        "class Outer {\n"
+        "    class Inner { public void Go() { Run(); } }\n"
+        "    struct SVal { public int M() { return Q(); } }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("P.cs", cs)
+    ents = sorted((r[1], r[2]) for r in rows if r[0] == "entity")
+    assert ents == [
+        ("Class", "Inner"), ("Class", "Outer"), ("Class", "Point"),
+        ("Constructor", "Point"), ("Method", "Go"), ("Method", "M"),
+        ("Method", "Mag"), ("Struct", "SVal"),
+    ]
+    assert {r[9] for r in rows if r[0] == "call"} == {
+        "Calc", "Init", "Run", "Q"}
