@@ -481,3 +481,52 @@ def test_self_method_call_resolves_within_class(spark):
     calls = [(r["src"], r["dst"])
              for r in edges.filter(F.col("type") == "CALLS").collect()]
     assert calls == [(by_key[("a", "cls.py")], by_key[("b", "cls.py")])]
+
+
+def test_nested_function_calls_and_containment_attribution(spark):
+    """Nested defs are DEFINES children of the enclosing function; a
+    call inside the inner function attributes to BOTH inner (its own
+    body) and outer (span containment — the same per-entity scan
+    convention as the c-family analyzers)."""
+    files = {
+        "user.py": (
+            "def outer():\n"
+            "    def inner():\n"
+            "        return leaf()\n"
+            "    return inner()\n\n"
+            "def leaf():\n    return 1\n"
+        ),
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = {(r["src"], r["dst"])
+             for r in edges.filter(F.col("type") == "CALLS").collect()}
+    o, i, l = (by_key[(n, "user.py")] for n in ("outer", "inner", "leaf"))
+    assert calls == {(o, i), (i, l), (o, l)}
+    defines = {(r["src"], r["dst"])
+               for r in edges.filter(F.col("type") == "DEFINES").collect()}
+    assert (o, i) in defines
+
+
+def test_inherited_self_method_resolves_across_files(spark):
+    """`self.hello()` in Child.greet resolves through the EXTENDS edge
+    to Base.hello in another file — LSP-grade member resolution."""
+    files = {
+        "base.py": "class Base:\n    def hello(self):\n        return 1\n",
+        "child.py": (
+            "from base import Base\n\n"
+            "class Child(Base):\n"
+            "    def greet(self):\n"
+            "        return self.hello()\n"
+        ),
+    }
+    nodes, edges = _build(spark, files)
+    by_key = {(r["name"], r["path"]): r["id"] for r in nodes.collect()}
+    calls = [(r["src"], r["dst"])
+             for r in edges.filter(F.col("type") == "CALLS").collect()]
+    assert calls == [(by_key[("greet", "child.py")],
+                      by_key[("hello", "base.py")])]
+    ext = [(r["src"], r["dst"])
+           for r in edges.filter(F.col("type") == "EXTENDS").collect()]
+    assert ext == [(by_key[("Child", "child.py")],
+                    by_key[("Base", "base.py")])]
