@@ -195,3 +195,73 @@ def test_stress_distributed_is_chosen_and_matches_local(big_graph):
     print(f"\n[scale] stress distributed={t_dist:.1f}s "
           f"local-twin={t_loc:.1f}s")
     assert dist == loc
+
+
+def test_dedup_lsh_components_at_500k_docs():
+    """Pressure the DEDUP path at real above-cap size (the r9 extension
+    of the graph-kernel recipe to the pipeline side): 100 one-token-
+    perturbed replicas of every sf0.1 document = 500k docs. The minhash
+    LSH plan (explode -> one hash-agg -> banded equi-join, never
+    all-pairs) must produce ~C(100,2) candidates per replica family
+    (~24.7M pairs), which exceeds components._LOCAL_PAIR_ROWS = 5M, so
+    connected_components chooses its DISTRIBUTED alternating-star
+    branch naturally. Structural ground truth: families of base docs
+    that are LSH-isolated at the 5k base level must each land in
+    EXACTLY one component, unmixed."""
+    from code_graph_backend_spark.functions.dedup import minhash_lsh_candidates
+    from code_graph_backend_spark.operators import components as C
+    from code_graph_backend_spark.session import get_spark, read_table
+
+    spark = get_spark(app_name="scale-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, "/root/testdata/sf0.1", "documents")
+
+    # base-level LSH: which docs are isolated (no candidate partner)?
+    base_cand = minhash_lsh_candidates(docs).collect()
+    paired = {r["i"] for r in base_cand} | {r["j"] for r in base_cand}
+    iso = docs.filter(~F.col("doc_id").isin(list(paired)) if paired
+                      else F.lit(True))
+    # longest isolated docs: one appended token cannot break their
+    # within-family band agreement
+    iso_ids = [r["doc_id"] for r in
+               iso.orderBy(F.desc("n_chars"), "doc_id").limit(100).collect()]
+
+    reps = spark.range(100).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+        F.concat_ws(
+            " ", F.col("text"), F.concat(F.lit("zq"), F.col("rep"))
+        ).alias("text"),
+    )
+    n_docs = big.count()
+    assert n_docs == 100 * docs.count()
+
+    t0 = time.time()
+    cand = minhash_lsh_candidates(big)
+    n_cand = cand.count()
+    t_cand = time.time() - t0
+    # families are ~100-cliques: candidates scale linearly in docs
+    # (#families x C(100,2)), NOT quadratically in the corpus
+    assert n_cand > 1_000_000
+    assert n_cand < 40_000_000
+    assert n_cand > C._LOCAL_PAIR_ROWS  # natural distributed branch
+
+    t0 = time.time()
+    comp = C.connected_components(spark, cand)
+    t_comp = time.time() - t0
+    fam = comp.withColumn("base", (F.col("node") / 100).cast("long")) \
+        .filter(F.col("base").isin(iso_ids))
+    per_fam = fam.groupBy("base").agg(
+        F.countDistinct("component").alias("n_comp"),
+        F.count("*").alias("n_members"),
+    ).collect()
+    assert per_fam, "no isolated families found"
+    for r in per_fam:
+        assert r["n_comp"] == 1, (r["base"], r["n_comp"])
+        assert r["n_members"] == 100, (r["base"], r["n_members"])
+    # no component mixes two isolated families
+    mix = fam.groupBy("component").agg(
+        F.countDistinct("base").alias("nb")).filter(F.col("nb") > 1).count()
+    assert mix == 0
+    print(f"\n[scale] dedup 500k docs: candidates={n_cand:,} in "
+          f"{t_cand:.1f}s, components(distributed)={t_comp:.1f}s")
