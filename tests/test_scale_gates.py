@@ -265,3 +265,72 @@ def test_dedup_lsh_components_at_500k_docs():
     assert mix == 0
     print(f"\n[scale] dedup 500k docs: candidates={n_cand:,} in "
           f"{t_cand:.1f}s, components(distributed)={t_comp:.1f}s")
+
+
+def test_ann_exact_and_ivf_at_200k_vectors():
+    """ANN pillar at 100x corpus: every sf0.1 embedding replicated 100x
+    with a tiny SCALE perturbation (cosine is scale-invariant, so each
+    replica keeps sim 1.0 to its base — an exact structural ground
+    truth). brute_force_topk must return exactly the 100-replica family
+    for each unambiguous query (one GEMM pass per Arrow batch, local
+    top-k, window over nbatches x |Q| x k partials — never a crossJoin);
+    ivf_topk (64 cells, probe 8) must reach >= 0.9 recall against it,
+    since near-identical replicas land in the same inverted list."""
+    from code_graph_backend_spark.functions.similarity import (
+        brute_force_topk, ivf_topk)
+    from code_graph_backend_spark.session import get_spark, read_table
+
+    spark = get_spark(app_name="scale-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_base = emb.count()
+
+    # unambiguous queries: bases whose nearest OTHER base is not a
+    # rounding-level tie at sim ~1.0
+    cand_q = emb.orderBy("vec_id").limit(20).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    # k=2: rank 1 is the query's own base at sim 1.0; the nearest OTHER
+    # base decides ambiguity
+    base_top = brute_force_topk(cand_q, emb, k=2).collect()
+    good = sorted({
+        r["qid"] - 10_000_000 for r in base_top
+        if r["cid"] != r["qid"] - 10_000_000 and r["sim"] < 0.999999
+    } - {
+        r["qid"] - 10_000_000 for r in base_top
+        if r["cid"] != r["qid"] - 10_000_000 and r["sim"] >= 0.999999
+    })[:10]
+    assert len(good) >= 5, "synthetic embeddings too degenerate"
+
+    reps = spark.range(100).select(F.col("id").alias("rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") * 1000 + F.col("rep")).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(x * (1.0d + rep * 1e-7d) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    assert big.count() == 100 * n_base
+
+    qs = emb.filter(F.col("vec_id").isin(good)).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+
+    t0 = time.time()
+    exact = brute_force_topk(qs, big, k=100).collect()
+    t_exact = time.time() - t0
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r["qid"] - 10_000_000, set()).add(r["cid"])
+    for b in good:
+        want = {b * 1000 + r for r in range(100)}
+        assert by_q[b] == want, (b, len(by_q[b] & want))
+
+    t0 = time.time()
+    approx = ivf_topk(qs, big, k=100, n_centroids=64, n_probe=8,
+                      train_sample=10_000)
+    arows = approx.collect()
+    t_ivf = time.time() - t0
+    hits = sum(1 for r in arows
+               if r["cid"] in by_q.get(r["qid"] - 10_000_000, set()))
+    recall = hits / max(1, len(good) * 100)
+    print(f"\n[scale] ann 200k vectors: exact top-100 {t_exact:.1f}s, "
+          f"ivf(64c, probe 8) {t_ivf:.1f}s, recall@100={recall:.3f}")
+    assert recall >= 0.9, recall
