@@ -334,3 +334,63 @@ def test_ann_exact_and_ivf_at_200k_vectors():
     print(f"\n[scale] ann 200k vectors: exact top-100 {t_exact:.1f}s, "
           f"ivf(64c, probe 8) {t_ivf:.1f}s, recall@100={recall:.3f}")
     assert recall >= 0.9, recall
+
+
+def test_packing_sharded_at_500k_docs():
+    """Packing pillar at 100x corpus: pack_sequences_sharded (the 100 TB
+    partition-parallel variant — per-shard cumsum windows instead of the
+    one serial global window) over 500k docs. Invariants checked IN
+    Spark (no driver materialization of the result): exact token
+    conservation, every doc exactly once, every tok_offset within
+    [0, budget). Duality: for one arbitrary shard, the sharded result
+    must equal the GLOBAL packer run on that shard's sub-corpus with
+    seq_ids re-based — the sharded variant is exactly 64 independent
+    global packs."""
+    from code_graph_backend_spark.functions.packing import (
+        pack_sequences, pack_sequences_sharded)
+    from code_graph_backend_spark.session import get_spark, read_table
+
+    spark = get_spark(app_name="scale-pack")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, "/root/testdata/sf0.1", "documents")
+    reps = spark.range(100).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"),
+                    F.concat(F.lit("zq"), F.col("rep"))).alias("text"),
+    )
+    n_docs = big.count()
+    budget, n_shards = 2048, 64
+
+    t0 = time.time()
+    packed = pack_sequences_sharded(
+        big, budget=budget, n_shards=n_shards).persist()
+    row = packed.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.sum("n_tokens").alias("tok"),
+        F.max("tok_offset").alias("maxoff"),
+        F.min("tok_offset").alias("minoff"),
+    ).collect()[0]
+    t_pack = time.time() - t0
+    in_tok = big.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    assert row["n"] == row["nd"] == n_docs
+    assert row["tok"] == in_tok
+    assert 0 <= row["minoff"] and row["maxoff"] < budget
+
+    # exact duality on one shard: sharded == global pack of the shard
+    sh = 7
+    sub = big.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == sh)
+    glob = pack_sequences(sub, budget=budget).select(
+        (F.lit(sh) * F.lit(1 << 40) + F.col("seq_id")).alias("seq_id"),
+        "doc_id", "n_tokens", "tok_offset")
+    shard_rows = packed.filter(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)) == sh)
+    diff = shard_rows.exceptAll(glob).count() + glob.exceptAll(
+        shard_rows).count()
+    assert diff == 0
+    packed.unpersist()
+    print(f"\n[scale] packing 500k docs: sharded cumsum+checks "
+          f"{t_pack:.1f}s over {in_tok:,} tokens, shard-7 duality exact")
