@@ -21,6 +21,7 @@ BENCH_NOTES.md ("Round 8: gate pressure-test above sf0.1").
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from types import SimpleNamespace
@@ -394,3 +395,82 @@ def test_packing_sharded_at_500k_docs():
     packed.unpersist()
     print(f"\n[scale] packing 500k docs: sharded cumsum+checks "
           f"{t_pack:.1f}s over {in_tok:,} tokens, shard-7 duality exact")
+
+
+def test_streaming_state_bounded_by_watermark_at_2m_events():
+    """Streaming pillar: 'watermark-bounded state' is the standing 100 TB
+    claim for the windowed family — prove it empirically. 2M events
+    spanning 200 hours of event time (20 event types) flow through the
+    tumbling 1h aggregation under a 2h watermark in 20 time-ordered
+    micro-batches. Total distinct (window, type) groups ~4000; if the
+    watermark evicts, the state store's numRowsTotal stays at the
+    open-window working set (~tens), never growing with the stream."""
+    import datetime as dt
+    import tempfile
+
+    from code_graph_backend_spark.session import get_spark
+    from code_graph_backend_spark.streaming import windows as W
+
+    spark = get_spark(app_name="scale-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scale_stream_")
+    data_dir, ckpt = tmp + "/ev", tmp + "/ckpt"
+
+    n, hours, types = 2_000_000, 200, 20
+    per_chunk = n // 40
+    base = int(dt.datetime(2026, 1, 1).timestamp())
+    ev = spark.range(n).select(
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("id") * (hours * 3600) / n).cast("long")
+        ).alias("ts"),
+        F.concat(F.lit("t"), (F.col("id") % types)).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        (F.col("id") % 1000).alias("user_id"),
+    )
+    t0 = time.time()
+    for c in range(40):  # sequential appends => modTime-ordered files
+        ev.filter(
+            (F.col("user_id") >= 0)  # keep the plan trivially valid
+            & (F.col("ts") >= F.timestamp_seconds(
+                F.lit(base + c * per_chunk * hours * 3600 // n)))
+            & (F.col("ts") < F.timestamp_seconds(
+                F.lit(base + (c + 1) * per_chunk * hours * 3600 // n)))
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+    t_write = time.time() - t0
+
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(data_dir)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        W.tumbling(stream, "1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scale_state")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.time()
+    q.processAllAvailable()
+    t_stream = time.time() - t0
+    max_state = max(
+        (p["stateOperators"][0]["numRowsTotal"]
+         for p in (json.loads(x.json) for x in q.recentProgress)
+         if p.get("stateOperators")),
+        default=0,
+    )
+    closed = spark.sql(
+        "select count(*) n, sum(n_events) s from scale_state").collect()[0]
+    q.stop()
+    # eviction: the state never approaches the ~4000 total groups
+    assert 0 < max_state < 1500, max_state
+    # ~all windows finalized (the last watermark-open hours may be held)
+    assert closed["n"] > 3800, closed["n"]
+    assert closed["s"] > 1_900_000
+    print(f"\n[scale] streaming 2M events/200h: write {t_write:.1f}s, "
+          f"stream {t_stream:.1f}s over ~20 micro-batches, "
+          f"max state rows={max_state} (total groups ~4000), "
+          f"finalized windows={closed['n']}")
