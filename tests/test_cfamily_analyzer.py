@@ -1701,3 +1701,86 @@ def test_csharp_record_bodies_and_nested_types():
     ]
     assert {r[9] for r in rows if r[0] == "call"} == {
         "Calc", "Init", "Run", "Q"}
+
+
+def test_java_annotation_arguments_are_not_calls():
+    """Annotation argument lists — even with nested parenthesized
+    elements — are annotation nodes in tree-sitter, never
+    method_invocations; the body's genuine call survives."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class A {\n"
+        "    @Deprecated(since = \"1.2\", forRemoval = true)\n"
+        "    @SuppressWarnings(value(\"unchecked\"))\n"
+        "    void m() { real(); }\n"
+        "}\n"
+    )
+    rows = parse_java_source("A.java", java)
+    assert {r[9] for r in rows if r[0] == "call"} == {"real"}
+    assert [r[2] for r in rows if r[0] == "entity" and r[1] == "Method"] == ["m"]
+
+
+def test_csharp_attribute_arguments_are_not_calls():
+    """C# attribute lists (positional, named, ExpectedResult=...) are
+    attribute nodes, never invocation_expressions."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "class B {\n"
+        "    [Obsolete(\"use N\", error: false)]\n"
+        "    [TestCase(1, 2, ExpectedResult = 3)]\n"
+        "    public int M(int a, int b) { return Add(a, b); }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("B.cs", cs)
+    assert {r[9] for r in rows if r[0] == "call"} == {"Add"}
+
+
+def test_java_try_with_resources_and_switch_yield_calls():
+    """Resource-spec initializers, catch/finally bodies, and yield
+    expressions in switch arms are all genuine invocations."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class T {\n"
+        "    int m(String s) {\n"
+        "        try (var r = open(); var w = wrap(r)) {\n"
+        "            use(r);\n"
+        "        } catch (Exception e) {\n"
+        "            log(e);\n"
+        "        } finally {\n"
+        "            close();\n"
+        "        }\n"
+        "        return switch (s) {\n"
+        "            case \"a\" -> { yield f(); }\n"
+        "            default -> g();\n"
+        "        };\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("T.java", java)
+    assert {r[9] for r in rows if r[0] == "call"} == {
+        "open", "wrap", "use", "log", "close", "f", "g"}
+
+
+def test_csharp_using_lock_foreach_pattern_calls():
+    """using-statement and using-declaration initializers, `is not`
+    pattern statements, foreach sources and lock expressions all keep
+    their genuine invocations."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "class U {\n"
+        "    void M(object o) {\n"
+        "        using (var s = Open()) { Use(s); }\n"
+        "        using var t = Acquire();\n"
+        "        if (o is not string) { Note(); }\n"
+        "        foreach (var x in Items()) { Each(x); }\n"
+        "        lock (Gate()) { Body(); }\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("U.cs", cs)
+    assert {r[9] for r in rows if r[0] == "call"} == {
+        "Open", "Use", "Acquire", "Note", "Items", "Each", "Gate", "Body"}
