@@ -530,3 +530,37 @@ def test_inherited_self_method_resolves_across_files(spark):
            for r in edges.filter(F.col("type") == "EXTENDS").collect()]
     assert ext == [(by_key[("Child", "child.py")],
                     by_key[("Base", "base.py")])]
+
+
+def test_instantiation_classmethod_comprehension_resolution(spark):
+    """One driver function exercising five call shapes: C() resolves to
+    the class node, C.make() to the classmethod, a comprehension body
+    call to its def-site, c.go() through local-variable type inference,
+    and range() to the builtin callable node."""
+    files = {
+        "m.py": (
+            "class C:\n"
+            "    @classmethod\n"
+            "    def make(cls):\n        return 1\n"
+            "    def go(self):\n        return 2\n\n"
+            "def f():\n    return 3\n\n"
+            "def driver():\n"
+            "    c = C()\n"
+            "    a = C.make()\n"
+            "    xs = [f() for _ in range(3)]\n"
+            "    return c.go()\n"
+        ),
+    }
+    nodes, edges = _build(spark, files)
+    by_id = {r["id"]: (r["name"], r["path"]) for r in nodes.collect()}
+    driver_id = next(i for i, (n, p) in by_id.items()
+                     if n == "driver" and p == "m.py")
+    targets = {
+        by_id[r["dst"]]
+        for r in edges.filter(F.col("type") == "CALLS").collect()
+        if r["src"] == driver_id
+    }
+    assert targets == {
+        ("C", "m.py"), ("make", "m.py"), ("f", "m.py"),
+        ("go", "m.py"), ("range", ""),
+    }
