@@ -233,3 +233,37 @@ def test_emit_priority_is_complete_and_debt_ordered(rotation_and_debt):
     clean = [q for q in names if q not in debt]
     if hard and clean:
         assert max(pos[q] for q in hard) < min(pos[q] for q in clean)
+
+
+def test_observed_driver_cap_reads_newest_correctness_file():
+    """The rotation-head size comes from the newest CORRECTNESS file's
+    row count (r8: exactly 50) — the gate's arithmetic must track the
+    driver's real budget, not a constant (VERDICT r8 item 7)."""
+    import staleness
+
+    rounds = staleness.correctness_rounds()
+    if not rounds:
+        pytest.skip("no CORRECTNESS artifacts")
+    assert staleness.observed_driver_cap() == len(rounds[max(rounds)])
+    assert staleness.observed_driver_cap() > 0
+    assert staleness.SPILL == 5
+
+
+def test_emit_priority_orders_cleared_rows_oldest_green_first(rotation_and_debt):
+    """Since r9 the emitter orders the cleared/fresh remainder oldest
+    green first, so the spill block is automatically next round's
+    expiring evidence — pin the monotonicity."""
+    import re
+
+    import staleness as S
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    _, debt = rotation_and_debt
+    fresh, _ = S.freshest_green()
+    body = S.emit_priority(qs, debt, fresh)
+    names = re.findall(r'"([A-Za-z0-9_]+)"', body)
+    cleared = [q for q in names if q not in debt]
+    rounds = [fresh.get(q, 10**9) for q in cleared]
+    assert rounds == sorted(rounds)
