@@ -1784,3 +1784,51 @@ def test_csharp_using_lock_foreach_pattern_calls():
     rows = parse_csharp_source("U.cs", cs)
     assert {r[9] for r in rows if r[0] == "call"} == {
         "Open", "Use", "Acquire", "Note", "Items", "Each", "Gate", "Body"}
+
+
+def test_java_method_references_are_not_calls_but_explicit_generics_are():
+    """Method references (System.out::println, M::new,
+    Integer::parseInt) are method_reference nodes — never
+    method_invocations, so no call rows; explicit generic invocations
+    (Collections.<String>emptyList(), Util.<A,B>convert(x)) ARE
+    invocations and keep their callees."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class M {\n"
+        "    void go() {\n"
+        "        list.forEach(System.out::println);\n"
+        "        Supplier<M> s = M::new;\n"
+        "        Function<String,Integer> f = Integer::parseInt;\n"
+        "        int v = Collections.<String>emptyList().size();\n"
+        "        Util.<Integer,String>convert(1);\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("M.java", java)
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"forEach", "emptyList", "size", "convert"}
+    assert not {"println", "parseInt", "new"} & calls
+
+
+def test_csharp_delegate_refs_generic_calls_and_interpolation_holes():
+    """Bare delegate references (Func<int> d = Fetch) are not calls;
+    explicit generic invocations (Tuple.Create<int,string>(...)) are;
+    calls inside interpolated-string holes are genuine
+    invocation_expressions."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "class N {\n"
+        "    void Go() {\n"
+        "        Func<int> d = Fetch;\n"
+        "        var t = Tuple.Create<int, string>(1, \"a\");\n"
+        "        var y = (int)Cast();\n"
+        "        string s = $\"v={Val(1)} w={W}\";\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("N.cs", cs)
+    calls = {r[9] for r in rows if r[0] == "call"}
+    assert calls == {"Create", "Cast", "Val"}
+    assert "Fetch" not in calls
