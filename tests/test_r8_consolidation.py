@@ -47,3 +47,22 @@ def test_twin_is_discoverable_on_the_callable():
     qs, twins = e.queries(), e.oracle_twins()
     for q, twin in twins.items():
         assert getattr(qs[q], "oracle_twin", None) == twin
+
+
+def test_oracle_coverage_is_total_modulo_twin_waivers():
+    """Driver-contract completeness (pure, no Spark): every queries()
+    key has an oracle_sql() entry EXCEPT the approximate-by-design
+    families, each of which must carry an oracle_twins() waiver; and
+    every oracle_sql / oracle_twins key names a registered query."""
+    import __spark_entry__ as e
+
+    qs = set(e.queries())
+    oracles = set(e.oracle_sql())
+    twins = e.oracle_twins()
+    assert oracles <= qs, oracles - qs
+    assert set(twins) <= qs, set(twins) - qs
+    uncovered = qs - oracles - set(twins)
+    assert not uncovered, f"queries with neither oracle nor twin: {uncovered}"
+    # waived queries must not ALSO claim an oracle (the waiver would be
+    # dead paper)
+    assert not (set(twins) & oracles), set(twins) & oracles
