@@ -1832,3 +1832,42 @@ def test_csharp_delegate_refs_generic_calls_and_interpolation_holes():
     calls = {r[9] for r in rows if r[0] == "call"}
     assert calls == {"Create", "Cast", "Val"}
     assert "Fetch" not in calls
+
+
+def test_generic_inheritance_symbols_strip_type_arguments():
+    """extends/implements symbol rows carry the bare type identifier
+    (B, D, E) with generics and bounded wildcards stripped — the
+    reference's (type_identifier) captures exactly the name node
+    (java/analyzer.py:70-79); C# base lists likewise."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import (
+        parse_csharp_source,
+        parse_java_source,
+    )
+
+    java = (
+        "class A extends B<? extends C> implements D<String>, E {\n"
+        "    void m() { f(); }\n"
+        "}\n"
+        "interface F2 extends G, H<Integer> { }\n"
+    )
+    rows = parse_java_source("A.java", java)
+    sym = sorted((r[0], r[2], r[9]) for r in rows
+                 if r[0] in ("extends", "implements"))
+    assert sym == [
+        ("extends", "A", "B"), ("extends", "F2", "G"),
+        ("extends", "F2", "H"), ("implements", "A", "D"),
+        ("implements", "A", "E"),
+    ]
+
+    cs = (
+        "class A : B<int>, IC, ID<string> {\n"
+        "    public void M() { F(); }\n"
+        "}\n"
+    )
+    crows = parse_csharp_source("A.cs", cs)
+    csym = sorted((r[0], r[2], r[9]) for r in crows
+                  if r[0] in ("cs_base", "implements"))
+    assert csym == [
+        ("cs_base", "A", "B"), ("implements", "A", "IC"),
+        ("implements", "A", "ID"),
+    ]
