@@ -1871,3 +1871,40 @@ def test_generic_inheritance_symbols_strip_type_arguments():
         ("cs_base", "A", "B"), ("implements", "A", "IC"),
         ("implements", "A", "ID"),
     ]
+
+
+def test_c_function_pointers_macros_and_initializer_calls():
+    """C scanner: struct + function entities only (the reference's
+    (commented) C analyzer lists struct_specifier/function_definition,
+    c/analyzer.py:41-42); function-pointer invocations h(v), macro
+    invocations CALL(2) and struct-initializer calls are all
+    call_expression nodes; &helper is an address-of, not a call;
+    typedefs are not entities."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_c_source
+
+    c = (
+        "#define CALL(x) run(x)\n"
+        "typedef int (*handler_t)(int);\n"
+        "struct point { int x; int y; };\n"
+        "static int helper(int a) { return a + 1; }\n"
+        "int apply(handler_t h, int v) {\n"
+        "    int r = h(v);\n"
+        "    return helper(r) + CALL(2);\n"
+        "}\n"
+        "int main(void) {\n"
+        "    struct point p = { make_x(), make_y() };\n"
+        "    return apply(&helper, p.x);\n"
+        "}\n"
+    )
+    rows = parse_c_source("m.c", c)
+    ents = sorted((r[1], r[2]) for r in rows if r[0] == "entity")
+    assert ents == [
+        ("Function", "apply"), ("Function", "helper"),
+        ("Function", "main"), ("Struct", "point"),
+    ]
+    by_owner = {}
+    for r in rows:
+        if r[0] == "call":
+            by_owner.setdefault(r[2], set()).add(r[9])
+    assert by_owner["apply"] == {"h", "helper", "CALL"}
+    assert by_owner["main"] == {"make_x", "make_y", "apply"}
