@@ -60,59 +60,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Grading-order rotation (the driver caps correctness rows per round;
-# observed cap r8 = 50, read mechanically by tools/staleness.py
-# .observed_driver_cap()). Round 9 is GENERATED verbatim from
-# `python tools/staleness.py --emit-priority` — including the spill:
-# since r9 the emitter orders the cleared/fresh remainder OLDEST GREEN
-# FIRST, so positions cap..cap+SPILL are automatically the rows whose
-# evidence expires next round (VERDICT r8 item 7: nothing left to
-# hand-pick). Gate: tests/test_rotation_staleness.py. At this close the
-# audit reads: hard debt 56 = 46 expired + 1 changed + 9 dep-impact —
-# the 46 expired + changed + the 3 oldest dep-impact fit the 50-row
-# budget; a green r9 run clears every EXPIRED row for the first time.
-# The registry stays FROZEN at 234 (VERDICT r8 item 2). Order:
-# (A) the 46 EXPIRED rows, oldest evidence first — the 5 r3 rows the
-#     r8 cap never reached (p1/j6/m7/dedup_exact/graph_pagerank, all
-#     re-oracled green by the r7/r8 judges), then the r4 block (exact
-#     dedup/ANN twins, BPE, sketches, emb_*, packing, streaming).
-# (B) position 46 = graph_edge_embeddedness ('changed': the r9
-#     substrate-memo fix edited its own symbol — a cap-50 run grades
-#     it right after the fix, closing the one perf-weak item), then
-# (C) the 9 DEP-IMPACT rows at 47-55: kcore/wcc_bounded (r5, shared
-#     kernel moved), s2_cfamily_analyzer (r9 grammar tranche), and the
-#     r7-green rows the two r9 substrate memos touched (triangle
-#     family + eccentricity/landmark_distances — all re-verified green
-#     at sf0.01 by this round's builder after each change; spill rows
-#     that go ungraded stay visible debt).
-# Then the cleared/fresh rows, oldest green first (the r5 block that
-# expires at r10 heads it).
+# observed cap = 50, read mechanically by tools/staleness.py
+# .observed_driver_cap()). Round 10 is GENERATED verbatim from
+# `python tools/staleness.py --emit-priority`: the emitter orders the
+# cleared/fresh remainder OLDEST GREEN FIRST, so positions
+# cap..cap+SPILL are automatically the rows whose evidence expires
+# next round. Gate: tests/test_rotation_staleness.py. At this regen
+# the audit reads: hard debt 46 = 40 expired (the r5 block aging past
+# the 4-round validity window at the r10 boundary) + 6 dep-impact (the
+# r9 spill rows, positions 50-55 of the r9 emit, all six re-oracled
+# green by the r9 judge) + 0 never + 0 changed — the first rotation in
+# project history whose head is pure natural expiry. All 46 fit the
+# 50-row budget with 4 slots of slack for rows this round's own kernel
+# edits re-widen. The registry stays FROZEN at 234: it is AT
+# evidence-budget capacity (234 / 4-round validity ≈ 47 expiring
+# rows/round vs the 50-row cap — VERDICT r9 item 2; the invariant is
+# asserted mechanically in tools/staleness.py and the gate suite).
 _PRIORITY = [
-    # expired, oldest green first (46)
-    "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
-    "dedup_exact", "graph_pagerank", "graph_label_propagation",
-    "ann_pq_topk", "ann_ivf_topk", "dedup_minhash_exact",
-    "dedup_simhash_exact", "dedup_minhash_incremental",
-    "dedup_minhash_clusters", "dedup_substring_spans", "ann_lsh_exact",
-    "bpe_train_merges", "bpe_apply_token_counts", "emb_kmeans_assign",
-    "mm_wav_features", "mm_avi_frames", "boilerplate_stats", "graph_hits",
-    "corpus_vocab_stats", "trending_events", "graph_closeness_approx",
-    "a7_usage_count", "ann_pq_exact", "pack_sequences",
-    "pack_sequences_sharded", "sample_temperature", "bpe_pair_stats",
-    "corpus_distinct_hll", "corpus_hll_merge", "emb_power_iteration",
-    "emb_label_centroids", "emb_similarity_histogram",
-    "quality_percentile", "stream_event_dedup", "corpus_length_deciles",
-    "funnel_conversion", "events_rollup", "events_outliers",
-    "corpus_length_regression", "corpus_lang_pivot",
-    "corpus_train_val_split", "skew_salted_join",
-    "events_transition_matrix",
-    # changed: own symbol differs since green round (1)
-    "graph_edge_embeddedness",
-    # dep-impact: reachable symbol changed (9)
-    "graph_kcore", "graph_wcc_bounded", "s2_cfamily_analyzer",
-    "graph_clustering_coeff", "graph_triangle_count", "graph_ktruss",
-    "graph_jaccard_neighbors", "graph_eccentricity_bounds",
-    "graph_landmark_distances",
-    # cleared / fresh, oldest green first (head = next round's spill) (178)
+    # expired, oldest green first (40)
     "ann_ivf_exact", "token_budget_select", "emb_hard_negatives",
     "curation_pipeline_v2", "dedup_semantic_clusters",
     "contamination_bloom", "corpus_heavy_hitters", "graph_scc_bounded",
@@ -127,11 +92,16 @@ _PRIORITY = [
     "token_ngram_novelty", "corpus_profile", "emb_kcenter_select",
     "events_user_ewma", "graph_assortativity", "emb_int8_calibration",
     "graph_ppr", "chunk_dedup_stats", "corpus_lang_confusion",
-    "vocab_zipf_spectrum", "events_retention_cohorts", "text_readability",
-    "corpus_ccnet_buckets", "emb_matryoshka_overlap",
-    "corpus_source_overlap", "dedup_semdedup", "er_fuzzy_name_pairs",
-    "text_kn_bigram_logprob", "events_trigram_patterns",
-    "text_rake_keywords", "events_outliers_mad",
+    "vocab_zipf_spectrum",
+    # dep-impact: reachable symbol changed (6)
+    "graph_clustering_coeff", "graph_triangle_count", "graph_ktruss",
+    "graph_jaccard_neighbors", "graph_eccentricity_bounds",
+    "graph_landmark_distances",
+    # cleared / fresh, oldest green first (head = next round's spill) (188)
+    "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
+    "emb_matryoshka_overlap", "corpus_source_overlap", "dedup_semdedup",
+    "er_fuzzy_name_pairs", "text_kn_bigram_logprob",
+    "events_trigram_patterns", "text_rake_keywords", "events_outliers_mad",
     "quality_calibration_bins", "events_changepoint", "mm_ppm_features",
     "corpus_cross_entropy_shift", "emb_norm_outliers",
     "source_template_overlap", "events_stickiness", "events_rfm",
@@ -180,6 +150,24 @@ _PRIORITY = [
     "a4_ordered_collect", "x2_prefix_table", "m3_bulk_props",
     "m4_propagate_coverage", "j9_chain_successor",
     "j11_edge_endpoint_validation", "a5_a6_coverage_ratio",
+    "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
+    "dedup_exact", "graph_pagerank", "graph_label_propagation",
+    "ann_pq_topk", "ann_ivf_topk", "dedup_minhash_exact",
+    "dedup_simhash_exact", "dedup_minhash_incremental",
+    "dedup_minhash_clusters", "dedup_substring_spans", "ann_lsh_exact",
+    "bpe_train_merges", "bpe_apply_token_counts", "emb_kmeans_assign",
+    "mm_wav_features", "mm_avi_frames", "boilerplate_stats", "graph_hits",
+    "corpus_vocab_stats", "trending_events", "graph_closeness_approx",
+    "a7_usage_count", "ann_pq_exact", "pack_sequences",
+    "pack_sequences_sharded", "sample_temperature", "bpe_pair_stats",
+    "corpus_distinct_hll", "corpus_hll_merge", "emb_power_iteration",
+    "emb_label_centroids", "emb_similarity_histogram",
+    "quality_percentile", "stream_event_dedup", "corpus_length_deciles",
+    "funnel_conversion", "events_rollup", "events_outliers",
+    "corpus_length_regression", "corpus_lang_pivot",
+    "corpus_train_val_split", "skew_salted_join",
+    "events_transition_matrix", "graph_edge_embeddedness", "graph_kcore",
+    "graph_wcc_bounded", "s2_cfamily_analyzer",
 ]
 
 
