@@ -32,9 +32,58 @@ All three are pure `pyspark.sql.functions` plans (no UDFs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def two_level_prefix_sum(
+    d: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    order_by: list[Column],
+    out_col: str = "cum",
+) -> DataFrame:
+    """Distributed global prefix sum over an arbitrary total order: the
+    shard_manifest two-level decomposition, factored out so every global
+    cumsum in the repo shares one scalable kernel instead of an
+    unpartitioned WindowExec (which moves the whole corpus to ONE
+    partition — Spark warns `No Partition Defined for Window operation`).
+
+    Contract: `bucket_col` must be ORDER-ALIGNED with `order_by` —
+    bucket b's rows all precede bucket b+1's rows in the global order
+    (e.g. bucket = id DIV width for an id-asc order, or
+    bucket = -(score DIV width) for a score-desc order). Then
+
+      cum(row) = bucket_offset(bucket) + cum_within_bucket(row)
+
+    where (1) cum_within_bucket is a PARTITIONED window (parallel across
+    buckets), (2) bucket offsets come from one window over the BUCKET
+    TOTALS aggregate — bucket-count-sized input (thousands of rows where
+    the corpus has billions), the only acceptable home for an
+    empty-partition window (tests/test_plans.py's unpartitioned-window
+    tripwire encodes exactly this rule) — and (3) the offsets broadcast
+    back. Exact decomposition: equality with the oracle's flat cumsum at
+    every scale is the correctness proof. Inclusive (running total
+    through the current row); skew note: one bucket holding a hot tie
+    group serializes within that bucket only — pick the bucket width so
+    value ranges split ties where the key allows it."""
+    wb = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_cum_in_bucket", F.sum(value_col).over(wb))
+    totals = d.groupBy(bucket_col).agg(F.sum(value_col).alias("_btot"))
+    wo = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_btot").over(wo), F.lit(0))
+    ).select(bucket_col, "_boff")
+    return (
+        d.join(F.broadcast(offsets), bucket_col)
+        .withColumn(out_col, (F.col("_boff") + F.col("_cum_in_bucket")).cast("long"))
+        .drop("_cum_in_bucket", "_boff")
+    )
 
 
 def pack_sequences(
@@ -144,12 +193,20 @@ def token_budget_select(
     total token target (the "give me the best 50B tokens" cut every
     pretraining run starts with). Greedy-by-rank with a hard prefix budget
     is exactly a cumsum gate: keep doc d iff cumsum(tokens) through d is
-    <= budget in (score desc, id) order. One ordering window (a single
-    range-partitioned sort at scale), no iteration, no driver state;
+    <= budget in (score desc, id) order. No iteration, no driver state;
     deterministic ties by id. Docs that would overflow are dropped, later
     smaller docs are NOT backfilled — that knapsack variant is
     order-dependent sequential state no window expresses, and the prefix
     cut is the standard corpus-selection semantics.
+
+    The cumsum is the TWO-LEVEL decomposition (two_level_prefix_sum —
+    the shard_manifest recipe), not one unpartitioned window: buckets
+    are score ranges, order-aligned with (score desc, id) because the
+    bucket key -(score DIV width) is monotone in the leading sort key
+    and score ties never straddle a bucket. At 100 TB the per-doc work
+    is partition-parallel; only the bucket-totals window (range-count-
+    sized) is global. The DuckDB oracle replays ONE flat cumsum —
+    equality is the decomposition proof, exactly as for shard_manifest.
 
     Token count is space-count arithmetic (len(text) - len(without-spaces)
     + 1) rather than size(split(...)): pure integer string ops with
@@ -162,17 +219,20 @@ def token_budget_select(
         - F.length(F.regexp_replace(F.col(text_col), " ", ""))
         + F.lit(1)
     )
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     d = docs.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(score_col).cast("long").alias(score_col),
         toks.cast("long").alias("n_tokens"),
+    ).withColumn("_bkt", -F.expr(f"{score_col} DIV 64"))
+    d = two_level_prefix_sum(
+        d,
+        "n_tokens",
+        "_bkt",
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        out_col="cum_tokens",
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .filter(F.col("cum_tokens") <= budget)
+        d.filter(F.col("cum_tokens") <= budget)
         .select(id_col, score_col, "n_tokens", "cum_tokens")
         .orderBy(F.col("cum_tokens").asc(), F.col(id_col).asc())
     )

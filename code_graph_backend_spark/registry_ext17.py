@@ -132,10 +132,19 @@ def events_rfm_q(spark, sf_dir):
     quantized value sum), each NTILE(5)-binned on a deterministic
     (metric, user_id) total order so both engines cut identical
     quintiles — bin 5 is always the BEST cohort (most recent / most
-    frequent / highest value). Shape: one per-user hash-agg, a 1-row
-    broadcast for the corpus horizon, three user-cardinality windows.
-    At open-web scale the windows swap for percentile boundaries
-    exactly like quality_calibration_bins' note."""
+    frequent / highest value).
+
+    The quintiles are NOT three global ntile windows (three full sorts
+    of the user table to ONE partition — a 100 TB scale-killer). Each
+    dimension computes the user's exact RANK in the (metric, user_id)
+    order with the two-level prefix sum (functions/packing.py: bucket =
+    metric range, per-bucket partitioned window + bucket-totals window
+    over the aggregate, broadcast offsets), then maps rank -> quintile
+    with the closed-form NTILE law (first n%5 bins hold n/5+1 rows,
+    the rest n/5 — the SQL-standard larger-groups-first rule both
+    engines implement), so the DuckDB NTILE oracle stays hash-exact.
+    Shape: one per-user hash-agg, a 1-row broadcast for the corpus
+    horizon and user count, three PARTITIONED rank windows."""
     ev = read_table(spark, sf_dir, "events").select(
         "user_id",
         F.expr("datediff(to_date(ts), to_date('2024-01-01'))").alias("d"),
@@ -153,15 +162,44 @@ def events_rfm_q(spark, sf_dir):
         .select("user_id", F.col("recency_days").cast("long"), "frequency",
                 "monetary_milli")
     )
-    wr = Window.orderBy(F.col("recency_days").desc(), "user_id")
-    wf = Window.orderBy(F.col("frequency").asc(), "user_id")
-    wm = Window.orderBy(F.col("monetary_milli").asc(), "user_id")
+    from .functions.packing import two_level_prefix_sum
+
+    n_users = u.agg(F.count("*").cast("long").alias("_n"))
+    u = u.crossJoin(F.broadcast(n_users)).withColumn("_one", F.lit(1).cast("long"))
+
+    def _ntile5(d, metric, out_col, descending, width):
+        # exact rank via the order-aligned bucketed prefix count, then
+        # the closed-form ntile: with base = n DIV 5, r = n % 5, rank k
+        # lands in bin ceil(k/(base+1)) while k <= r*(base+1), else
+        # r + ceil((k - r*(base+1))/base). ceil(a/b) = (a+b-1) DIV b.
+        sign = "-" if descending else ""
+        order = [
+            F.col(metric).desc() if descending else F.col(metric).asc(),
+            F.col("user_id").asc(),
+        ]
+        d = two_level_prefix_sum(
+            d.withColumn("_bkt", F.expr(f"{sign}({metric} DIV {width})")),
+            "_one", "_bkt", order, out_col="_rank",
+        ).drop("_bkt")
+        base, r, k = F.expr("_n DIV 5"), F.expr("_n % 5"), F.col("_rank")
+        bin_col = F.when(
+            k <= r * (base + F.lit(1)),
+            F.expr("(_rank + (_n DIV 5)) DIV ((_n DIV 5) + 1)"),
+        ).otherwise(
+            F.expr(
+                "(_n % 5) + (_rank - (_n % 5) * ((_n DIV 5) + 1)"
+                " + (_n DIV 5) - 1) DIV (_n DIV 5)"
+            )
+        )
+        return d.withColumn(out_col, bin_col.cast("long")).drop("_rank")
+
+    u = _ntile5(u, "recency_days", "r_bin", descending=True, width=8)
+    u = _ntile5(u, "frequency", "f_bin", descending=False, width=8)
+    u = _ntile5(u, "monetary_milli", "m_bin", descending=False, width=1024)
     return (
         u.select(
             "user_id", "recency_days", "frequency", "monetary_milli",
-            F.ntile(5).over(wr).cast("long").alias("r_bin"),
-            F.ntile(5).over(wf).cast("long").alias("f_bin"),
-            F.ntile(5).over(wm).cast("long").alias("m_bin"),
+            "r_bin", "f_bin", "m_bin",
         )
         .orderBy("user_id")
     )

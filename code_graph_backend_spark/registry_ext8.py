@@ -224,14 +224,21 @@ def curation_pipeline_v2_q(spark, sf_dir):
         .join(contam, "doc_id", "left_anti")
         .join(ntok, "doc_id")
     )
-    from pyspark.sql.window import Window
+    from .functions.packing import two_level_prefix_sum
 
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Final token-budget gate: the survivor set is corpus-proportional
+    # at 100 TB, so the greedy cumsum uses the two-level decomposition
+    # (shard_manifest recipe), never an unpartitioned window. Bucket
+    # -(n_chars DIV 64) is order-aligned with (n_chars DESC, doc_id).
+    gated = two_level_prefix_sum(
+        surv.withColumn("_bkt", -F.expr("n_chars DIV 64")),
+        "n_tokens",
+        "_bkt",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        out_col="cum_tokens",
     )
     return (
-        surv.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= 15000)
+        gated.filter(F.col("cum_tokens") <= 15000)
         .select(
             "doc_id", "n_chars",
             F.col("n_tokens").cast("long").alias("n_tokens"),

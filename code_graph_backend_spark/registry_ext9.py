@@ -522,12 +522,22 @@ def curation_pipeline_v3_q(spark, sf_dir):
         .join(contam, "doc_id", "left_anti")
         .join(ntok, "doc_id")
     )
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from .functions.packing import two_level_prefix_sum
+
+    # Final token-budget gate on the post-8-gate survivor set — still
+    # corpus-proportional at 100 TB, so the greedy cumsum is the
+    # two-level decomposition (shard_manifest recipe), never an
+    # unpartitioned window. -(n_chars DIV 64) is order-aligned with
+    # (n_chars DESC, doc_id); the oracle replays one flat cumsum.
+    gated = two_level_prefix_sum(
+        surv.withColumn("_bkt", -F.expr("n_chars DIV 64")),
+        "n_tokens",
+        "_bkt",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        out_col="cum_tokens",
     )
     return (
-        surv.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= 15000)
+        gated.filter(F.col("cum_tokens") <= 15000)
         .select(
             "doc_id", "n_chars",
             F.col("n_tokens").cast("long").alias("n_tokens"),

@@ -248,12 +248,15 @@ def test_graph_analytics_no_nested_loop(spark, qs):
         assert "CartesianProduct" not in plan, (q, plan[:1200])
 
 
-def test_token_budget_single_window_shuffle(spark, qs):
-    """The budget gate is ONE ordering window over the scan — one
-    Exchange, no join."""
+def test_token_budget_windows_are_bucketed(spark, qs):
+    """The budget gate's cumsum is the two-level decomposition (same
+    recipe as shard_manifest): the per-doc window is PARTITIONED on the
+    score bucket; only the bucket-totals window (range-count-sized) is
+    global, and the offsets come back as a broadcast join."""
     plan = _plan(qs["token_budget_select"](spark, SF))
-    assert plan.count("Exchange") == 1, plan[:1500]
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 2, plan[:1500]
 
 
 def test_events_rollup_is_one_expand_one_agg(spark, qs):
