@@ -773,7 +773,9 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                     # a LOCAL record's positional header (`record Pair(int
                     # a, int b)`) is a declaration, not an invocation
                     continue
-                if pre.endswith("instanceof") or (is_cs and pre.endswith(" is")):
+                if pre.endswith("instanceof") or (
+                    is_cs and re.search(r"\bis$", pre) is not None
+                ):
                     # Java 21 record pattern in instanceof (`s instanceof
                     # Point(int x, int y)`) / C# positional pattern in an
                     # `is` expression (`c.Center is Point(0, 0)`): pattern
@@ -790,9 +792,17 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
                 # method_invocation / invocation_expression nodes and the
                 # reference captures them (java/analyzer.py:87,
                 # csharp/analyzer.py:95) — exempt them from the
-                # declaration-header rule below (ADVICE r8)
+                # declaration-header rule below (ADVICE r8). A guard
+                # `when` is PRECEDED by a pattern token (identifier, `_`,
+                # or a closing paren/bracket of a positional pattern) —
+                # requiring that excludes `when` used as a plain callee
+                # (Mockito `when(mock.call())`) or receiver, which sat at
+                # expression position and used to poison the whole
+                # segment (ADVICE r9). C# switch-expression arms carry no
+                # `case`, so the pattern-token test is the discriminator
+                # that keeps both languages' guard pins green.
                 in_guard = re.search(
-                    r"\bwhen\b", re.split(r"[;{},]", pre)[-1]
+                    r"[)\w\]]\s+when(?:\s|$)", re.split(r"[;{},]", pre)[-1]
                 ) is not None
                 # a matched "name(" whose argument list is followed by a
                 # block or an arrow is a DECLARATION header, not an

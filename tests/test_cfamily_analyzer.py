@@ -1908,3 +1908,108 @@ def test_c_function_pointers_macros_and_initializer_calls():
             by_owner.setdefault(r[2], set()).add(r[9])
     assert by_owner["apply"] == {"h", "helper", "CALL"}
     assert by_owner["main"] == {"make_x", "make_y", "apply"}
+
+
+def test_java_when_call_does_not_poison_segment():
+    """A method literally NAMED `when` at expression position (the
+    Mockito idiom `when(mock.call()).thenReturn(x)`) is NOT a pattern
+    guard: the old `\\bwhen\\b`-anywhere test set in_guard for every
+    later match in the segment, which disabled the declaration-header
+    rule. A guard `when` is always preceded by a pattern token
+    (identifier / `_` / closing paren), which `when(` at expression
+    position never is (ADVICE r9)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class Mocks {\n"
+        "    void setup() {\n"
+        "        when(mock.call()).thenReturn(make())\n"
+        "            .also(switch (s) { case Point(int x, int y) -> use(x); default -> z(); });\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = parse_java_source("M.java", java)
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    # Point(...) after `case` stays a record pattern even though the
+    # statement's segment contains a `when` callee upstream.
+    assert "Point" not in calls
+    assert {"when", "call", "thenReturn", "make", "also", "use", "z"} <= set(calls)
+
+
+def test_csharp_is_pattern_detected_across_tabs_and_newlines():
+    """`x\\tis Point(0, 0)` and an `is` reached after a newline must be
+    recognized as positional patterns: the detector now token-checks
+    `\\bis$` on the rstripped prefix instead of requiring a literal
+    space (ADVICE r9)."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "class Pats {\n"
+        "    bool Check(object s) {\n"
+        "        return s\tis Point(0, 0)\n"
+        "            || s is\nSquare(var a, var b);\n"
+        "    }\n"
+        "    string Axis(object q) => q.Center\tis Point(0, 0) ? Label(q) : Other(q);\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("P.cs", cs)
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    assert "Point" not in calls
+    assert "Square" not in calls
+    assert {"Label", "Other"} <= set(calls)
+
+
+def test_csharp_partial_methods_are_methods():
+    """C# partial methods: tree-sitter keeps both the defining
+    declaration (no body) and the implementing declaration as
+    method_declaration nodes, so the reference captures BOTH as Method
+    entities (csharp/analyzer.py:41) — as it does the two halves of a
+    partial class. Calls inside the implementing body are captured."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_csharp_source
+
+    cs = (
+        "public partial class Widget {\n"
+        "    partial void OnChanged(string name);\n"
+        "    public partial int Compute(int k);\n"
+        "}\n"
+        "public partial class Widget {\n"
+        "    partial void OnChanged(string name) { Log(name); }\n"
+        "    public partial int Compute(int k) => Helper(k) + 1;\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("W.cs", cs)
+    classes = [r for r in rows if r[0] == "entity" and r[1] == "Class"]
+    methods = sorted(r[2] for r in rows if r[0] == "entity" and r[1] == "Method")
+    calls = sorted(r[9] for r in rows if r[0] == "call")
+    assert len(classes) == 2  # both partial halves are class_declaration nodes
+    assert methods == ["Compute", "Compute", "OnChanged", "OnChanged"]
+    assert calls == ["Helper", "Log"]
+
+
+def test_java_wildcard_generic_bounds_parse_clean():
+    """Java wildcard bounds (`? extends` / `? super`) in type-parameter
+    sections, inheritance clauses, parameter and return types must not
+    confuse the scanner: the inheritance target and param/return types
+    reduce to their raw base names (the reference resolves the same
+    base symbol), and the `extends` inside `<...>` bounds never
+    manufactures a phantom inheritance edge."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_java_source
+
+    java = (
+        "class Wild<T extends Comparable<? super T>>"
+        " extends AbstractList<? extends Number> {\n"
+        "    Map<? extends String, ? super Integer> remap(List<? extends T> xs)"
+        " { return convert(xs); }\n"
+        "    <U extends Number & Comparable<? super U>> U pick(U a, U b)"
+        " { return max(a, b); }\n"
+        "}\n"
+    )
+    rows = parse_java_source("W.java", java)
+    ext = [r[9] for r in rows if r[0] == "extends"]
+    assert ext == ["AbstractList"]  # not Comparable/Number from the bounds
+    assert sorted(r[2] for r in rows if r[0] == "entity" and r[1] == "Method") == [
+        "pick", "remap"
+    ]
+    assert sorted(r[9] for r in rows if r[0] == "call") == ["convert", "max"]
+    assert [r[9] for r in rows if r[0] == "params" and r[2] == "remap"] == ["List"]
+    assert [r[9] for r in rows if r[0] == "returns" and r[2] == "remap"] == ["Map"]
