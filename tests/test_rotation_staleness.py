@@ -244,9 +244,34 @@ def test_observed_driver_cap_reads_newest_correctness_file():
     rounds = staleness.correctness_rounds()
     if not rounds:
         pytest.skip("no CORRECTNESS artifacts")
-    assert staleness.observed_driver_cap() == len(rounds[max(rounds)])
+    # floored at the historical default so a truncated driver artifact
+    # cannot silently shrink the gate head (ADVICE r9)
+    assert staleness.observed_driver_cap() == max(
+        len(rounds[max(rounds)]), staleness._DEFAULT_CAP
+    )
     assert staleness.observed_driver_cap() > 0
     assert staleness.SPILL == 5
+
+
+def test_registry_frozen_at_evidence_budget_capacity():
+    """The freeze invariant (VERDICT r9 item 2), asserted mechanically:
+    every registered query must be re-graded every STALE_ROUNDS rounds,
+    so the registry size may not exceed cap * STALE_ROUNDS (at 234 and
+    a 50-row cap the bound is 250 — AT capacity; ~47 rows expire per
+    round). Adding a query past this bound permanently exceeds the
+    re-grading budget and manufactures un-clearable evidence debt."""
+    import staleness
+
+    import __spark_entry__ as e
+
+    registry_size = len(e.queries())
+    budget = staleness.observed_driver_cap() * staleness.STALE_ROUNDS
+    assert registry_size <= budget, (
+        f"registry ({registry_size} queries) exceeds the evidence budget "
+        f"(cap {staleness.observed_driver_cap()} x {staleness.STALE_ROUNDS} "
+        f"rounds = {budget}): every query beyond the bound is permanent "
+        "un-clearable debt — raise the cap or remove queries"
+    )
 
 
 def test_emit_priority_orders_cleared_rows_oldest_green_first(rotation_and_debt):

@@ -34,6 +34,21 @@ hand-reconciled prose (the round-6 provenance section of BENCH_NOTES).
 Greenness matches the driver: hash_match true, or the documented
 rows-only check for approximate-by-design families (err == "no_oracle"
 with a recorded spark row count).
+
+FREEZE INVARIANT (VERDICT r9 item 2): evidence is a renewable budget —
+every registered query must be re-graded every STALE_ROUNDS rounds, so
+steady-state expiry is registry_size / STALE_ROUNDS rows per round and
+the registry can only grow while
+
+    observed_driver_cap() * STALE_ROUNDS >= registry_size
+
+holds (234 queries / 5-round cycle ≈ 47 expiries vs the 50-row cap:
+AT capacity, 3 rows/round of slack for the round's own kernel edits).
+Every query added beyond that bound permanently exceeds the re-grading
+budget and manufactures un-clearable debt. The gate suite asserts this
+mechanically (tests/test_rotation_staleness.py::
+test_registry_frozen_at_evidence_budget_capacity); do not add queries
+while the assertion is tight unless the driver's observed cap rises.
 """
 
 from __future__ import annotations
@@ -84,14 +99,21 @@ def correctness_rounds() -> dict[int, dict]:
 
 def observed_driver_cap() -> int:
     """Row count of the newest CORRECTNESS_r*.json — the driver's
-    empirically-observed per-round grading budget (r8: exactly 50). The
-    rotation head the gate asserts against is THIS number, so 'debt fits
-    the budget' arithmetic is mechanical instead of a hardcoded 60
-    (VERDICT r8 item 7: the 5-row spill gamble cost r8 its target)."""
+    empirically-observed per-round grading budget (r8/r9: exactly 50).
+    The rotation head the gate asserts against is THIS number, so 'debt
+    fits the budget' arithmetic is mechanical instead of a hardcoded 60
+    (VERDICT r8 item 7: the 5-row spill gamble cost r8 its target).
+
+    FLOORED at _DEFAULT_CAP: a truncated or partial driver run (say 10
+    rows) must not silently shrink the gate head for the next round and
+    spuriously trip test_never_and_expired_fit_the_rotation_head — the
+    historical budget is the better estimate of the NEXT run than one
+    short artifact (ADVICE r9). A driver that genuinely grades more
+    than the floor raises the cap as before."""
     rounds = correctness_rounds()
     if not rounds:
         return _DEFAULT_CAP
-    return len(rounds[max(rounds)]) or _DEFAULT_CAP
+    return max(len(rounds[max(rounds)]), _DEFAULT_CAP)
 
 
 def freshest_green() -> tuple[dict[str, int], int]:
