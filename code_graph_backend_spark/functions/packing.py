@@ -86,6 +86,45 @@ def two_level_prefix_sum(
     )
 
 
+def two_level_prefix_max(
+    d: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    order_by: list[Column],
+    out_col: str = "run_max",
+) -> DataFrame:
+    """Distributed global RUNNING MAX over an arbitrary total order —
+    the max-monoid twin of two_level_prefix_sum (same order-aligned
+    bucket contract, same shape): per-bucket running max (partitioned
+    window), one window over the bucket MAXIMA aggregate for the
+    carry-in from all earlier buckets (exclusive prefix-max, null for
+    the first bucket), broadcast back, combine with GREATEST. This is
+    the 'shard-local running max + prefix-max of shard boundary
+    maxima' recipe the lateness profile documents."""
+    wb = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_max_in_bucket", F.max(value_col).over(wb))
+    totals = d.groupBy(bucket_col).agg(F.max(value_col).alias("_bmax"))
+    wo = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("_bcarry", F.max("_bmax").over(wo)).select(
+        bucket_col, "_bcarry"
+    )
+    return (
+        d.join(F.broadcast(offsets), bucket_col)
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.col("_max_in_bucket"),
+                F.coalesce(F.col("_bcarry"), F.col("_max_in_bucket")),
+            ).cast("long"),
+        )
+        .drop("_max_in_bucket", "_bcarry")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 256,

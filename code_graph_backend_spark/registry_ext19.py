@@ -291,19 +291,27 @@ def events_lateness_profile_q(spark, sf_dir):
     arrival skew must be simulated; the permutation is pinned so both
     engines see the identical arrival sequence). lateness(e) =
     running-max(event_time over arrival order) − event_time, computed
-    on floor-second integers end-to-end. Shape: one global ordered
-    window (at 100 TB: shard-local running max + prefix-max of shard
-    boundary maxima — two passes, no global sort) then one
-    per-type hash-agg."""
+    on floor-second integers end-to-end. Shape: the running max is the
+    two-level prefix-MAX (functions/packing.py:two_level_prefix_max —
+    64 arrival-range buckets, shard-local running max + prefix-max of
+    bucket boundary maxima broadcast back; no global sort, the plan
+    tripwire in test_plans.py enforces it) then one per-type hash-agg;
+    the oracle replays one flat running-max window — equality is the
+    decomposition proof."""
+    from .functions.packing import two_level_prefix_max
+
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_timestamp("ts").alias("es"),
         ((F.col("event_id") * _ARR_A) % _ARR_M).alias("arr"),
     )
-    w = Window.orderBy("arr", "es").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = ev.withColumn("late", F.max("es").over(w) - F.col("es"))
+    r = two_level_prefix_max(
+        ev.withColumn("_bkt", F.expr(f"arr DIV {_ARR_M // 64 + 1}")),
+        "es",
+        "_bkt",
+        [F.col("arr").asc(), F.col("es").asc()],
+        out_col="_rmax",
+    ).withColumn("late", F.col("_rmax") - F.col("es"))
     return (
         r.groupBy("event_type")
         .agg(

@@ -438,3 +438,74 @@ def test_kn_model_join_broadcasts(spark, qs):
     nested-loop path (the established scalar-crossJoin idiom)."""
     plan = _plan(qs["text_kn_bigram_logprob"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+# Queries with a DOCUMENTED corpus-ordering window and a standing waiver:
+# pack_sequences is the spec twin of the pressure-tested sharded variant
+# (functions/packing.py module docstring), corpus_quantile_summary's flat
+# cumsum is the oracle-side exact-rank error report the GK sketch exists
+# to avoid (functions/sketches.py), and o1's window input is one
+# customer's orders (request-bounded). Everything else must either
+# partition its windows or feed them from an Aggregate / WindowGroupLimit
+# / Limit (bounded input). VERDICT r9 item 5.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "pack_sequences",
+    "corpus_quantile_summary",
+    "o1_commit_list_ordering",
+}
+
+
+def _unbounded_global_windows(df) -> int:
+    """Count Window nodes with an EMPTY partitionSpec whose input subtree
+    contains no Aggregate / WindowGroupLimit / Limit — i.e. windows that
+    move corpus-proportional data to one partition (the WindowExec
+    'No Partition Defined' scale-killer)."""
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad = 0
+    for n in walk(plan):
+        if n.getClass().getSimpleName() == "Window" and n.partitionSpec().isEmpty():
+            kinds = {
+                m.getClass().getSimpleName()
+                for m in walk(n.children().apply(0))
+            }
+            if not kinds & {
+                "Aggregate", "WindowGroupLimit", "GlobalLimit", "LocalLimit"
+            }:
+                bad += 1
+    return bad
+
+
+def test_no_unpartitioned_window_over_corpus_input(spark, qs):
+    """Tripwire (VERDICT r9 item 5): no registered query may plan an
+    unpartitioned Window over non-aggregated, non-limited input — that
+    is a single-partition sort of corpus-proportional data at 100 TB.
+    Global cumsums must use the two-level decomposition
+    (functions/packing.py:two_level_prefix_sum); global quantile cuts
+    must use broadcast boundaries or the exact-rank prefix count
+    (events_rfm). The allowlist holds exactly the three documented
+    waivers and may not rot: each allowlisted query must still carry
+    its global window, so a future fix removes it from the list."""
+    offenders, waived = [], []
+    for name, fn in qs.items():
+        try:
+            bad = _unbounded_global_windows(fn(spark, SF))
+        except Exception as ex:  # build failure is its own finding
+            pytest.fail(f"{name}: plan build failed: {ex}")
+        if bad and name not in _GLOBAL_WINDOW_ALLOWLIST:
+            offenders.append(name)
+        if bad and name in _GLOBAL_WINDOW_ALLOWLIST:
+            waived.append(name)
+    assert not offenders, (
+        "unpartitioned corpus-scale Window in: "
+        + ", ".join(sorted(offenders))
+    )
+    assert sorted(waived) == sorted(_GLOBAL_WINDOW_ALLOWLIST), (
+        "allowlist rot — these no longer plan a global window and must "
+        f"leave the list: {sorted(set(_GLOBAL_WINDOW_ALLOWLIST) - set(waived))}"
+    )
