@@ -125,6 +125,52 @@ def two_level_prefix_max(
     )
 
 
+def exact_ntile(
+    d: DataFrame,
+    metric_col: str,
+    n_col: str,
+    tie_col: str,
+    out_col: str,
+    n_tiles: int = 5,
+    descending: bool = False,
+    width: int = 64,
+) -> DataFrame:
+    """Exact NTILE(n_tiles) over (metric, tie) order WITHOUT a global
+    sort: the row's exact rank comes from a two-level prefix COUNT
+    (two_level_prefix_sum of ones over -(metric DIV width) /
+    (metric DIV width) order-aligned buckets), then rank maps to its
+    tile with the closed-form NTILE law — with base = n DIV t and
+    r = n % t, the first r tiles hold base+1 rows (the SQL-standard
+    larger-groups-first rule every engine implements), so
+
+        tile(k) = ceil(k / (base+1))                 while k <= r*(base+1)
+                = r + ceil((k - r*(base+1)) / base)  after
+
+    (integer ceil(a/b) = (a+b-1) DIV b; the ELSE branch needs base >= 1,
+    which holds whenever it is reached: base = 0 implies n = r and every
+    rank satisfies the WHEN). Bit-identical to a flat NTILE window —
+    the oracle twin — at every scale, with no single-partition sort.
+    `n_col` must already hold the total row count (1-row broadcast)."""
+    sign = "-" if descending else ""
+    order = [
+        F.col(metric_col).desc() if descending else F.col(metric_col).asc(),
+        F.col(tie_col).asc(),
+    ]
+    d = two_level_prefix_sum(
+        d.withColumn("_nt_one", F.lit(1).cast("long"))
+        .withColumn("_nt_bkt", F.expr(f"{sign}({metric_col} DIV {width})")),
+        "_nt_one", "_nt_bkt", order, out_col="_nt_rank",
+    ).drop("_nt_bkt", "_nt_one")
+    b = f"({n_col} DIV {n_tiles})"
+    r = f"({n_col} % {n_tiles})"
+    tile = (
+        f"CASE WHEN _nt_rank <= {r} * ({b} + 1)"
+        f" THEN (_nt_rank + {b}) DIV ({b} + 1)"
+        f" ELSE {r} + (_nt_rank - {r} * ({b} + 1) + {b} - 1) DIV {b} END"
+    )
+    return d.withColumn(out_col, F.expr(tile).cast("long")).drop("_nt_rank")
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 256,

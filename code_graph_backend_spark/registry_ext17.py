@@ -162,40 +162,16 @@ def events_rfm_q(spark, sf_dir):
         .select("user_id", F.col("recency_days").cast("long"), "frequency",
                 "monetary_milli")
     )
-    from .functions.packing import two_level_prefix_sum
+    from .functions.packing import exact_ntile
 
     n_users = u.agg(F.count("*").cast("long").alias("_n"))
-    u = u.crossJoin(F.broadcast(n_users)).withColumn("_one", F.lit(1).cast("long"))
-
-    def _ntile5(d, metric, out_col, descending, width):
-        # exact rank via the order-aligned bucketed prefix count, then
-        # the closed-form ntile: with base = n DIV 5, r = n % 5, rank k
-        # lands in bin ceil(k/(base+1)) while k <= r*(base+1), else
-        # r + ceil((k - r*(base+1))/base). ceil(a/b) = (a+b-1) DIV b.
-        sign = "-" if descending else ""
-        order = [
-            F.col(metric).desc() if descending else F.col(metric).asc(),
-            F.col("user_id").asc(),
-        ]
-        d = two_level_prefix_sum(
-            d.withColumn("_bkt", F.expr(f"{sign}({metric} DIV {width})")),
-            "_one", "_bkt", order, out_col="_rank",
-        ).drop("_bkt")
-        base, r, k = F.expr("_n DIV 5"), F.expr("_n % 5"), F.col("_rank")
-        bin_col = F.when(
-            k <= r * (base + F.lit(1)),
-            F.expr("(_rank + (_n DIV 5)) DIV ((_n DIV 5) + 1)"),
-        ).otherwise(
-            F.expr(
-                "(_n % 5) + (_rank - (_n % 5) * ((_n DIV 5) + 1)"
-                " + (_n DIV 5) - 1) DIV (_n DIV 5)"
-            )
-        )
-        return d.withColumn(out_col, bin_col.cast("long")).drop("_rank")
-
-    u = _ntile5(u, "recency_days", "r_bin", descending=True, width=8)
-    u = _ntile5(u, "frequency", "f_bin", descending=False, width=8)
-    u = _ntile5(u, "monetary_milli", "m_bin", descending=False, width=1024)
+    u = u.crossJoin(F.broadcast(n_users))
+    u = exact_ntile(u, "recency_days", "_n", "user_id", "r_bin",
+                    descending=True, width=8)
+    u = exact_ntile(u, "frequency", "_n", "user_id", "f_bin",
+                    descending=False, width=8)
+    u = exact_ntile(u, "monetary_milli", "_n", "user_id", "m_bin",
+                    descending=False, width=1024)
     return (
         u.select(
             "user_id", "recency_days", "frequency", "monetary_milli",

@@ -474,3 +474,77 @@ def test_streaming_state_bounded_by_watermark_at_2m_events():
           f"stream {t_stream:.1f}s over ~20 micro-batches, "
           f"max state rows={max_state} (total groups ~4000), "
           f"finalized windows={closed['n']}")
+
+
+def test_two_level_prefix_kernels_at_2m_rows():
+    """The r10 two-level prefix kernels at ~100x test scale: on a 2M-row
+    input, two_level_prefix_sum, two_level_prefix_max and exact_ntile
+    must each BIT-MATCH the flat single-window twin computed on the same
+    data — the twin IS the semantics (and the oracle), and at this size
+    it is the one-partition anti-plan the kernels exist to avoid, so
+    equality here is the decomposition proof above every test-scale
+    input. Skewed ties included: the metric collides heavily (v % 911)
+    so tie groups span bucket-width boundaries."""
+    from pyspark.sql.window import Window
+
+    from code_graph_backend_spark.functions.packing import (
+        exact_ntile, two_level_prefix_max, two_level_prefix_sum)
+    from code_graph_backend_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-prefix")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = 2_000_000
+    d = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1_000_003).alias("score"),
+        ((F.col("id") % 97) + 1).alias("w"),
+        ((F.col("id") * 48271) % 911).alias("v"),  # heavy ties
+    ).persist()
+    d.count()
+
+    # --- prefix SUM over (score desc, id) ------------------------------
+    t0 = time.time()
+    two = two_level_prefix_sum(
+        d.withColumn("_bkt", F.expr("-(score DIV 4096)")),
+        "w", "_bkt", [F.col("score").desc(), F.col("id").asc()],
+        out_col="cum",
+    ).select("id", "cum")
+    flat_w = Window.orderBy(F.col("score").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    flat = d.withColumn("cum", F.sum("w").over(flat_w).cast("long")).select("id", "cum")
+    diff_sum = two.exceptAll(flat).count() + flat.exceptAll(two).count()
+    t_sum = time.time() - t0
+    assert diff_sum == 0
+
+    # --- prefix MAX over (v asc, id) — running max of score ------------
+    t0 = time.time()
+    twom = two_level_prefix_max(
+        d.withColumn("_bkt", F.expr("v DIV 16")),
+        "score", "_bkt", [F.col("v").asc(), F.col("id").asc()],
+        out_col="rm",
+    ).select("id", "rm")
+    flatm_w = Window.orderBy(F.col("v").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    flatm = d.withColumn("rm", F.max("score").over(flatm_w).cast("long")).select("id", "rm")
+    diff_max = twom.exceptAll(flatm).count() + flatm.exceptAll(twom).count()
+    t_max = time.time() - t0
+    assert diff_max == 0
+
+    # --- exact NTILE(5) over (v asc, id) vs flat ntile ------------------
+    t0 = time.time()
+    base = d.crossJoin(F.broadcast(d.agg(F.count("*").cast("long").alias("_n"))))
+    tile = exact_ntile(base, "v", "_n", "id", "tile",
+                       n_tiles=5, descending=False, width=16).select("id", "tile")
+    flat_t = d.withColumn(
+        "tile",
+        F.ntile(5).over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+        .cast("long"),
+    ).select("id", "tile")
+    diff_tile = tile.exceptAll(flat_t).count() + flat_t.exceptAll(tile).count()
+    t_tile = time.time() - t0
+    assert diff_tile == 0
+
+    d.unpersist()
+    print(f"\n[scale] two-level prefix kernels at {n:,} rows: "
+          f"sum {t_sum:.1f}s, max {t_max:.1f}s, ntile {t_tile:.1f}s — "
+          f"all bit-equal to the flat single-partition twins")
