@@ -189,3 +189,89 @@ def test_label_centroids_exact(spark):
     rows = {(r["label"], r["dim"]): r["c_val"] for r in label_centroids(emb).collect()}
     assert rows[(0, 0)] == 2.0 and rows[(0, 1)] == 3.0
     assert rows[(1, 0)] == 10.0 and rows[(1, 1)] == 20.0
+
+
+def test_two_level_prefix_sum_edges(spark):
+    """Edge shapes for the global-cumsum kernel: empty input, one
+    bucket, all rows tied on the leading key (order falls to the tie
+    column), and negative bucket keys (the score-desc alignment trick)."""
+    from pyspark.sql.window import Window
+
+    from code_graph_backend_spark.functions.packing import two_level_prefix_sum
+
+    empty = spark.range(0).selectExpr("id", "id as w", "id as b")
+    assert two_level_prefix_sum(
+        empty, "w", "b", [F.col("id").asc()], out_col="c"
+    ).count() == 0
+
+    # all rows in ONE bucket + ties on the leading key
+    d = spark.createDataFrame(
+        [(i, 5, (i * 3) % 7 + 1) for i in range(40)], "id long, s long, w long"
+    ).withColumn("b", F.expr("-(s DIV 64)"))
+    got = two_level_prefix_sum(
+        d, "w", "b", [F.col("s").desc(), F.col("id").asc()], out_col="c"
+    )
+    flat = d.withColumn(
+        "c",
+        F.sum("w").over(
+            Window.orderBy(F.col("s").desc(), F.col("id").asc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).cast("long"),
+    )
+    assert got.select("id", "c").exceptAll(flat.select("id", "c")).count() == 0
+    assert flat.select("id", "c").exceptAll(got.select("id", "c")).count() == 0
+
+
+def test_two_level_prefix_max_carry_in(spark):
+    """Running max must carry across buckets: a huge early value
+    dominates every later bucket; the first bucket has no carry-in
+    (coalesce path)."""
+    from pyspark.sql.window import Window
+
+    from code_graph_backend_spark.functions.packing import two_level_prefix_max
+
+    d = spark.createDataFrame(
+        [(0, 100), (1, 5), (17, 3), (33, 999), (49, 2), (65, 7)],
+        "id long, v long",
+    ).withColumn("b", F.expr("id DIV 16"))
+    got = two_level_prefix_max(
+        d, "v", "b", [F.col("id").asc()], out_col="m"
+    ).orderBy("id")
+    flat = d.withColumn(
+        "m",
+        F.max("v").over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    ).orderBy("id")
+    assert [r["m"] for r in got.collect()] == [r["m"] for r in flat.collect()]
+    assert [r["m"] for r in got.collect()] == [100, 100, 100, 999, 999, 999]
+
+
+def test_exact_ntile_matches_flat_ntile_including_remainders(spark):
+    """The closed-form NTILE law at n % t != 0 (larger groups first),
+    with ties broken by the tie column, for ascending AND descending
+    metrics — bit-equal to F.ntile on the flat window."""
+    from pyspark.sql.window import Window
+
+    from code_graph_backend_spark.functions.packing import exact_ntile
+
+    for n, t in [(7, 5), (23, 5), (4, 5), (10, 3)]:
+        d = spark.createDataFrame(
+            [(i, (i * 5) % 4) for i in range(n)], "id long, v long"
+        )
+        base = d.crossJoin(
+            F.broadcast(d.agg(F.count("*").cast("long").alias("_n")))
+        )
+        for desc in (False, True):
+            got = exact_ntile(
+                base, "v", "_n", "id", "tile",
+                n_tiles=t, descending=desc, width=2,
+            ).select("id", "tile")
+            order = [F.col("v").desc() if desc else F.col("v").asc(),
+                     F.col("id").asc()]
+            flat = d.withColumn(
+                "tile", F.ntile(t).over(Window.orderBy(*order)).cast("long")
+            ).select("id", "tile")
+            assert got.exceptAll(flat).count() == 0, (n, t, desc)
+            assert flat.exceptAll(got).count() == 0, (n, t, desc)
