@@ -99,34 +99,34 @@ _PRIORITY = [
     "events_user_ewma", "graph_assortativity", "emb_int8_calibration",
     "graph_ppr", "chunk_dedup_stats", "corpus_lang_confusion",
     "vocab_zipf_spectrum",
-    # changed: own symbol differs since green round (2)
-    "events_rfm", "events_lateness_profile",
+    # changed: own symbol differs since green round (5)
+    "events_rfm", "events_lateness_profile", "quality_calibration_bins",
+    "shard_zonemap_prune", "shard_zorder_prune",
     # dep-impact: reachable symbol changed (11)
     "graph_clustering_coeff", "graph_triangle_count", "graph_ktruss",
     "graph_jaccard_neighbors", "graph_eccentricity_bounds",
     "graph_landmark_distances", "pack_sequences", "pack_sequences_sharded",
     "sample_temperature", "quality_percentile", "s2_cfamily_analyzer",
-    # cleared / fresh, oldest green first (head = next round's spill) (181)
+    # cleared / fresh, oldest green first (head = next round's spill) (178)
     "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
     "emb_matryoshka_overlap", "corpus_source_overlap", "dedup_semdedup",
     "er_fuzzy_name_pairs", "text_kn_bigram_logprob",
     "events_trigram_patterns", "text_rake_keywords", "events_outliers_mad",
-    "quality_calibration_bins", "events_changepoint", "mm_ppm_features",
-    "corpus_cross_entropy_shift", "emb_norm_outliers",
-    "source_template_overlap", "events_stickiness", "emb_centroid_drift",
-    "graph_mst_boruvka", "events_autocorrelation",
+    "events_changepoint", "mm_ppm_features", "corpus_cross_entropy_shift",
+    "emb_norm_outliers", "source_template_overlap", "events_stickiness",
+    "emb_centroid_drift", "graph_mst_boruvka", "events_autocorrelation",
     "corpus_simpson_diversity", "graph_butterfly_count", "graph_luby_mis",
-    "shard_zonemap_prune", "corpus_pmi_collocations",
-    "orders_basket_rules", "events_gini_engagement", "events_seasonality",
-    "events_markov_mixing", "events_forecast_backtest",
-    "orders_sla_division", "orders_ltv_triangle", "trade_flow_matrix",
-    "market_segment_share", "customers_prospects", "part_hierarchy_rollup",
+    "corpus_pmi_collocations", "orders_basket_rules",
+    "events_gini_engagement", "events_seasonality", "events_markov_mixing",
+    "events_forecast_backtest", "orders_sla_division",
+    "orders_ltv_triangle", "trade_flow_matrix", "market_segment_share",
+    "customers_prospects", "part_hierarchy_rollup",
     "events_scd2_dimension", "dq_referential_checks",
     "orders_benford_firstdigit", "graph_topological_layers",
     "events_concurrency_profile", "orders_purchase_intervals",
     "dq_k_anonymity", "graph_core_decomposition", "events_window_funnel",
     "events_slo_burn", "curation_gate_ablation", "dedup_cluster_sizes",
-    "shard_zorder_prune", "supply_risk_single_source", "shard_hash_ring",
+    "supply_risk_single_source", "shard_hash_ring",
     "events_bot_regularity", "events_latency_percentiles",
     "emb_silhouette_proxy", "graph_anf_sketch",
     "graph_resource_allocation", "graph_rich_club", "corpus_ks_lengths",

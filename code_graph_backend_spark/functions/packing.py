@@ -129,7 +129,7 @@ def exact_ntile(
     d: DataFrame,
     metric_col: str,
     n_col: str,
-    tie_col: str,
+    tie_col: str | list[str],
     out_col: str,
     n_tiles: int = 5,
     descending: bool = False,
@@ -150,11 +150,16 @@ def exact_ntile(
     which holds whenever it is reached: base = 0 implies n = r and every
     rank satisfies the WHEN). Bit-identical to a flat NTILE window —
     the oracle twin — at every scale, with no single-partition sort.
-    `n_col` must already hold the total row count (1-row broadcast)."""
+    `n_col` must already hold the total row count (1-row broadcast).
+    `tie_col` may be a list for composite tie-breaks (e.g. the z-order
+    layout ranks by (z, user_id, es)); rows still tied after every tie
+    column must be fully indistinguishable for the result to be
+    engine-independent — same as a flat NTILE over the same order."""
     sign = "-" if descending else ""
+    ties = [tie_col] if isinstance(tie_col, str) else list(tie_col)
     order = [
         F.col(metric_col).desc() if descending else F.col(metric_col).asc(),
-        F.col(tie_col).asc(),
+        *[F.col(t).asc() for t in ties],
     ]
     d = two_level_prefix_sum(
         d.withColumn("_nt_one", F.lit(1).cast("long"))

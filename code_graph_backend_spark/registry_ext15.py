@@ -108,13 +108,13 @@ def quality_calibration_bins_q(spark, sf_dir):
     shows n_pass/n rising monotonically with the bin. Scale shape: the
     two component plans are one corpus pass each (verified separately
     as quality_linear_score / gopher_quality_gates); the calibration
-    itself is a doc-id equi-join + one global 10-bucket window over the
-    per-doc score table + a 10-row agg. The global NTILE is a single
-    ordered pass over DOC-sized rows — at open-web scale you swap it
-    for percentile-derived bin boundaries (one hash-agg, the
-    corpus_length_deciles machinery) and a broadcast range join; the
-    10-row output is identical whenever scores are distinct at the
-    cuts."""
+    itself is a doc-id equi-join + exact_ntile deciles (functions/
+    packing.py: two-level prefix rank over score-range buckets + the
+    closed-form NTILE law — hash-exact vs the oracle's flat NTILE, no
+    single-partition sort; the r10 window tripwire's recursive
+    boundedness rule flagged the previous global NTILE here) + a
+    10-row agg."""
+    from .functions.packing import exact_ntile
     from .functions.text import gopher_quality_gates, linear_quality_score
 
     docs = read_table(spark, sf_dir, "documents")
@@ -123,8 +123,10 @@ def quality_calibration_bins_q(spark, sf_dir):
         "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("pass")
     )
     j = q.join(g, "doc_id")
-    b = j.withColumn(
-        "bin", F.ntile(10).over(Window.orderBy("logit_milli", "doc_id"))
+    nrow = j.agg(F.count("*").cast("long").alias("_n"))
+    b = exact_ntile(
+        j.crossJoin(F.broadcast(nrow)), "logit_milli", "_n", "doc_id",
+        "bin", n_tiles=10, width=2048,
     )
     return (
         b.groupBy("bin")

@@ -182,24 +182,27 @@ def shard_zonemap_prune_q(spark, sf_dir):
     Shape: ONE corpus pass to 64-row zone maps per layout, then all
     decisions on the 128-row dimension against a broadcast threshold
     list; rows_matched is a conditional one-pass agg (no corpus
-    replication). The NTILE global sort stands in for
-    repartitionByRange-at-write, which is how the clustered layout is
-    produced at scale (docstring contract, plan-identical zone maps)."""
+    replication). The by_length layout is cut with exact_ntile
+    (functions/packing.py: two-level prefix rank, no single-partition
+    sort — the r10 recursive window tripwire flagged the previous
+    global NTILE, whose broadcast-side max() Aggregate had masked it
+    from the flat subtree scan); the oracle keeps the flat NTILE, so
+    equality is the decomposition proof, and the shard cut is exactly
+    the repartitionByRange-at-write that produces the clustered layout
+    at scale."""
+    from .functions.packing import exact_ntile
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    mx = docs.agg(F.max("doc_id").alias("m"))
-    d = (
-        docs.crossJoin(F.broadcast(mx))
-        .withColumn(
-            "sh_ingest",
-            F.expr(f"(doc_id * {_ZM_SHARDS}) div (m + 1)").cast("long"),
-        )
-        .withColumn(
-            "sh_len",
-            (
-                F.ntile(_ZM_SHARDS).over(Window.orderBy("n_chars", "doc_id")) - 1
-            ).cast("long"),
-        )
+    mx = docs.agg(
+        F.max("doc_id").alias("m"), F.count("*").cast("long").alias("_n")
     )
+    d = exact_ntile(
+        docs.crossJoin(F.broadcast(mx)), "n_chars", "_n", "doc_id",
+        "_lt", n_tiles=_ZM_SHARDS, width=64,
+    )
+    d = d.withColumn(
+        "sh_ingest", F.expr(f"(doc_id * {_ZM_SHARDS}) div (m + 1)").cast("long")
+    ).withColumn("sh_len", (F.col("_lt") - 1).cast("long"))
     longf = d.select(
         F.expr(
             "stack(2, 'ingest', sh_ingest, 'by_length', sh_len)"

@@ -130,29 +130,40 @@ def shard_zorder_prune_q(spark, sf_dir):
     reverse; zorder prunes BOTH at ~sqrt efficiency — the Delta/Iceberg
     ZORDER argument as a measured table. The Morton code is one
     generated integer bit-interleave expression, identical text in
-    both engines; the NTILE sort stands in for the
-    repartitionByRange-at-write that produces each layout at scale."""
+    both engines; each 64-shard cut is an exact_ntile (functions/
+    packing.py: two-level prefix rank over order-aligned buckets + the
+    closed-form NTILE law — the oracle keeps the flat NTILEs, so
+    equality is the decomposition proof), i.e. exactly the
+    repartitionByRange-at-write that produces each layout at scale,
+    with no single-partition sort. Rows tied on a full (metric, ties)
+    order carry identical (user_id, es) and are exchangeable across a
+    shard boundary — zone maps are tie-invariant."""
+    from .functions.packing import exact_ntile
+
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", F.unix_timestamp("ts").alias("es")
     )
     mx = ev.agg(
         F.max("user_id").alias("mu"), F.min("es").alias("t0"),
-        F.max("es").alias("t1"),
+        F.max("es").alias("t1"), F.count("*").cast("long").alias("_n"),
     )
     nrm = ev.crossJoin(F.broadcast(mx)).select(
-        "user_id", "es", "mu", "t0", "t1",
+        "user_id", "es", "mu", "t0", "t1", "_n",
         F.expr(f"(user_id * {1 << _Z_BITS}) div (mu + 1)").alias("un"),
         F.expr(f"((es - t0) * {1 << _Z_BITS}) div (t1 - t0 + 1)").alias("tn"),
     )
     keyed = nrm.withColumn("z", F.expr(_morton_sql("un", "tn")))
+    keyed = exact_ntile(keyed, "es", "_n", ["user_id"], "_tt",
+                        n_tiles=_Z_SHARDS, width=86400)
+    keyed = exact_ntile(keyed, "user_id", "_n", ["es"], "_tu",
+                        n_tiles=_Z_SHARDS, width=64)
+    keyed = exact_ntile(keyed, "z", "_n", ["user_id", "es"], "_tz",
+                        n_tiles=_Z_SHARDS, width=1 << _Z_BITS)
     laid = keyed.select(
         "user_id", "es", "t0", "t1", "mu",
-        (F.ntile(_Z_SHARDS).over(Window.orderBy("es", "user_id")) - 1)
-        .cast("long").alias("sh_time"),
-        (F.ntile(_Z_SHARDS).over(Window.orderBy("user_id", "es")) - 1)
-        .cast("long").alias("sh_user"),
-        (F.ntile(_Z_SHARDS).over(Window.orderBy("z", "user_id", "es")) - 1)
-        .cast("long").alias("sh_z"),
+        (F.col("_tt") - 1).cast("long").alias("sh_time"),
+        (F.col("_tu") - 1).cast("long").alias("sh_user"),
+        (F.col("_tz") - 1).cast("long").alias("sh_z"),
     )
     longf = laid.select(
         F.expr(

@@ -455,28 +455,47 @@ _GLOBAL_WINDOW_ALLOWLIST = {
 }
 
 
-def _unbounded_global_windows(df) -> int:
-    """Count Window nodes with an EMPTY partitionSpec whose input subtree
-    contains no Aggregate / WindowGroupLimit / Limit — i.e. windows that
-    move corpus-proportional data to one partition (the WindowExec
-    'No Partition Defined' scale-killer)."""
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
+_BOUNDED_NODES = {"Aggregate", "WindowGroupLimit", "GlobalLimit", "LocalLimit"}
+_SMALL_LEAVES = {"LocalRelation", "Range", "OneRowRelation"}
 
+
+def _walk_plan(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_plan(ch.apply(i))
+
+
+def _bounded(node) -> bool:
+    """Row count flowing OUT of `node` is small at any corpus scale —
+    computed RECURSIVELY along the dataflow, not by scanning the subtree
+    for an Aggregate anywhere. The flat scan the r10 tripwire first
+    shipped had a hole: a 1-row max() Aggregate on the BROADCAST side of
+    a cross join made the whole subtree 'contain an Aggregate' while the
+    streamed side still flowed corpus-proportional rows into the Window
+    above (shard_zonemap_prune's NTILE(64) hid exactly there). Rules: an
+    agg/limit bounds its output; a join's output is bounded only if BOTH
+    inputs are (1-row x corpus = corpus); literal leaves (LocalRelation /
+    Range / OneRowRelation) are bounded; scans and cached relations are
+    not; unary nodes pass through; Union needs every child bounded."""
+    cls = node.getClass().getSimpleName()
+    if cls in _BOUNDED_NODES or cls in _SMALL_LEAVES:
+        return True
+    ch = node.children()
+    if ch.size() == 0:
+        return False
+    return all(_bounded(ch.apply(i)) for i in range(ch.size()))
+
+
+def _unbounded_global_windows(df) -> int:
+    """Count Window nodes with an EMPTY partitionSpec over unbounded
+    input — i.e. windows that move corpus-proportional data to one
+    partition (the WindowExec 'No Partition Defined' scale-killer)."""
     plan = df._jdf.queryExecution().optimizedPlan()
     bad = 0
-    for n in walk(plan):
+    for n in _walk_plan(plan):
         if n.getClass().getSimpleName() == "Window" and n.partitionSpec().isEmpty():
-            kinds = {
-                m.getClass().getSimpleName()
-                for m in walk(n.children().apply(0))
-            }
-            if not kinds & {
-                "Aggregate", "WindowGroupLimit", "GlobalLimit", "LocalLimit"
-            }:
+            if not _bounded(n.children().apply(0)):
                 bad += 1
     return bad
 
@@ -508,4 +527,53 @@ def test_no_unpartitioned_window_over_corpus_input(spark, qs):
     assert sorted(waived) == sorted(_GLOBAL_WINDOW_ALLOWLIST), (
         "allowlist rot — these no longer plan a global window and must "
         f"leave the list: {sorted(set(_GLOBAL_WINDOW_ALLOWLIST) - set(waived))}"
+    )
+
+
+def test_no_corpus_cartesian_join(spark, qs):
+    """Tripwire (r10 sweep, tools/plan_sweep.py): no registered query may
+    plan a condition-free Join whose BOTH inputs are unbounded and
+    neither side is explicitly broadcast-hinted. A shuffled corpus x
+    corpus cartesian is quadratic at any scale; a broadcast-hinted
+    cross of a literal dimension (the 7-lag / 3-threshold expand
+    pattern) is a deliberate map-side replicate and is waived by the
+    hint itself — the author asserted smallness where the optimizer
+    cannot see it (e.g. a persisted aggregate behind an
+    InMemoryRelation leaf)."""
+    offenders = []
+    for name, fn in qs.items():
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
+        for n in _walk_plan(plan):
+            if (
+                n.getClass().getSimpleName() == "Join"
+                and n.condition().isEmpty()
+                and "broadcast" not in n.hint().toString().lower()
+            ):
+                ch = n.children()
+                if not _bounded(ch.apply(0)) and not _bounded(ch.apply(1)):
+                    offenders.append(name)
+                    break
+    assert not offenders, (
+        "unhinted corpus-scale cartesian join in: " + ", ".join(sorted(offenders))
+    )
+
+
+def test_no_row_at_a_time_python_udf(spark, qs):
+    """Tripwire (r10 sweep): every Python-side computation in a
+    registered plan must cross the JVM boundary Arrow-batched
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas), never as a
+    row-pickling BatchEvalPython — the 10-100x slow path. Today the
+    registry plans ZERO BatchEvalPython nodes; this pins that at zero
+    with no allowlist."""
+    offenders = []
+    for name, fn in qs.items():
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
+        if any(
+            n.getClass().getSimpleName() == "BatchEvalPython"
+            for n in _walk_plan(plan)
+        ):
+            offenders.append(name)
+    assert not offenders, (
+        "row-at-a-time Python UDF (BatchEvalPython) in: "
+        + ", ".join(sorted(offenders))
     )

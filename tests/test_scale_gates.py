@@ -544,7 +544,25 @@ def test_two_level_prefix_kernels_at_2m_rows():
     t_tile = time.time() - t0
     assert diff_tile == 0
 
+    # --- exact NTILE(64) over (v, score, id) — composite ties ----------
+    # the shard_zorder_prune shape: heavy metric collisions resolved by
+    # TWO tie columns; (v, score, id) is a total order because id is
+    t0 = time.time()
+    tile2 = exact_ntile(base, "v", "_n", ["score", "id"], "tile",
+                        n_tiles=64, descending=False, width=16).select("id", "tile")
+    flat_t2 = d.withColumn(
+        "tile",
+        F.ntile(64).over(
+            Window.orderBy(F.col("v").asc(), F.col("score").asc(),
+                           F.col("id").asc())
+        ).cast("long"),
+    ).select("id", "tile")
+    diff_tile2 = tile2.exceptAll(flat_t2).count() + flat_t2.exceptAll(tile2).count()
+    t_tile2 = time.time() - t0
+    assert diff_tile2 == 0
+
     d.unpersist()
     print(f"\n[scale] two-level prefix kernels at {n:,} rows: "
-          f"sum {t_sum:.1f}s, max {t_max:.1f}s, ntile {t_tile:.1f}s — "
+          f"sum {t_sum:.1f}s, max {t_max:.1f}s, ntile {t_tile:.1f}s, "
+          f"multi-tie ntile64 {t_tile2:.1f}s — "
           f"all bit-equal to the flat single-partition twins")
