@@ -2013,3 +2013,27 @@ def test_java_wildcard_generic_bounds_parse_clean():
     assert sorted(r[9] for r in rows if r[0] == "call") == ["convert", "max"]
     assert [r[9] for r in rows if r[0] == "params" and r[2] == "remap"] == ["List"]
     assert [r[9] for r in rows if r[0] == "returns" and r[2] == "remap"] == ["Map"]
+
+
+def test_ground_truth_generator_campaign():
+    """Differential regression gate (r10): 150 random WELL-FORMED Java
+    and C# compilation units from the ground-truth generator
+    (tools/gen_truth_fuzz.py) — the generator tracks exactly which
+    (label, name, parent) entity triples the source declares, weaving
+    decoy declarations into comments, plain/verbatim/interpolated
+    strings and text blocks, so both phantom entities (tokenizer loses
+    string state) and missing ones (a header shape stops matching)
+    fail the set equality. The standing offline campaign is 20k units
+    per seed (0 mismatches at r10); this bounded deterministic slice
+    keeps the property pinned in-suite."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools"),
+    )
+    import gen_truth_fuzz
+
+    assert gen_truth_fuzz.run(150, 20260816) == 0

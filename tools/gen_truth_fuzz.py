@@ -1,0 +1,383 @@
+"""Grammar-directed differential fuzz for the C-family scanner.
+
+tools/fuzz_cfamily.py checks weak invariants (never raises, row shape,
+linearity) on token soup. This generator builds WELL-FORMED random Java
+compilation units while tracking the ground-truth entity set — every
+(label, name, parent) triple the scanner must emit and nothing else —
+then asserts set equality. Decoy declarations are woven into line/block
+comments, string literals and text blocks, so a tokenizer that loses
+string/comment state shows up as a phantom entity immediately.
+
+Scanner semantics pinned by tests/test_cfamily_analyzer.py and verified
+empirically before this generator was written:
+- class/record -> Class, interface -> Interface, enum -> Enum;
+- methods (including abstract/native/interface signatures) -> Method,
+  parent = the immediately enclosing type's simple name;
+- constructors (including record compact constructors) -> Constructor;
+- fields, static/instance initializer blocks, enum constants, lambdas
+  -> NO entity;
+- a LOCAL class declared in a method body parents to the METHOD name,
+  as do the members of an anonymous `new Iface() { ... }` body;
+- methods in an enum CONSTANT body parent to the enum itself;
+- sealed/permits headers and multi-line parameter lists parse as usual.
+
+Usage: python tools/gen_truth_fuzz.py [n_units (default 2000)] [seed]
+Mismatches print the generated source plus the expected/got diff —
+promote each into a pinned test.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TYPES = ["int", "long", "String", "double", "Object", "boolean"]
+ANNOS = ["@Override", "@Deprecated", '@SuppressWarnings("all")']
+DECOYS = [
+    "class Fake {{ void nope() {{}} }}",
+    "interface IFake {{ int bad(); }}",
+    "enum EFake {{ A, B }}",
+    "void phantom(int x) {{ }}",
+    "record RFake(int a) {{}}",
+]
+
+
+class _Gen:
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.n = 0
+        self.expected: set[tuple[str, str, str | None]] = set()
+        self.lines: list[str] = []
+
+    def fresh(self, prefix: str) -> str:
+        self.n += 1
+        return f"{prefix}{self.n}"
+
+    def decoy_line(self, indent: str) -> str:
+        r = self.rng
+        d = r.choice(DECOYS).format()
+        style = r.randrange(4)
+        if style == 0:
+            return f"{indent}// {d}"
+        if style == 1:
+            return f"{indent}/* {d} */"
+        if style == 2:
+            v = self.fresh("s")
+            return f'{indent}String {v} = "{d}";'
+        v = self.fresh("tb")
+        return f'{indent}String {v} = """\n{indent}    {d}\n{indent}    """;'
+
+    def method(self, indent: str, owner: str, iface: bool) -> None:
+        r = self.rng
+        name = self.fresh("m")
+        self.expected.add(("Method", name, owner))
+        anno = r.choice(ANNOS) + "\n" + indent if r.random() < 0.3 else ""
+        gen = "<T extends Number> " if r.random() < 0.2 else ""
+        ret = r.choice(TYPES + ["void", "T" if gen else "void"])
+        nargs = r.randrange(3)
+        params = ", ".join(
+            f"{r.choice(TYPES)}{'...' if r.random() < 0.1 and i == nargs - 1 else ''} p{i}"
+            for i in range(nargs)
+        )
+        throws = " throws Exception" if r.random() < 0.2 else ""
+        if r.random() < 0.15 and nargs >= 2:
+            # multi-line parameter list
+            params = f"\n{indent}    " + f",\n{indent}    ".join(
+                f"{r.choice(TYPES)} p{i}" for i in range(nargs)
+            ) + f"\n{indent}"
+        head = f"{indent}{anno}{'default ' if iface and r.random() < 0.4 else ''}{gen}{ret} {name}({params}){throws}"
+        if iface and r.random() < 0.5 and "default" not in head:
+            self.lines.append(head + ";")
+            return
+        body = []
+        if r.random() < 0.5:
+            body.append(f"{indent}    helper{r.randrange(9)}(1, 2);")
+        if r.random() < 0.3:
+            body.append(f'{indent}    String q = "void inString() {{}}";')
+        if r.random() < 0.3:
+            body.append(f"{indent}    Runnable rr = () -> other{r.randrange(9)}();")
+        if r.random() < 0.3:
+            body.append(
+                f"{indent}    if (p0 > 0) {{ switch (p0) {{ case 1 -> go(); default -> {{}} }} }}"
+                if nargs
+                else f"{indent}    do {{ }} while (false);"
+            )
+        if r.random() < 0.2:
+            # local class: parents to the METHOD name
+            lc = self.fresh("L")
+            lm = self.fresh("m")
+            self.expected.add(("Class", lc, name))
+            self.expected.add(("Method", lm, lc))
+            body.append(f"{indent}    class {lc} {{ void {lm}() {{ ping(); }} }}")
+        if r.random() < 0.2:
+            # anonymous class body: members parent to the METHOD name
+            am = self.fresh("m")
+            self.expected.add(("Method", am, name))
+            body.append(
+                f"{indent}    Runnable an = new Runnable() {{\n"
+                f"{indent}        public void {am}() {{ go(); }}\n"
+                f"{indent}    }};"
+            )
+        ret_stmt = (
+            f"{indent}    return {'null' if ret in ('String', 'Object', 'T') else ('true' if ret == 'boolean' else '0')};"
+            if ret != "void"
+            else ""
+        )
+        self.lines.append(head + " {")
+        self.lines.extend(body)
+        if ret_stmt:
+            self.lines.append(ret_stmt)
+        self.lines.append(f"{indent}}}")
+
+    def typedecl(self, indent: str, parent: str | None, depth: int) -> str:
+        r = self.rng
+        kind = r.choice(["class", "class", "interface", "enum", "record"])
+        name = self.fresh("T")
+        label = {"class": "Class", "record": "Class",
+                 "interface": "Interface", "enum": "Enum"}[kind]
+        self.expected.add((label, name, parent))
+        anno = f"{indent}{r.choice(ANNOS)}\n" if r.random() < 0.2 else ""
+        mods = r.choice(["", "public ", "final ", "static " if parent else "public "])
+        if kind in ("class", "interface") and r.random() < 0.15:
+            mods += "sealed "
+        head = f"{anno}{indent}{mods}{kind} {name}"
+        if kind in ("class", "interface") and r.random() < 0.2:
+            head += "<T1, T2 extends Comparable<? super T1>>"
+        if kind == "record":
+            head += f"({r.choice(TYPES)} a, {r.choice(TYPES)} b)"
+        if kind == "class" and r.random() < 0.3:
+            head += " extends Base"
+        if kind in ("class", "enum", "record") and r.random() < 0.3:
+            head += " implements Cmp"
+        elif kind == "interface" and r.random() < 0.3:
+            head += " extends Sup"
+        self.lines.append(head + " {")
+        inner = indent + "    "
+        if kind == "enum":
+            consts = []
+            for i in range(r.randrange(1, 4)):
+                c = f"C{i}"
+                if r.random() < 0.3:
+                    c += f"({i})"
+                if r.random() < 0.2:
+                    # constant body: its methods parent to the ENUM name
+                    hm = self.fresh("m")
+                    self.expected.add(("Method", hm, name))
+                    c += f" {{ void {hm}() {{ tick(); }} }}"
+                consts.append(c)
+            self.lines.append(f"{inner}{', '.join(consts)};")
+        if kind == "record" and r.random() < 0.4:
+            # compact canonical constructor
+            self.expected.add(("Constructor", name, name))
+            self.lines.append(f"{inner}{name} {{ check(a); }}")
+        for _ in range(r.randrange(4)):
+            pick = r.random()
+            if pick < 0.45:
+                self.method(inner, name, kind == "interface")
+            elif pick < 0.6 and kind == "class":
+                self.expected.add(("Constructor", name, name))
+                self.lines.append(
+                    f"{inner}{name}({r.choice(TYPES)} a) {{ this.f = a; setup(a); }}"
+                )
+            elif pick < 0.75:
+                self.lines.append(self.decoy_line(inner))
+            elif pick < 0.85 and kind != "interface":
+                self.lines.append(f"{inner}private {r.choice(TYPES)} f{self.n} = 0;")
+                self.n += 1
+            elif pick < 0.92 and kind == "class":
+                self.lines.append(
+                    f"{inner}{'static ' if r.random() < 0.5 else ''}{{ init(); }}"
+                )
+            elif depth < 2:
+                self.typedecl(inner, name, depth + 1)
+        self.lines.append(f"{indent}}}")
+        return name
+
+
+CS_TYPES = ["int", "long", "string", "double", "object", "bool"]
+CS_DECOYS = [
+    "class Fake { void Nope() {} }",
+    "interface IFake { int Bad(); }",
+    "struct SFake { }",
+    "void Phantom(int x) { }",
+]
+
+
+class _CsGen:
+    """C# arm. Extra pinned semantics (verified empirically): properties
+    (auto, expression-bodied), indexers, events, operators, delegates,
+    fields and LOCAL FUNCTIONS emit NO entity; expression-bodied METHODS
+    do; record positional parameters alone emit no Constructor (an
+    explicit one does); interpolated/verbatim strings with brace decoys
+    must not leak entities."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.n = 0
+        self.expected: set[tuple[str, str, str | None]] = set()
+        self.lines: list[str] = []
+
+    def fresh(self, prefix: str) -> str:
+        self.n += 1
+        return f"{prefix}{self.n}"
+
+    def decoy_line(self, indent: str) -> str:
+        r = self.rng
+        d = r.choice(CS_DECOYS)
+        style = r.randrange(4)
+        if style == 0:
+            return f"{indent}// {d}"
+        if style == 1:
+            return f"{indent}/* {d} */"
+        if style == 2:
+            v = self.fresh("s")
+            return f'{indent}string {v} = @"{d}";'
+        v = self.fresh("s")
+        return (
+            f'{indent}string {v} = $"{d.replace("{", "{{").replace("}", "}}")}'
+            f' {{this.n}}";'
+        )
+
+    def method(self, indent: str, owner: str, iface: bool) -> None:
+        r = self.rng
+        name = self.fresh("M")
+        self.expected.add(("Method", name, owner))
+        ret = r.choice(CS_TYPES + ["void"])
+        nargs = r.randrange(3)
+        params = ", ".join(
+            f"{r.choice(['', 'in ', 'ref ', 'out '])[:0 if i else None] or ''}"
+            f"{r.choice(CS_TYPES)} p{i}"
+            for i in range(nargs)
+        )
+        mods = "public " if not iface else ""
+        if r.random() < 0.15:
+            mods += "async "
+            ret = "Task" if ret == "void" else f"Task<{ret}>"
+        head = f"{indent}{mods}{ret} {name}({params})"
+        if iface and r.random() < 0.5:
+            self.lines.append(head + ";")
+            return
+        if r.random() < 0.3:
+            val = "1" if ret not in ("void", "Task") else None
+            if val and not ret.startswith("Task"):
+                self.lines.append(head + f" => Compute({val});")
+                return
+        body = []
+        if r.random() < 0.5:
+            body.append(f"{indent}    Helper{r.randrange(9)}(1, 2);")
+        if r.random() < 0.25:
+            body.append(f"{indent}    int Local() => 1; var z = Local();")
+        if r.random() < 0.25:
+            body.append(f"{indent}    var l = (int a) => a + 1;")
+        if r.random() < 0.25:
+            body.append(self.decoy_line(indent + "    "))
+        if "async" in mods:
+            body.append(f"{indent}    await Go();")
+        ret_stmt = (
+            f"{indent}    return default;"
+            if ret not in ("void", "Task")
+            else ""
+        )
+        self.lines.append(head + " {")
+        self.lines.extend(body)
+        if ret_stmt:
+            self.lines.append(ret_stmt)
+        self.lines.append(f"{indent}}}")
+
+    def typedecl(self, indent: str, parent: str | None, depth: int) -> str:
+        r = self.rng
+        kind = r.choice(["class", "class", "struct", "interface", "enum", "record"])
+        name = self.fresh("T")
+        label = {"class": "Class", "record": "Class", "struct": "Struct",
+                 "interface": "Interface", "enum": "Enum"}[kind]
+        self.expected.add((label, name, parent))
+        mods = r.choice(["public ", "internal ", ""])
+        if kind == "class" and r.random() < 0.15:
+            mods += r.choice(["sealed ", "abstract ", "partial "])
+        head = f"{indent}{mods}{kind} {name}"
+        if kind == "record" and r.random() < 0.6:
+            head += f"({r.choice(CS_TYPES)} A, {r.choice(CS_TYPES)} B)"
+        if kind in ("class", "record") and r.random() < 0.3:
+            head += " : Base, IFoo"
+        elif kind == "interface" and r.random() < 0.3:
+            head += " : ISup"
+        if kind == "enum":
+            self.lines.append(head + " { One, Two }")
+            return name
+        self.lines.append(head + " {")
+        inner = indent + "    "
+        for _ in range(r.randrange(4)):
+            pick = r.random()
+            if pick < 0.4:
+                self.method(inner, name, kind == "interface")
+            elif pick < 0.55 and kind in ("class", "struct", "record"):
+                self.expected.add(("Constructor", name, name))
+                chain = (
+                    " : this(0, 0)" if kind == "record" and "(" in head
+                    else (" : base()" if r.random() < 0.3 and kind == "class" else "")
+                )
+                self.lines.append(
+                    f"{inner}public {name}(int a, int b){chain} {{ Setup(a); }}"
+                )
+            elif pick < 0.7:
+                # no-entity members: property / event / field / indexer
+                m = r.randrange(4)
+                if m == 0:
+                    self.lines.append(
+                        f"{inner}public int P{self.n} {{ get; set; }}"
+                    )
+                elif m == 1 and kind != "interface":
+                    self.lines.append(f"{inner}public event Action On{self.n};")
+                elif m == 2 and kind != "interface":
+                    self.lines.append(f"{inner}private int f{self.n} = 0;")
+                else:
+                    self.lines.append(
+                        f"{inner}public int this[int i] => i * {self.n + 1};"
+                    )
+                self.n += 1
+            elif pick < 0.85:
+                self.lines.append(self.decoy_line(inner))
+            elif depth < 2 and kind != "interface":
+                self.typedecl(inner, name, depth + 1)
+        self.lines.append(f"{indent}}}")
+        return name
+
+
+def run(n_units: int, seed: int) -> int:
+    from code_graph_backend_spark.sources.cfamily_analyzer import (
+        parse_csharp_source,
+        parse_java_source,
+    )
+
+    rng = random.Random(seed)
+    failures = 0
+    for i in range(n_units):
+        for gen_cls, parse, fname in (
+            (_Gen, parse_java_source, "G.java"),
+            (_CsGen, parse_csharp_source, "G.cs"),
+        ):
+            g = gen_cls(random.Random(rng.randrange(1 << 30)))
+            for _ in range(g.rng.randrange(1, 4)):
+                g.typedecl("", None, 0)
+            src = "\n".join(g.lines) + "\n"
+            rows = parse(fname, src)
+            got = {(r[1], r[2], r[7]) for r in rows if r[0] == "entity"}
+            if got != g.expected:
+                failures += 1
+                print(f"=== MISMATCH unit {i} ({fname}) ===")
+                print(src)
+                print("missing:", sorted(g.expected - got))
+                print("phantom:", sorted(got - g.expected))
+                if failures >= 5:
+                    return failures
+    return failures
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
+    bad = run(n, seed)
+    print(f"ground-truth fuzz: {n} units, {bad} mismatches")
