@@ -908,6 +908,18 @@ _C_TYPE_QUALS = ("const", "struct", "union", "enum", "unsigned", "signed",
                  "volatile", "register", "restrict", "static", "inline")
 
 _C_STRUCT_RE = re.compile(r"\bstruct\s+([A-Za-z_]\w*)\s*\{")
+# C function-definition head: one or more type words each followed by
+# whitespace and/or `*`s, then the function name, then `(`. Unlike the
+# shared _METHOD_RE (Java/C# — no pointer types), this admits pointer
+# returns: `void *fn(`, `char **fn(`, `struct Node *fn(`, `void*fn(`.
+# Found by the ground-truth generator campaign (tools/gen_truth_fuzz.py,
+# r10): every pointer-returning definition was silently skipped because
+# `\s+` in _METHOD_RE cannot cross the `*`s. A `type (*name(args))(args)`
+# function-pointer-returning declarator stays uncaptured (the name is
+# preceded by `(*`, not type words) — the documented agreed absence.
+_C_FN_RE = re.compile(
+    r"((?:[A-Za-z_]\w*[\s*]+)+?)([A-Za-z_]\w*)\s*\("
+)
 # a preprocessor directive line, following backslash continuations —
 # tree-sitter-c parses `#define MAX(a,b) ...` as preproc_function_def,
 # never function_definition, so directive text must not reach the
@@ -965,11 +977,10 @@ def parse_c_source(path: str, source: str) -> list[tuple]:
             None, None, None, None, None,
         ))
 
-    for m in _METHOD_RE.finditer(cleaned):
-        ret, name = m.group(1), m.group(3)
-        if "." in m.group(2):
-            continue  # dotted names are C#-only (no such C declaration)
-        ret_base = ret.split("<")[0].split(".")[-1].strip()
+    for m in _C_FN_RE.finditer(cleaned):
+        ret, name = m.group(1).strip(), m.group(2)
+        ret_words = ret.replace("*", " ").split()
+        ret_base = ret_words[-1] if ret_words else ""
         if name in _C_KEYWORDS or ret_base in ("return", "sizeof", "else",
                                                "typedef", "goto", "case"):
             continue

@@ -2037,3 +2037,36 @@ def test_ground_truth_generator_campaign():
     import gen_truth_fuzz
 
     assert gen_truth_fuzz.run(150, 20260816) == 0
+
+
+def test_c_pointer_return_definitions_are_functions():
+    """Pointer-returning C definitions are function_definition nodes in
+    tree-sitter exactly like value-returning ones; the shared Java/C#
+    _METHOD_RE cannot cross the `*`s, which silently dropped every
+    `type *fn(...)` definition (found by the r10 ground-truth generator
+    campaign — tools/gen_truth_fuzz.py). The C matcher now owns its own
+    head regex. Function-pointer-RETURNING declarators
+    (`int (*fn(args))(int)`) stay uncaptured — documented agreed
+    absence, the name sits behind `(*`, not type words."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import parse_c_source
+
+    src = (
+        "void *alloc_buf(size_t n) { return malloc(n); }\n"
+        "char **split_args(const char *s) { return dup(s); }\n"
+        "struct Node *head(struct List *l) { return l->first; }\n"
+        "void*tight(void) { return 0; }\n"
+        "typedef int (*cb)(const void *, int);\n"
+        "static int fwd_decl(int a);\n"
+        "int (*get_handler(int sig))(int) { return 0; }\n"
+    )
+    rows = parse_c_source("p.c", src)
+    ents = {(r[1], r[2]) for r in rows if r[0] == "entity"}
+    assert ents == {
+        ("Function", "alloc_buf"),
+        ("Function", "split_args"),
+        ("Function", "head"),
+        ("Function", "tight"),
+    }
+    rets = {(r[2], r[9]) for r in rows if r[0] == "returns"}
+    assert ("split_args", "char") in rets
+    assert ("head", "Node") in rets

@@ -346,8 +346,120 @@ class _CsGen:
         return name
 
 
+C_TYPES = [
+    "int", "long", "double", "char *", "void *", "size_t",
+    "char **", "const char *", "struct Node *", "unsigned long",
+]
+C_DECOYS = [
+    "int fake_fn(void) { return 0; }",
+    "struct Fake { int x; };",
+    "void phantom(int a) { }",
+]
+
+
+class _CGen:
+    """C arm. Pinned semantics (verified empirically; the reference's C
+    analyzer is disabled upstream, so this scanner's own documented
+    behavior is the spec): function DEFINITIONS -> Function and
+    top-level struct definitions -> Struct, both parentless; unions,
+    enums, typedef aliases, macros (including multi-line function-like
+    macros), forward declarations, globals, function-pointer typedefs,
+    and struct definitions nested in structs or function bodies emit NO
+    entity."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.n = 0
+        self.expected: set[tuple[str, str, str | None]] = set()
+        self.lines: list[str] = []
+
+    def fresh(self, prefix: str) -> str:
+        self.n += 1
+        return f"{prefix}{self.n}"
+
+    def decoy_line(self, indent: str) -> str:
+        r = self.rng
+        d = r.choice(C_DECOYS)
+        style = r.randrange(3)
+        if style == 0:
+            return f"{indent}// {d}"
+        if style == 1:
+            return f"{indent}/* {d} */"
+        v = self.fresh("s")
+        return f'{indent}const char *{v} = "{d}";'
+
+    def func(self) -> None:
+        r = self.rng
+        name = self.fresh("fn")
+        self.expected.add(("Function", name, None))
+        ret = r.choice(C_TYPES + ["void"])
+        mods = r.choice(["", "static ", "static inline "])
+        nargs = r.randrange(3)
+        params = ", ".join(
+            f"{r.choice(C_TYPES)} p{i}" for i in range(nargs)
+        ) or "void"
+        self.lines.append(f"{mods}{ret} {name}({params}) {{")
+        if r.random() < 0.5:
+            self.lines.append(f"    use{r.randrange(9)}(1, 2);")
+        if r.random() < 0.25:
+            self.lines.append("    struct LocalS { int l; } v; v.l = 1;")
+        if r.random() < 0.25:
+            self.lines.append(self.decoy_line("    "))
+        if r.random() < 0.3:
+            self.lines.append(f"    for (int i = 0; i < {self.n}; i++) {{ tick(i); }}")
+        if ret != "void":
+            self.lines.append("    return 0;")
+        self.lines.append("}")
+
+    def top(self) -> None:
+        r = self.rng
+        pick = r.random()
+        if pick < 0.45:
+            self.func()
+        elif pick < 0.6:
+            name = self.fresh("S")
+            self.expected.add(("Struct", name, None))
+            inner = " struct In { int i; } in;" if r.random() < 0.2 else ""
+            td = r.random() < 0.5
+            if td:
+                self.lines.append(
+                    f"typedef struct {name} {{ int a;{inner} }} {name};"
+                )
+            else:
+                self.lines.append(f"struct {name} {{ int a;{inner} }};")
+        elif pick < 0.7:
+            # no-entity type shapes
+            m = r.randrange(4)
+            if m == 0:
+                self.lines.append(f"typedef union U{self.n} {{ int i; float f; }} U{self.n};")
+            elif m == 1:
+                self.lines.append(f"enum E{self.n} {{ A{self.n}, B{self.n} }};")
+            elif m == 2:
+                self.lines.append(f"typedef int (*cb{self.n})(const void *, int);")
+            else:
+                self.lines.append(f"static int g{self.n} = 0;")
+            self.n += 1
+        elif pick < 0.85:
+            m = r.randrange(3)
+            if m == 0:
+                self.lines.append(f"#define SQ{self.n}(x) ((x)*(x))")
+            elif m == 1:
+                self.lines.append(
+                    f"#define LONG{self.n}(x) \\\n    do {{ use(x); }} while (0)"
+                )
+            else:
+                self.lines.append(f"static int fwd{self.n}(int a);")
+            self.n += 1
+        else:
+            self.lines.append(self.decoy_line(""))
+
+    def typedecl(self, indent: str, parent, depth: int) -> None:  # API parity
+        self.top()
+
+
 def run(n_units: int, seed: int) -> int:
     from code_graph_backend_spark.sources.cfamily_analyzer import (
+        parse_c_source,
         parse_csharp_source,
         parse_java_source,
     )
@@ -358,6 +470,7 @@ def run(n_units: int, seed: int) -> int:
         for gen_cls, parse, fname in (
             (_Gen, parse_java_source, "G.java"),
             (_CsGen, parse_csharp_source, "G.cs"),
+            (_CGen, parse_c_source, "g.c"),
         ):
             g = gen_cls(random.Random(rng.randrange(1 << 30)))
             for _ in range(g.rng.randrange(1, 4)):
