@@ -577,3 +577,38 @@ def test_no_row_at_a_time_python_udf(spark, qs):
         "row-at-a-time Python UDF (BatchEvalPython) in: "
         + ", ".join(sorted(offenders))
     )
+
+
+def test_shuffle_count_never_regresses(spark, qs):
+    """Fleet-wide shuffle-budget gate (r10): every registered query's
+    static shuffle-exchange count (hash/range/single-partition Exchange
+    in the pre-execution physical plan; BroadcastExchange excluded) must
+    stay <= the committed cold-session baseline
+    (tests/plan_shuffle_baseline.json, generated by
+    `python tools/plan_sweep.py --exchanges`, deterministic across fresh
+    sessions). <= not ==, because in-suite cache warm-state can only
+    REMOVE exchanges (an InMemoryTableScan replaces a subtree); any edit
+    that introduces an extra shuffle anywhere in the 234 plans fails
+    here with the offending query named. After a deliberate plan change,
+    regenerate the baseline and justify the movers in the commit."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from plan_sweep import shuffle_exchanges
+
+    with open(os.path.join(repo, "tests", "plan_shuffle_baseline.json")) as f:
+        baseline = json.load(f)
+    assert set(baseline) == set(qs), (
+        "baseline rot — regenerate tools/plan_sweep.py --exchanges: "
+        f"only-in-baseline={sorted(set(baseline) - set(qs))[:5]} "
+        f"missing={sorted(set(qs) - set(baseline))[:5]}"
+    )
+    over = {}
+    for name, fn in qs.items():
+        got = shuffle_exchanges(fn(spark, SF))
+        if got > baseline[name]:
+            over[name] = (baseline[name], got)
+    assert not over, f"shuffle-count regressions (baseline, got): {over}"

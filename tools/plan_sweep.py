@@ -104,6 +104,34 @@ def sweep(spark, sf_dir):
     return out
 
 
+def shuffle_exchanges(df) -> int:
+    """Shuffle-boundary count in the physical plan (hash / range /
+    single-partition Exchange). BroadcastExchange is excluded — it is
+    the cheap strategy this repo reaches for on purpose, and a
+    broadcast-to-shuffle strategy regression surfaces as +1 here
+    anyway. Counted on the pre-execution plan (AQE initial), so it is
+    the STATIC worst case; cache hits only remove exchanges, which is
+    why the suite gate asserts <= against a cold-session baseline."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+def sweep_exchanges(spark, sf_dir) -> dict[str, int]:
+    import __spark_entry__ as entry
+
+    out = {}
+    for name, fn in entry.queries().items():
+        try:
+            out[name] = shuffle_exchanges(fn(spark, sf_dir))
+        except Exception:
+            out[name] = -1
+    return out
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -116,7 +144,11 @@ def main():
         .getOrCreate()
     )
     try:
-        print(json.dumps(sweep(spark, sf_dir), indent=1, sort_keys=True))
+        if "--exchanges" in sys.argv:
+            print(json.dumps(sweep_exchanges(spark, sf_dir), indent=1,
+                             sort_keys=True))
+        else:
+            print(json.dumps(sweep(spark, sf_dir), indent=1, sort_keys=True))
     finally:
         spark.stop()
 
