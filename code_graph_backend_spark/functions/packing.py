@@ -57,24 +57,41 @@ def two_level_prefix_sum(
 
       cum(row) = bucket_offset(bucket) + cum_within_bucket(row)
 
-    where (1) cum_within_bucket is a PARTITIONED window (parallel across
-    buckets), (2) bucket offsets come from one window over the BUCKET
-    TOTALS aggregate — bucket-count-sized input (thousands of rows where
-    the corpus has billions), the only acceptable home for an
-    empty-partition window (tests/test_plans.py's unpartitioned-window
-    tripwire encodes exactly this rule) — and (3) the offsets broadcast
-    back. Exact decomposition: equality with the oracle's flat cumsum at
-    every scale is the correctness proof. Inclusive (running total
-    through the current row); skew note: one bucket holding a hot tie
-    group serializes within that bucket only — pick the bucket width so
-    value ranges split ties where the key allows it."""
+    where (1) the input is EXPLICITLY repartitioned on the bucket — a
+    user-requested exchange the optimizer will not prune — and BOTH the
+    cum_within_bucket window and the bucket-totals aggregate read that
+    one exchange in place (the window's required distribution and the
+    agg's grouping are already satisfied, so neither plans a shuffle of
+    its own and the two branches canonicalize to the same Exchange:
+    Spark executes it once and plans a ReusedExchange for the second
+    reference — the caller's input subtree is evaluated ONCE. Before
+    r10 the totals branch re-derived the input through its own
+    partial-agg exchange, so the static plan evaluated the whole input
+    subtree TWICE — two corpus scans for token_budget_select, EIGHT for
+    quality_calibration_bins' two text pipelines — found by the shuffle
+    census, tools/plan_sweep.py --exchanges; an in-kernel persist was
+    tried first and rejected: chained calls nest InMemoryRelations and
+    the planning/codegen blowup costs far more than it saves); (2)
+    cum_within_bucket is a PARTITIONED window (parallel across
+    buckets); (3) bucket offsets come from one window over the
+    bucket-totals aggregate — bucket-count-sized input (thousands of
+    rows where the corpus has billions), the only acceptable home for
+    an empty-partition window (tests/test_plans.py's
+    unpartitioned-window tripwire encodes exactly this rule) — and (4)
+    the offsets broadcast back. Exact decomposition: equality with the
+    oracle's flat cumsum at every scale is the correctness proof.
+    Inclusive (running total through the current row); skew note: one
+    bucket holding a hot tie group serializes within that bucket only —
+    pick the bucket width so value ranges split ties where the key
+    allows it."""
     wb = (
         Window.partitionBy(bucket_col)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    d = d.withColumn("_cum_in_bucket", F.sum(value_col).over(wb))
+    d = d.repartition(F.col(bucket_col))
     totals = d.groupBy(bucket_col).agg(F.sum(value_col).alias("_btot"))
+    d = d.withColumn("_cum_in_bucket", F.sum(value_col).over(wb))
     wo = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "_boff", F.coalesce(F.sum("_btot").over(wo), F.lit(0))
@@ -95,19 +112,22 @@ def two_level_prefix_max(
 ) -> DataFrame:
     """Distributed global RUNNING MAX over an arbitrary total order —
     the max-monoid twin of two_level_prefix_sum (same order-aligned
-    bucket contract, same shape): per-bucket running max (partitioned
-    window), one window over the bucket MAXIMA aggregate for the
-    carry-in from all earlier buckets (exclusive prefix-max, null for
-    the first bucket), broadcast back, combine with GREATEST. This is
-    the 'shard-local running max + prefix-max of shard boundary
+    bucket contract, same shape, same shared explicit bucket
+    repartition read by both branches via ReusedExchange — one
+    evaluation of `d`, one shuffle): per-bucket running max
+    (partitioned window), one window over the bucket MAXIMA aggregate
+    for the carry-in from all earlier buckets (exclusive prefix-max,
+    null for the first bucket), broadcast back, combine with GREATEST.
+    This is the 'shard-local running max + prefix-max of shard boundary
     maxima' recipe the lateness profile documents."""
     wb = (
         Window.partitionBy(bucket_col)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    d = d.withColumn("_max_in_bucket", F.max(value_col).over(wb))
+    d = d.repartition(F.col(bucket_col))
     totals = d.groupBy(bucket_col).agg(F.max(value_col).alias("_bmax"))
+    d = d.withColumn("_max_in_bucket", F.max(value_col).over(wb))
     wo = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn("_bcarry", F.max("_bmax").over(wo)).select(
         bucket_col, "_bcarry"
