@@ -62,9 +62,12 @@ def two_level_prefix_sum(
     cum_within_bucket window and the bucket-totals aggregate read that
     one exchange in place (the window's required distribution and the
     agg's grouping are already satisfied, so neither plans a shuffle of
-    its own and the two branches canonicalize to the same Exchange:
-    Spark executes it once and plans a ReusedExchange for the second
-    reference — the caller's input subtree is evaluated ONCE. Before
+    its own; the STATIC plan carries the two branches as two identical
+    Exchange copies — no ReusedExchange node appears pre-execution —
+    and they are deduplicated at RUNTIME by AQE exchange/stage reuse
+    (or by the ReuseExchange rule with AQE off), so the caller's input
+    subtree is evaluated once at execution while the plan_sweep census
+    counts both static copies. Before
     r10 the totals branch re-derived the input through its own
     partial-agg exchange, so the static plan evaluated the whole input
     subtree TWICE — two corpus scans for token_budget_select, EIGHT for
@@ -83,7 +86,16 @@ def two_level_prefix_sum(
     Inclusive (running total through the current row); skew note: one
     bucket holding a hot tie group serializes within that bucket only —
     pick the bucket width so value ranges split ties where the key
-    allows it."""
+    allows it.
+
+    PRECONDITION: `bucket_col` (and hence the metric it derives from)
+    must be NON-NULL on every row. The offsets join back to the data is
+    an inner equi-join on the bucket key, so a NULL bucket row would be
+    silently DROPPED here — whereas a flat NTILE/window oracle would
+    rank nulls first. Every current call site derives the bucket from a
+    non-null metric; a future nullable call site must pre-filter or
+    null-fill the metric (or switch this join to eqNullSafe and define
+    where the null bucket sits in the global order)."""
     wb = (
         Window.partitionBy(bucket_col)
         .orderBy(*order_by)
@@ -112,9 +124,11 @@ def two_level_prefix_max(
 ) -> DataFrame:
     """Distributed global RUNNING MAX over an arbitrary total order —
     the max-monoid twin of two_level_prefix_sum (same order-aligned
-    bucket contract, same shape, same shared explicit bucket
-    repartition read by both branches via ReusedExchange — one
-    evaluation of `d`, one shuffle): per-bucket running max
+    bucket contract, same NON-NULL bucket/metric precondition, same
+    shape, same shared explicit bucket repartition read by both
+    branches — two identical static Exchange copies deduplicated at
+    runtime by AQE stage reuse, one evaluation of `d`): per-bucket
+    running max
     (partitioned window), one window over the bucket MAXIMA aggregate
     for the carry-in from all earlier buckets (exclusive prefix-max,
     null for the first bucket), broadcast back, combine with GREATEST.

@@ -43,10 +43,18 @@ _LOCAL_E_CAP = 5_000_000
 # BFS off the resident graph cache, and each was re-running it —
 # which also made their suite cost depend on rotation order. Keyed by
 # object identity of the resident tables; values pin the sources so
-# id() cannot be recycled; oldest-first eviction with unpersist
-# (operators/undirected._evict_oldest rationale).
+# id() cannot be recycled; oldest-first eviction (operators/
+# undirected._evict_oldest rationale) — but the unpersist is DEFERRED
+# one eviction generation (ADVICE r10): a caller that received the
+# memoized DataFrame may still be mid-action when a later call with
+# fresh params evicts it, and an immediate unpersist would silently
+# drop its cached blocks (recompute, not corruption — but the memo's
+# whole purpose is not recomputing). Evicted entries park in
+# _LD_RETIRED and are only unpersisted on the NEXT eviction cycle, by
+# which point any consumer of the previous generation has returned.
 _LD_MEMO: dict = {}
 _LD_CAP = 8
+_LD_RETIRED: list = []
 
 
 def landmark_distances(
@@ -71,12 +79,19 @@ def landmark_distances(
     out = _landmark_distances_uncached(
         nodes, edges, n_landmarks, hops, local_caps
     ).persist()
-    while len(_LD_MEMO) >= _LD_CAP:
-        _, _, old = _LD_MEMO.pop(next(iter(_LD_MEMO)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    if len(_LD_MEMO) >= _LD_CAP:
+        # drain the PREVIOUS generation's retirees first — anything
+        # parked there was evicted at least one call ago and no
+        # in-flight consumer can still hold it (calls are synchronous)
+        for old in _LD_RETIRED:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _LD_RETIRED.clear()
+        while len(_LD_MEMO) >= _LD_CAP:
+            _, _, old = _LD_MEMO.pop(next(iter(_LD_MEMO)))
+            _LD_RETIRED.append(old)
     _LD_MEMO[key] = ((nodes, edges), key, out)
     return out
 

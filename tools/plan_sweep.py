@@ -110,8 +110,11 @@ def shuffle_exchanges(df) -> int:
     the cheap strategy this repo reaches for on purpose, and a
     broadcast-to-shuffle strategy regression surfaces as +1 here
     anyway. Counted on the pre-execution plan (AQE initial), so it is
-    the STATIC worst case; cache hits only remove exchanges, which is
-    why the suite gate asserts <= against a cold-session baseline."""
+    the STATIC worst case and deterministic for a cold session — which
+    is why the suite gate (test_shuffle_count_never_regresses) asserts
+    strict EQUALITY against the committed cold-session baseline: an
+    increase is a regression, and a decrease (a silent improvement)
+    must refresh the baseline in the same commit."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return (
         plan.count("Exchange hashpartitioning")
