@@ -363,6 +363,7 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
 
     # ---- type declarations (+ their body spans) ----------------------------
     types = []  # (kind, name, decl_off, open_off, close_off)
+    anno_iface_bodies: set[int] = set()  # `{` offsets of skipped @interface bodies
     for m in _TYPE_DECL_RE.finditer(cleaned):
         kind, name = m.group(1), m.group(2)
         scan_from = m.end()
@@ -378,6 +379,19 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
             scan_from = m.end() + mm2.end()
         if kind == "struct" and not is_cs:
             continue
+        if is_cs and kind in ("class", "struct"):
+            # generic-constraint TARGET, not a declaration: in
+            # `where T : class` / `where T : struct` the keyword is
+            # preceded by `:` (or `,` in a constraint list), and when it
+            # sits at line end the next line's first word would be
+            # captured as a phantom type name (`where T1 : class\n
+            # where T2 : ...` → "Class where"). tree-sitter parses these
+            # as type_parameter_constraint, never a declaration.
+            k = m.start() - 1
+            while k >= 0 and cleaned[k].isspace():
+                k -= 1
+            if k >= 0 and cleaned[k] in ":,":
+                continue
         if kind == "interface":
             # Java `@interface X` is an annotation_type_declaration in
             # tree-sitter, NOT interface_declaration — the reference emits
@@ -388,6 +402,14 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
             while k >= 0 and cleaned[k].isspace():
                 k -= 1
             if k >= 0 and cleaned[k] == "@":
+                # remember the body span: inside an ENUM, the constant-body
+                # pass would otherwise read `@interface Meta {` as a
+                # constant body (open brace preceded by an identifier) and
+                # admit its brace-defaulted elements
+                # (`int[] nums() default { 1, 2 };`) as enum methods
+                ao = cleaned.find("{", m.end())
+                if ao >= 0 and ao in braces:
+                    anno_iface_bodies.add(ao)
                 continue
         open_off = cleaned.find("{", scan_from)
         if kind in ("record", "record_struct"):
@@ -629,6 +651,7 @@ def _parse_cfamily(path: str, source: str, lang: str) -> list[tuple]:
             if (
                 cleaned[i] != "{" or depth_at[i] != bd
                 or i not in braces or i in method_bodies
+                or i in anno_iface_bodies
             ):
                 continue
             k = i - 1

@@ -2070,3 +2070,85 @@ def test_c_pointer_return_definitions_are_functions():
     rets = {(r[2], r[9]) for r in rows if r[0] == "returns"}
     assert ("split_args", "char") in rets
     assert ("head", "Node") in rets
+
+
+def test_csharp_constraint_target_class_struct_not_phantom_types():
+    """`where T : class` / `where T : struct` constraint TARGETS at line
+    end followed by another word matched _TYPE_DECL_RE and emitted a
+    phantom type named after the next token ("Class where") — found by
+    the r11 ground-truth generator campaign (tools/gen_truth_fuzz.py).
+    tree-sitter parses constraint targets as type_parameter_constraint,
+    never a declaration, so the scanner now skips class/struct keywords
+    preceded by `:` or `,`."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import (
+        parse_csharp_source,
+    )
+
+    src = (
+        "public interface IMulti<T1, T2>\n"
+        "    where T1 : class\n"
+        "    where T2 : IList<List<T1>> {\n"
+        "    List<Dictionary<T1, T2>> Zip(IReadOnlyList<T1> a);\n"
+        "}\n"
+        "public class Next<T>\n"
+        "    where T : struct\n"
+        "{\n"
+        "    public int M() { return 0; }\n"
+        "}\n"
+        "public class Multi<T, U> where T : class, new()\n"
+        "    where U : struct\n"
+        "{\n"
+        "    public U N(T a) { return default; }\n"
+        "}\n"
+        "class Plain : Base, IFoo {\n"
+        "    void P() { }\n"
+        "}\n"
+    )
+    rows = parse_csharp_source("w.cs", src)
+    ents = {(r[1], r[2], r[7]) for r in rows if r[0] == "entity"}
+    assert ents == {
+        ("Interface", "IMulti", None),
+        ("Class", "Next", None),
+        ("Class", "Multi", None),
+        ("Class", "Plain", None),
+        ("Method", "Zip", "IMulti"),
+        ("Method", "M", "Next"),
+        ("Method", "N", "Multi"),
+        ("Method", "P", "Plain"),
+    }
+
+
+def test_java_annotation_type_in_enum_body_leaks_no_members():
+    """A nested `@interface` inside an ENUM body was read by the
+    enum-constant-body pass as a constant body (open brace preceded by
+    an identifier), so its brace-defaulted elements
+    (`int[] nums() default { 1, 2 };`) leaked as phantom enum methods —
+    found by the r11 ground-truth generator campaign. tree-sitter
+    parses `@interface` as annotation_type_declaration, which the
+    reference never captures (java/analyzer.py:21-38), so neither the
+    annotation type nor any of its elements may emit an entity."""
+    from code_graph_backend_spark.sources.cfamily_analyzer import (
+        parse_java_source,
+    )
+
+    src = (
+        "public enum Mode implements Cmp {\n"
+        "    A, B(1), C { void tickle() { tick(); } };\n"
+        '    @interface Meta { String value() default "x";'
+        " int[] nums() default { 1, 2 }; }\n"
+        "    int real(long p0) { return 0; }\n"
+        "}\n"
+        "class Holder {\n"
+        '    @interface M2 { int[] ns() default { 3 }; String s() default "y"; }\n'
+        "    void keep() { }\n"
+        "}\n"
+    )
+    rows = parse_java_source("e.java", src)
+    ents = {(r[1], r[2], r[7]) for r in rows if r[0] == "entity"}
+    assert ents == {
+        ("Enum", "Mode", None),
+        ("Method", "tickle", "Mode"),
+        ("Method", "real", "Mode"),
+        ("Class", "Holder", None),
+        ("Method", "keep", "Holder"),
+    }

@@ -21,6 +21,21 @@ empirically before this generator was written:
 - methods in an enum CONSTANT body parent to the enum itself;
 - sealed/permits headers and multi-line parameter lists parse as usual.
 
+r11 tranche (each family found-or-verified against the scanner, two
+defects promoted to pinned fixtures in tests/test_cfamily_analyzer.py):
+- Java sealed types now carry PERMITS lists (inline and wrapped
+  multi-line), plus the non-sealed modifier;
+- annotation-heavy declarations: stacked annotations, brace-array
+  arguments (`@Anno2({ 1, 2, 3 })`), multi-line annotations with NESTED
+  annotations inside brace arrays (@Table/@Index), parameter
+  annotations; nested `@interface` declarations as no-entity decoys —
+  found the enum-body leak (annotation elements with brace defaults
+  read as enum methods);
+- C# generic headers with `where` constraint clauses on types and
+  methods (inline, stacked multi-line, brace-on-own-line) — found the
+  `where T : class`-at-line-end phantom type; nested generic
+  return/parameter types; attribute lists with brace-bearing arguments.
+
 Usage: python tools/gen_truth_fuzz.py [n_units (default 2000)] [seed]
 Mismatches print the generated source plus the expected/got diff —
 promote each into a pinned test.
@@ -35,7 +50,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TYPES = ["int", "long", "String", "double", "Object", "boolean"]
-ANNOS = ["@Override", "@Deprecated", '@SuppressWarnings("all")']
+ANNOS = [
+    "@Override",
+    "@Deprecated",
+    '@SuppressWarnings("all")',
+    '@SuppressWarnings({"a", "b"})',
+    "@Anno2({ 1, 2, 3 })",
+    '@Bean(init = { "a{b}c" })',
+]
+# multi-line annotation with nested annotations inside a brace array —
+# the brace-heaviest shape javac accepts (r11 tranche)
+ML_ANNO = (
+    '{i}@Table(\n{i}    name = "t{{x}}",\n'
+    '{i}    indexes = {{ @Index(columnList = "a"), @Index(columnList = "b") }}\n'
+    "{i})"
+)
 DECOYS = [
     "class Fake {{ void nope() {{}} }}",
     "interface IFake {{ int bad(); }}",
@@ -70,18 +99,37 @@ class _Gen:
         v = self.fresh("tb")
         return f'{indent}String {v} = """\n{indent}    {d}\n{indent}    """;'
 
+    def anno_block(self, indent: str) -> str:
+        """0-2 stacked annotations (possibly multi-line with brace-array
+        arguments), rendered as a prefix ending at `indent` so the decl
+        head concatenates directly after it."""
+        r = self.rng
+        out = []
+        for _ in range(r.randrange(3)):
+            if r.random() < 0.2:
+                out.append(ML_ANNO.format(i=indent).lstrip())
+            else:
+                out.append(r.choice(ANNOS))
+        return "".join(a + "\n" + indent for a in out)
+
     def method(self, indent: str, owner: str, iface: bool) -> None:
         r = self.rng
         name = self.fresh("m")
         self.expected.add(("Method", name, owner))
-        anno = r.choice(ANNOS) + "\n" + indent if r.random() < 0.3 else ""
+        anno = self.anno_block(indent)
         gen = "<T extends Number> " if r.random() < 0.2 else ""
         ret = r.choice(TYPES + ["void", "T" if gen else "void"])
         nargs = r.randrange(3)
-        params = ", ".join(
-            f"{r.choice(TYPES)}{'...' if r.random() < 0.1 and i == nargs - 1 else ''} p{i}"
-            for i in range(nargs)
-        )
+        def _param(i: int) -> str:
+            panno = (
+                r.choice(["@Deprecated ", '@SuppressWarnings("p") '])
+                if r.random() < 0.15
+                else ""
+            )
+            var = "..." if r.random() < 0.1 and i == nargs - 1 else ""
+            return f"{panno}{r.choice(TYPES)}{var} p{i}"
+
+        params = ", ".join(_param(i) for i in range(nargs))
         throws = " throws Exception" if r.random() < 0.2 else ""
         if r.random() < 0.15 and nargs >= 2:
             # multi-line parameter list
@@ -139,11 +187,17 @@ class _Gen:
         label = {"class": "Class", "record": "Class",
                  "interface": "Interface", "enum": "Enum"}[kind]
         self.expected.add((label, name, parent))
-        anno = f"{indent}{r.choice(ANNOS)}\n" if r.random() < 0.2 else ""
+        anno = indent + self.anno_block(indent) if r.random() < 0.35 else indent
+        sealed = False
         mods = r.choice(["", "public ", "final ", "static " if parent else "public "])
-        if kind in ("class", "interface") and r.random() < 0.15:
-            mods += "sealed "
-        head = f"{anno}{indent}{mods}{kind} {name}"
+        if kind in ("class", "interface"):
+            roll = r.random()
+            if roll < 0.15:
+                mods += "sealed "
+                sealed = True
+            elif roll < 0.22:
+                mods += "non-sealed "
+        head = f"{anno}{mods}{kind} {name}"
         if kind in ("class", "interface") and r.random() < 0.2:
             head += "<T1, T2 extends Comparable<? super T1>>"
         if kind == "record":
@@ -154,6 +208,15 @@ class _Gen:
             head += " implements Cmp"
         elif kind == "interface" and r.random() < 0.3:
             head += " extends Sup"
+        if sealed:
+            # permits is the LAST header clause (JLS 8.1.6); exercise the
+            # single-line and the wrapped multi-line form
+            perms = [f"P{name}x{i}" for i in range(r.randrange(1, 4))]
+            if r.random() < 0.3 and len(perms) > 1:
+                sep = f",\n{indent}        "
+                head += f" permits\n{indent}        " + sep.join(perms)
+            else:
+                head += " permits " + ", ".join(perms)
         self.lines.append(head + " {")
         inner = indent + "    "
         if kind == "enum":
@@ -187,9 +250,18 @@ class _Gen:
             elif pick < 0.85 and kind != "interface":
                 self.lines.append(f"{inner}private {r.choice(TYPES)} f{self.n} = 0;")
                 self.n += 1
-            elif pick < 0.92 and kind == "class":
+            elif pick < 0.9 and kind == "class":
                 self.lines.append(
                     f"{inner}{'static ' if r.random() < 0.5 else ''}{{ init(); }}"
+                )
+            elif pick < 0.94 and kind != "interface":
+                # nested annotation type: tree-sitter
+                # annotation_type_declaration — NO entity, and its element
+                # "methods" (`String value() default ...`) emit nothing
+                mi = self.fresh("Meta")
+                self.lines.append(
+                    f"{inner}@interface {mi} {{ String value() default "
+                    f'"x"; int[] nums() default {{ 1, 2 }}; }}'
                 )
             elif depth < 2:
                 self.typedecl(inner, name, depth + 1)
@@ -198,6 +270,28 @@ class _Gen:
 
 
 CS_TYPES = ["int", "long", "string", "double", "object", "bool"]
+CS_GENERIC_TYPES = [
+    "List<int>",
+    "Dictionary<string, List<int>>",
+    "IReadOnlyList<Dictionary<int, string>>",
+    "Task<List<long>>",
+]
+CS_ATTRS = [
+    "[Serializable]",
+    '[Obsolete("braces { in } attr")]',
+    '[Custom(Names = new[] { "a", "b" })]',
+    "[MethodImpl(MethodImplOptions.AggressiveInlining)]",
+]
+CS_CONSTRAINTS = [
+    "class",
+    "struct",
+    "notnull",
+    "new()",
+    "class, new()",
+    "IComparable<{tp}>",
+    "IList<List<{tp}>>",
+    "IEquatable<{tp}>, new()",
+]
 CS_DECOYS = [
     "class Fake { void Nope() {} }",
     "interface IFake { int Bad(); }",
@@ -245,18 +339,28 @@ class _CsGen:
         r = self.rng
         name = self.fresh("M")
         self.expected.add(("Method", name, owner))
-        ret = r.choice(CS_TYPES + ["void"])
+        ret = r.choice(CS_TYPES + ["void"] + CS_GENERIC_TYPES)
         nargs = r.randrange(3)
         params = ", ".join(
             f"{r.choice(['', 'in ', 'ref ', 'out '])[:0 if i else None] or ''}"
-            f"{r.choice(CS_TYPES)} p{i}"
+            f"{r.choice(CS_TYPES + CS_GENERIC_TYPES)} p{i}"
             for i in range(nargs)
         )
         mods = "public " if not iface else ""
         if r.random() < 0.15:
             mods += "async "
             ret = "Task" if ret == "void" else f"Task<{ret}>"
-        head = f"{indent}{mods}{ret} {name}({params})"
+        attrs = ""
+        for _ in range(r.randrange(3) if r.random() < 0.3 else 0):
+            attrs += r.choice(CS_ATTRS) + "\n" + indent
+        gen = ""
+        where = ""
+        if not mods.startswith("public async") and r.random() < 0.2:
+            # generic method with a constraint clause between ) and body
+            gen = "<TM>"
+            c = r.choice(CS_CONSTRAINTS).format(tp="TM")
+            where = f" where TM : {c}"
+        head = f"{indent}{attrs}{mods}{ret} {name}{gen}({params}){where}"
         if iface and r.random() < 0.5:
             self.lines.append(head + ";")
             return
@@ -294,10 +398,21 @@ class _CsGen:
         label = {"class": "Class", "record": "Class", "struct": "Struct",
                  "interface": "Interface", "enum": "Enum"}[kind]
         self.expected.add((label, name, parent))
+        attrs = ""
+        for _ in range(r.randrange(3) if r.random() < 0.3 else 0):
+            attrs += r.choice(CS_ATTRS) + "\n" + indent
         mods = r.choice(["public ", "internal ", ""])
         if kind == "class" and r.random() < 0.15:
             mods += r.choice(["sealed ", "abstract ", "partial "])
-        head = f"{indent}{mods}{kind} {name}"
+        head = f"{indent}{attrs}{mods}{kind} {name}"
+        wheres: list[str] = []
+        if kind != "enum" and r.random() < 0.35:
+            tps = ["TA", "TB"][: r.randrange(1, 3)]
+            head += f"<{', '.join(tps)}>"
+            for tp in tps:
+                if r.random() < 0.7:
+                    c = r.choice(CS_CONSTRAINTS).format(tp=tp)
+                    wheres.append(f"where {tp} : {c}")
         if kind == "record" and r.random() < 0.6:
             head += f"({r.choice(CS_TYPES)} A, {r.choice(CS_TYPES)} B)"
         if kind in ("class", "record") and r.random() < 0.3:
@@ -307,7 +422,20 @@ class _CsGen:
         if kind == "enum":
             self.lines.append(head + " { One, Two }")
             return name
-        self.lines.append(head + " {")
+        if wheres:
+            # constraint clauses sit between the base list and the body;
+            # exercise inline, stacked-multi-line, and brace-on-own-line
+            # forms (the r11 tranche: `: class` / `: struct` at line end
+            # followed by `where`/`{` is the phantom-type territory)
+            style = r.randrange(3)
+            if style == 0:
+                head += " " + " ".join(wheres)
+            else:
+                head += "".join(f"\n{indent}    {w}" for w in wheres)
+                if style == 2:
+                    self.lines.append(head)
+                    head = indent
+        self.lines.append(head + ("{" if head == indent else " {"))
         inner = indent + "    "
         for _ in range(r.randrange(4)):
             pick = r.random()
