@@ -83,31 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # observed_driver_cap()*STALE_ROUNDS >= registry_size is asserted
 # mechanically in the gate suite).
 _PRIORITY = [
-    # expired, oldest green first (40)
-    "ann_ivf_exact", "token_budget_select", "emb_hard_negatives",
-    "curation_pipeline_v2", "dedup_semantic_clusters",
-    "contamination_bloom", "corpus_heavy_hitters", "graph_scc_bounded",
-    "dedup_containment", "shard_manifest", "quality_linear_score",
-    "w_distinct_users_hll", "shard_manifest_incremental",
-    "corpus_vocab_coverage", "graph_ffl_motifs", "mm_tga_features",
-    "graph_modularity", "ann_cosine_topk", "dedup_embedding_cosine",
-    "curation_pipeline", "gopher_quality_gates", "corpus_mixture_plan",
-    "bpe_fertility_by_lang", "text_bigram_logprob", "dedup_lsh_eval",
-    "curation_pipeline_v3", "pack_boundary_stats",
-    "dsir_importance_select", "corpus_quantile_summary", "chunk_documents",
-    "token_ngram_novelty", "corpus_profile", "emb_kcenter_select",
-    "events_user_ewma", "graph_assortativity", "emb_int8_calibration",
-    "graph_ppr", "chunk_dedup_stats", "corpus_lang_confusion",
-    "vocab_zipf_spectrum",
-    # changed: own symbol differs since green round (5)
-    "events_rfm", "events_lateness_profile", "quality_calibration_bins",
-    "shard_zonemap_prune", "shard_zorder_prune",
-    # dep-impact: reachable symbol changed (11)
-    "graph_clustering_coeff", "graph_triangle_count", "graph_ktruss",
-    "graph_jaccard_neighbors", "graph_eccentricity_bounds",
-    "graph_landmark_distances", "pack_sequences", "pack_sequences_sharded",
-    "sample_temperature", "quality_percentile", "s2_cfamily_analyzer",
-    # cleared / fresh, oldest green first (head = next round's spill) (178)
+    # expired, oldest green first (41)
     "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
     "emb_matryoshka_overlap", "corpus_source_overlap", "dedup_semdedup",
     "er_fuzzy_name_pairs", "text_kn_bigram_logprob",
@@ -124,6 +100,15 @@ _PRIORITY = [
     "events_scd2_dimension", "dq_referential_checks",
     "orders_benford_firstdigit", "graph_topological_layers",
     "events_concurrency_profile", "orders_purchase_intervals",
+    # dep-impact: reachable symbol changed (16)
+    "graph_landmark_distances", "pack_sequences", "pack_sequences_sharded",
+    "sample_temperature", "quality_percentile", "s2_cfamily_analyzer",
+    "graph_closeness_approx", "token_budget_select",
+    "curation_pipeline_v2", "curation_pipeline_v3", "events_rfm",
+    "events_lateness_profile", "quality_calibration_bins",
+    "shard_zonemap_prune", "shard_zorder_prune",
+    "graph_eccentricity_bounds",
+    # cleared / fresh, oldest green first (head = next round's spill) (177)
     "dq_k_anonymity", "graph_core_decomposition", "events_window_funnel",
     "events_slo_burn", "curation_gate_ablation", "dedup_cluster_sizes",
     "supply_risk_single_source", "shard_hash_ring",
@@ -165,15 +150,29 @@ _PRIORITY = [
     "dedup_minhash_clusters", "dedup_substring_spans", "ann_lsh_exact",
     "bpe_train_merges", "bpe_apply_token_counts", "emb_kmeans_assign",
     "mm_wav_features", "mm_avi_frames", "boilerplate_stats", "graph_hits",
-    "corpus_vocab_stats", "trending_events", "graph_closeness_approx",
-    "a7_usage_count", "ann_pq_exact", "bpe_pair_stats",
-    "corpus_distinct_hll", "corpus_hll_merge", "emb_power_iteration",
-    "emb_label_centroids", "emb_similarity_histogram",
-    "stream_event_dedup", "corpus_length_deciles", "funnel_conversion",
-    "events_rollup", "events_outliers", "corpus_length_regression",
-    "corpus_lang_pivot", "corpus_train_val_split", "skew_salted_join",
+    "corpus_vocab_stats", "trending_events", "a7_usage_count",
+    "ann_pq_exact", "bpe_pair_stats", "corpus_distinct_hll",
+    "corpus_hll_merge", "emb_power_iteration", "emb_label_centroids",
+    "emb_similarity_histogram", "stream_event_dedup",
+    "corpus_length_deciles", "funnel_conversion", "events_rollup",
+    "events_outliers", "corpus_length_regression", "corpus_lang_pivot",
+    "corpus_train_val_split", "skew_salted_join",
     "events_transition_matrix", "graph_edge_embeddedness", "graph_kcore",
-    "graph_wcc_bounded",
+    "graph_wcc_bounded", "ann_ivf_exact", "emb_hard_negatives",
+    "dedup_semantic_clusters", "contamination_bloom",
+    "corpus_heavy_hitters", "graph_scc_bounded", "dedup_containment",
+    "shard_manifest", "quality_linear_score", "w_distinct_users_hll",
+    "shard_manifest_incremental", "corpus_vocab_coverage",
+    "graph_ffl_motifs", "mm_tga_features", "graph_modularity",
+    "ann_cosine_topk", "dedup_embedding_cosine", "curation_pipeline",
+    "gopher_quality_gates", "corpus_mixture_plan", "bpe_fertility_by_lang",
+    "text_bigram_logprob", "dedup_lsh_eval", "pack_boundary_stats",
+    "dsir_importance_select", "corpus_quantile_summary", "chunk_documents",
+    "token_ngram_novelty", "corpus_profile", "emb_kcenter_select",
+    "events_user_ewma", "graph_assortativity", "emb_int8_calibration",
+    "graph_ppr", "chunk_dedup_stats", "corpus_lang_confusion",
+    "vocab_zipf_spectrum", "graph_clustering_coeff",
+    "graph_triangle_count", "graph_ktruss", "graph_jaccard_neighbors",
 ]
 
 
