@@ -124,12 +124,21 @@ def shuffle_exchanges(df) -> int:
 
 
 def sweep_exchanges(spark, sf_dir) -> dict[str, int]:
+    # Iterate in SORTED-NAME order, not the grading rotation: building a
+    # query's DataFrame can run guard jobs and materialize shared
+    # substrate memos, so a later query's static plan (broadcast vs
+    # sort-merge once in-memory stats exist) depends on what was built
+    # before it. The rotation is re-emitted every round; sorting pins
+    # the census's materialization order so a rotation regen can never
+    # move the counts (r11: the r10-rotation baseline tripped on 6
+    # substrate-sharing queries after the r11 rotation regen).
     import __spark_entry__ as entry
 
     out = {}
-    for name, fn in entry.queries().items():
+    qs = entry.queries()
+    for name in sorted(qs):
         try:
-            out[name] = shuffle_exchanges(fn(spark, sf_dir))
+            out[name] = shuffle_exchanges(qs[name](spark, sf_dir))
         except Exception:
             out[name] = -1
     return out
