@@ -164,7 +164,16 @@ def ktruss_edges(
                 spark, sup.select("a", "b").collect(), need, rounds - 1
             )
         for _ in range(rounds - 1):
-            cur = scratch_persist(sup.select("a", "b"))
+            # localCheckpoint, not persist: _edge_support references its
+            # input ~15x (deg twice, oriented four times, each embedding
+            # the input subtree), so chaining rounds on a merely-persisted
+            # DataFrame grows the LOGICAL plan ~15^rounds — the driver
+            # then spends minutes (and gigabytes) serializing SparkPlanInfo
+            # for every job event until it OOMs. Truncating lineage per
+            # round keeps the plan one round deep, same discipline as
+            # pagerank/scc/labelprop (guide: materialize intermediates to
+            # cut enormous plans).
+            cur = sup.select("a", "b").localCheckpoint(eager=True)
             sup = _edge_support(cur).filter(F.col("support") >= need)
     return (
         sup.select(
