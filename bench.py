@@ -70,18 +70,46 @@ def main() -> None:
     # lets the driver (and BENCH_NOTES) attribute a drift to load
     # instead of re-litigating the plan (VERDICT r6 item 8).
     loads: dict[str, list[float]] = {name: [] for name in qs}
+    # r11: hypervisor STEAL per sample — the confound load1m cannot see.
+    # This box chronically loses 1-2 vCPU-equivalents to the host
+    # (measured: aggregate steal 4-8% of 32 cores under load, and an
+    # identical single-threaded 2000×64 GEMM reading 0.017s vs 0.711s
+    # PROCESS-CPU time back to back — stolen cycles are charged to the
+    # running task, so a wave lands entirely on whichever single-task
+    # stage is unlucky). Recorded as percent of total cpu ticks over
+    # the sample window, -1 when /proc/stat is unreadable.
+    steals: dict[str, list[float]] = {name: [] for name in qs}
     failed: set[str] = set()
+
+    def _stat_ticks() -> tuple[int, int]:
+        with open("/proc/stat") as fh:
+            p = fh.readline().split()
+        vals = [int(x) for x in p[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
 
     def run_once(name, fn) -> None:
         try:
             la = round(os.getloadavg()[0], 1)
         except OSError:
             la = -1.0
+        try:
+            s0, tot0 = _stat_ticks()
+        except OSError:
+            s0, tot0 = -1, -1
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
             loads[name].append(la)
+            try:
+                s1, tot1 = _stat_ticks()
+                pct = (
+                    round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 2)
+                    if s0 >= 0 else -1.0
+                )
+            except OSError:
+                pct = -1.0
+            steals[name].append(pct)
         except Exception as ex:  # a failed query is a 0-score, not a crash
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
             failed.add(name)
@@ -166,6 +194,10 @@ def main() -> None:
                 ]
                 for name in qs
                 if samples[name]
+            },
+            # hypervisor steal %% per sample, same order as "samples"
+            "steal": {
+                name: steals[name] for name in qs if steals[name]
             },
         },
         separators=(",", ":"),

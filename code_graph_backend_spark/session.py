@@ -13,6 +13,53 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _limit_blas_threads() -> None:
+    """Pin BLAS to one thread per process — the canonical Spark setting.
+
+    Spark owns the parallelism: one task per core, so a 32-thread
+    OpenBLAS inside every Python worker oversubscribes the box 32×32
+    and, worse, OpenBLAS's spin-wait barrier pathologically slows SMALL
+    matmuls under virtualized cores (measured on this box, r11: a
+    2000×64 GEMM runs 0.38 s with the default thread pool vs 0.027 s
+    single-threaded — 14×; inside a worker beside 31 busy cores it
+    reads seconds). Env vars cover freshly-spawned workers (set before
+    the JVM forks so the daemon inherits them); the ctypes call covers
+    THIS process when numpy already loaded OpenBLAS before we ran.
+    """
+    import os
+
+    for var in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+    try:  # runtime set for an already-loaded OpenBLAS (driver process)
+        import ctypes
+        import glob
+
+        import numpy as np
+
+        pat = os.path.join(
+            os.path.dirname(os.path.dirname(np.__file__)),
+            "numpy.libs", "libopenblas*",
+        )
+        for lib in glob.glob(pat):
+            try:
+                dll = ctypes.CDLL(lib)
+                for sym in ("openblas_set_num_threads64_",
+                            "openblas_set_num_threads"):
+                    fn = getattr(dll, sym, None)
+                    if fn is not None:
+                        fn(1)
+                        break
+            except OSError:
+                continue
+    except Exception:
+        pass
+
+
 def get_spark(
     app_name: str = "code-graph-backend-spark",
     master: str | None = None,
@@ -25,6 +72,7 @@ def get_spark(
     2-3x total cores, or simply let AQE coalesce from a high initial value —
     we enable AQE for exactly that reason).
     """
+    _limit_blas_threads()  # before the JVM spawns, so workers inherit
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -62,6 +110,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for the few Pandas-UDF paths (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # One BLAS thread per Python worker (see _limit_blas_threads):
+        # executorEnv reaches workers even when a FOREIGN driver (the
+        # correctness harness) built the JVM without our process env.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # Broadcast joins for small dims (nation/region/id-lists).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Keep parquet scans prunable.
