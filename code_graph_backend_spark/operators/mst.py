@@ -127,7 +127,9 @@ def boruvka_msf(
             if local_comps is not None:
                 seed = local_comps
             elif comp is None:
-                seed = [i for (i,) in nodes.select("id").collect()]
+                from .undirected import ids_array
+
+                seed = ids_array(spark, nodes).tolist()  # Arrow memo, not row collect
             else:
                 seed = [c for (c,) in domain_df.collect()]
             pnt = {c: c for c in seed}

@@ -51,9 +51,14 @@ def pagerank(
         import numpy as np
         import pandas as pd
 
-        ids = np.sort(
-            np.array([r["id"] for r in nodes.select("id").collect()], dtype=np.int64)
-        )
+        from .undirected import ids_array
+
+        # sorted unique id array from the shared kernel-array memo: one
+        # Arrow collect per (session, nodes) instead of a row-pickled
+        # collect() per call (~0.5 s of pure driver deserialization per
+        # invocation at sf0.1, measured r11); ids are unique, so the
+        # memo's np.unique equals the previous np.sort exactly
+        ids = ids_array(spark, nodes)
         n = len(ids)
         if n == 0:
             return spark.createDataFrame([], "node long, rank double")
@@ -133,9 +138,9 @@ def personalized_pagerank(
         import numpy as np
         import pandas as pd
 
-        ids = np.sort(
-            np.array([r["id"] for r in nodes.select("id").collect()], dtype=np.int64)
-        )
+        from .undirected import ids_array
+
+        ids = ids_array(spark, nodes)  # shared memo (see pagerank above)
         n = len(ids)
         if n == 0:
             return spark.createDataFrame([], "node long, rank double")
