@@ -374,11 +374,29 @@ def corpus_source_overlap_q(spark, sf_dir):
 
     sh = scratch_persist(sh)
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("source").alias("src_a"), "h")
-    b = sh.select(F.col("source").alias("src_b"), "h")
+    # pair generation WITHOUT the shingle self-join (r11, guide §2.4):
+    # the old a⋈b on h shuffled the shingle table twice; sources are
+    # few (dozens), so one groupBy(h) collecting the SORTED source set
+    # and an in-array pair expansion emits the identical (src_a < src_b)
+    # multiset with a single |sh| exchange — and at 100 TB the hot
+    # boilerplate shingle fans out to |S|² pairs either way, but here it
+    # never materializes the m² join rows across the wire twice.
+    srcs = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
     common = (
-        a.join(b, "h")
-        .filter(F.col("src_a") < F.col("src_b"))
+        srcs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " b -> struct(a AS src_a, b AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("c"))
     )

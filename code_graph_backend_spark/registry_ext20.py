@@ -82,11 +82,30 @@ def orders_basket_rules_q(spark, sf_dir):
     op = scratch_persist(op)
     n = op.select(F.countDistinct("o").cast("long").alias("n_orders"))
     item = op.groupBy("p").agg(F.count("*").cast("long").alias("n_p"))
-    a = op.select("o", F.col("p").alias("p1"))
-    b = op.select("o", F.col("p").alias("p2"))
+    # basket self-join removed (r11, guide §2.4): a⋈b on o shuffled the
+    # (o, p) table twice and pushed |basket|² join rows through the wire;
+    # baskets are bounded (order lines), so one groupBy(o) collecting the
+    # sorted item array and an in-array combination expansion emits the
+    # IDENTICAL (p1 < p2) pair multiset with a single |op| exchange —
+    # the map-side expansion is the same |basket|² rows the join made,
+    # but they now feed the (p1, p2) partial agg without an extra
+    # shuffle hop. The min-support gate is unchanged.
+    baskets = (
+        op.groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
     pair = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " b -> struct(a AS p1, b AS p2))))"
+                )
+            ).alias("pp")
+        )
+        .select("pp.p1", "pp.p2")
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("long").alias("m"))
         .filter(F.col("m") >= _BR_MIN_SUP)

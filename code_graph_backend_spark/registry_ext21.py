@@ -299,13 +299,23 @@ def resource_allocation(cooc, topk: int, wedge_cap: int = _RA_WEDGE_CAP):
             "substrate (prune low-support/high-degree nodes first, as "
             "registry_ext5._cooc_edges does) — exact RA cannot drop wedges"
         )
-    s1 = sym.select(F.col("a").alias("z"), F.col("b").alias("x"))
+    # deg(z) is attached to the EDGE-sized wedge input (|sym| rows, on
+    # the same key z the self-join shuffles on anyway), not to the
+    # wedge-sized output: the old post-join `nonadj ⋈ deg on z` moved
+    # Σ deg² rows through a join for a value each wedge's z side already
+    # knew — at 100 TB that is a wedge-scale shuffle for nothing
+    # (guide §2.3/§3: shuffle fewer bytes, key joins to reuse the
+    # partitioning). Each wedge inherits exactly its z's d, so the
+    # grouped sums are row-identical.
+    s1 = sym.select(F.col("a").alias("z"), F.col("b").alias("x")).join(
+        deg.select(F.col("a").alias("z"), "d"), "z"
+    )
     s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("y"))
     cand = s1.join(s2, "z").filter(F.col("x") < F.col("y"))
     edges_xy = cooc.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     nonadj = cand.join(edges_xy, ["x", "y"], "left_anti")
     ra = (
-        nonadj.join(deg.select(F.col("a").alias("z"), "d"), "z")
+        nonadj
         .groupBy("x", "y")
         .agg(
             F.sum(F.expr("1000000000 div d")).cast("long").alias("ra_nano"),
