@@ -217,6 +217,10 @@ def _anf_static(spark, g):
     rcv = np.concatenate([ai, bi])
     snd = np.concatenate([bi, ai])
     e_order = np.argsort(snd, kind="stable")
+    # receiver-sorted twin of the same edge set, for the native kernel:
+    # ranges that do not split a receiver run write DISJOINT flat slices,
+    # so the scatter-max threads need no atomics (functions/native.py)
+    r_order = np.argsort(rcv, kind="stable")
     out = {
         "n": n,
         "seed_flat_idx": pos * _M + (seed_pk >> 6).astype(np.int64),
@@ -224,9 +228,58 @@ def _anf_static(spark, g):
         "p_node": p_node,
         "rcv_s": rcv[e_order],
         "snd_s": snd[e_order].astype(np.int64),
+        "rcv_r": np.ascontiguousarray(rcv[r_order]),
+        "snd_r": np.ascontiguousarray(snd[r_order]),
     }
     _arr_memo_put(key, (g.nodes, g.edges), out)
     return out
+
+
+def _anf_threads() -> int:
+    """Scatter threads for the native kernel, honoring the harness's
+    core budget (the driver re-runs the bench at a lower
+    $SPARK_GRAFT_CPUS to measure scaling — a kernel that always grabs
+    every physical core would fake that curve)."""
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        budget = int(cpus) if cpus else (os.cpu_count() or 1)
+    except ValueError:
+        budget = os.cpu_count() or 1
+    return max(1, min(16, budget))
+
+
+def _native_scatter(lib, flat, rcv_r, snd_r, fn, *state):
+    """Run one scatter-max hop through the C kernel, threaded over
+    receiver-disjoint edge ranges (ctypes releases the GIL, and the
+    update is an element-wise max, so any edge order and any thread
+    interleaving yield the identical flat state)."""
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .functions.native import receiver_cuts
+
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    fp = flat.ctypes.data_as(u16p)
+    rp = rcv_r.ctypes.data_as(i32p)
+    sp = snd_r.ctypes.data_as(i32p)
+    args = []
+    for a in state:
+        args.append(a.ctypes.data_as(i64p if a.dtype.itemsize == 8 else u16p))
+    cuts = receiver_cuts(rcv_r, _anf_threads())
+    spans = [(lo, hi) for lo, hi in zip(cuts, cuts[1:]) if hi > lo]
+    if len(spans) == 1:
+        fn(fp, rp, sp, *args, spans[0][0], spans[0][1])
+        return
+    with ThreadPoolExecutor(max_workers=len(spans)) as ex:
+        futs = [
+            ex.submit(fn, fp, rp, sp, *args, lo, hi) for lo, hi in spans
+        ]
+        for f in futs:
+            f.result()
 
 
 def _anf_local(spark, g, und):
@@ -248,11 +301,20 @@ def _anf_local(spark, g, und):
     state no later hop reads). No shuffle, no per-hop Arrow round-trip."""
     import numpy as np
 
+    from .functions.native import load_kernels
+
     st = _anf_static(spark, g)
     n = st["n"]
     flat = np.zeros(n * _M, dtype=np.uint16)  # row-major (node, bucket)
     flat[st["seed_flat_idx"]] = st["seed_pk"]
     rcv_s, snd_s = st["rcv_s"], st["snd_s"]
+    # optional C scatter-max (functions/native.py): the indexed max has
+    # no vectorized numpy form (ufunc.at is a serial loop), and it is
+    # ~90% of this kernel's time at sf0.1 — the C loop does the same
+    # update at ~5x single-thread and threads over receiver-disjoint
+    # ranges; numpy path kept verbatim as the compiler-less fallback,
+    # pinned bit-equal in tests/test_ext30_ops.py
+    lib = load_kernels()
 
     # s_int = Σ_i 2^(49 - m_i) = 256·2^49 + Σ_nonzero (2^(49-m) - 2^49),
     # exact int64 (max |Σ| < 2^57). The empty register's 2^49 is exactly
@@ -266,8 +328,9 @@ def _anf_local(spark, g, und):
 
     base_s = np.int64(_M) << 49
     rows = []
-    rcv_keys = rcv_s.astype(np.int32) * np.int32(_M)
-    aran = np.arange(_ANF_CHUNK + 512, dtype=np.int32)  # reused slices
+    if lib is None:  # numpy-path temporaries (~130 MB) — skip under C
+        rcv_keys = rcv_s.astype(np.int32) * np.int32(_M)
+        aran = np.arange(_ANF_CHUNK + 512, dtype=np.int32)  # reused slices
 
     # hop 0: estimate straight from the seed (one register per node)
     s_int = np.full(n, base_s, dtype=np.int64)
@@ -277,23 +340,43 @@ def _anf_local(spark, g, und):
     rows.append((0, n, _est_totals(s_int.tolist(), zv.tolist())))
 
     if _ANF_HOPS >= 1 and len(snd_s):
-        # hop 1, specialized: every sender holds exactly its seed pk —
-        # three gathers over |sym|, no CSR offsets, no chunking
-        pk1 = st["p_node"][snd_s]
-        keys1 = rcv_keys + (pk1 >> 6).astype(np.int32)
-        np.maximum.at(flat, keys1, pk1)
+        if lib is not None:
+            _native_scatter(
+                lib, flat, st["rcv_r"], st["snd_r"],
+                lib.anf_scatter_max1, st["p_node"],
+            )
+        else:
+            # hop 1, specialized: every sender holds exactly its seed pk
+            # — three gathers over |sym|, no CSR offsets, no chunking
+            pk1 = st["p_node"][snd_s]
+            keys1 = rcv_keys + (pk1 >> 6).astype(np.int32)
+            np.maximum.at(flat, keys1, pk1)
     if _ANF_HOPS >= 1:
         fidx = np.flatnonzero(flat)
         pks = flat[fidx]
         nz_node = fidx // _M
         s_int = np.full(n, base_s, dtype=np.int64)
-        np.add.at(s_int, nz_node, delta_pk[pks])
+        # flatnonzero is ascending, so per-node runs are contiguous:
+        # segmented add.reduceat replaces the serial np.add.at loop
+        # (identical exact int64 sums, vectorized inner loop)
+        if len(pks):
+            seg = np.flatnonzero(np.r_[True, nz_node[1:] != nz_node[:-1]])
+            s_int[nz_node[seg]] += np.add.reduceat(delta_pk[pks], seg)
         zv = np.full(n, _M, dtype=np.int64)
         zv -= np.bincount(nz_node, minlength=n)
         rows.append((1, n, _est_totals(s_int.tolist(), zv.tolist())))
 
     for hop in range(2, _ANF_HOPS + 1):
-        if len(snd_s):
+        if len(snd_s) and lib is not None:
+            # C kernel: one fused gather/scatter-max pass over the
+            # CSR-expanded triples — no index temporaries at all
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(nz_node, minlength=n), out=starts[1:])
+            _native_scatter(
+                lib, flat, st["rcv_r"], st["snd_r"],
+                lib.anf_scatter_max, starts, np.ascontiguousarray(pks),
+            )
+        elif len(snd_s):
             # expand the PRE-hop entries (fidx/pks carried from the
             # previous scan — one matrix scan per hop). All per-triple
             # streams are int32: under the caps n·256 < 2^31 and
@@ -335,7 +418,9 @@ def _anf_local(spark, g, und):
             pks = flat[fidx]
             nz_node = fidx // _M
             s_int = np.full(n, base_s, dtype=np.int64)
-            np.add.at(s_int, nz_node, delta_pk[pks])
+            if len(pks):
+                seg = np.flatnonzero(np.r_[True, nz_node[1:] != nz_node[:-1]])
+                s_int[nz_node[seg]] += np.add.reduceat(delta_pk[pks], seg)
             zv = np.full(n, _M, dtype=np.int64)
             zv -= np.bincount(nz_node, minlength=n)
         else:

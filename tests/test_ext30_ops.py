@@ -219,3 +219,41 @@ class TestAnfProperty:
                 ).collect()
             }
             assert got == want, f"trial {trial}: n={n} edges={sorted(pairs)}"
+
+
+class TestAnfNativeKernel:
+    """r11 optimization pin: the C scatter-max (functions/native.py) must
+    be bit-equal to the numpy fallback on a graph big enough to exercise
+    the CSR hop-2 expansion and the receiver-range threading (the
+    element-wise max is order-free, so any divergence is a real bug)."""
+
+    def test_native_and_numpy_paths_equal(self, spark, monkeypatch):
+        import random
+        from types import SimpleNamespace
+
+        import pytest
+
+        from code_graph_backend_spark.functions import native
+        from code_graph_backend_spark.operators.undirected import und_cached
+
+        if native.load_kernels() is None:
+            pytest.skip("no C compiler on this box")
+
+        rng = random.Random(20260817)
+        ids = rng.sample(range(1, 100_000), 400)
+        pairs = sorted({tuple(rng.sample(ids, 2)) for _ in range(2500)})
+        ndf = spark.createDataFrame([(i,) for i in ids], "id long")
+        edf = spark.createDataFrame(pairs, "src long, dst long")
+        g = SimpleNamespace(nodes=ndf, edges=edf)
+        und = und_cached(spark, g.edges)
+        got_native = {
+            r["hop"]: (r["n_nodes"], r["sum_ball_micro"])
+            for r in ext30._anf_local(spark, g, und).collect()
+        }
+        monkeypatch.setattr(native, "_TRIED", True)
+        monkeypatch.setattr(native, "_LIB", None)
+        got_numpy = {
+            r["hop"]: (r["n_nodes"], r["sum_ball_micro"])
+            for r in ext30._anf_local(spark, g, und).collect()
+        }
+        assert got_native == got_numpy and len(got_native) == 3
