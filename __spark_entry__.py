@@ -100,79 +100,78 @@ _PRIORITY = [
     "events_scd2_dimension", "dq_referential_checks",
     "orders_benford_firstdigit", "graph_topological_layers",
     "events_concurrency_profile", "orders_purchase_intervals",
-    # dep-impact: reachable symbol changed (16)
-    "graph_landmark_distances", "pack_sequences", "pack_sequences_sharded",
-    "sample_temperature", "quality_percentile", "s2_cfamily_analyzer",
-    "graph_closeness_approx", "token_budget_select",
-    "curation_pipeline_v2", "curation_pipeline_v3", "events_rfm",
-    "events_lateness_profile", "quality_calibration_bins",
-    "shard_zonemap_prune", "shard_zorder_prune",
-    "graph_eccentricity_bounds",
-    # cleared / fresh, oldest green first (head = next round's spill) (177)
-    "dq_k_anonymity", "graph_core_decomposition", "events_window_funnel",
-    "events_slo_burn", "curation_gate_ablation", "dedup_cluster_sizes",
-    "supply_risk_single_source", "shard_hash_ring",
-    "events_bot_regularity", "events_latency_percentiles",
-    "emb_silhouette_proxy", "graph_anf_sketch",
-    "graph_resource_allocation", "graph_rich_club", "corpus_ks_lengths",
-    "j13_symbol_resolution", "graph_stress_centrality",
-    "graph_random_walks", "walk_skipgram_pairs", "m1_merge_upsert",
+    # dep-impact: reachable symbol changed (71)
+    "graph_landmark_distances", "graph_core_decomposition",
+    "graph_anf_sketch", "graph_resource_allocation", "m1_merge_upsert",
     "m2_merge_edges", "m5_cascade_delete", "m6_edge_prop_update",
     "m8_switch_commit_derived", "j3_callees", "j8_chain_payloads",
-    "p5_null_predicate", "p6_dynamic_filters", "p7_fixed_projection",
+    "p5_null_predicate", "p6_dynamic_filters", "f2_f5_size_contains",
+    "f3_path_functions", "x3_auto_complete", "ann_lsh_topk",
+    "cypher_frontend_hop", "graph_sssp_bounded", "graph_degree_histogram",
+    "ann_ivf_indexed_topk", "a1_a2_graph_stats", "p2_point_lookup_by_id",
+    "p3_composite_key_lookup", "p4_in_list_lookup", "j1_out_neighbors",
+    "j2_in_neighbors", "j4_subgraph_sample", "j5_two_hop_pattern",
+    "j7_reachable_closure", "j10_unreachable_parts", "x2_prefix_table",
+    "m3_bulk_props", "m4_propagate_coverage", "j9_chain_successor",
+    "j11_edge_endpoint_validation", "pack_sequences",
+    "pack_sequences_sharded", "sample_temperature", "quality_percentile",
+    "s2_cfamily_analyzer", "graph_closeness_approx",
+    "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
+    "graph_pagerank", "graph_label_propagation", "ann_pq_topk",
+    "ann_ivf_topk", "ann_lsh_exact", "graph_hits", "a7_usage_count",
+    "emb_similarity_histogram", "graph_kcore", "graph_wcc_bounded",
+    "token_budget_select", "curation_pipeline_v2", "curation_pipeline_v3",
+    "events_rfm", "events_lateness_profile", "quality_calibration_bins",
+    "shard_zonemap_prune", "shard_zorder_prune",
+    "graph_eccentricity_bounds", "dedup_semantic_clusters",
+    "graph_modularity", "ann_cosine_topk", "dedup_embedding_cosine",
+    "graph_assortativity", "graph_ppr", "graph_ktruss",
+    # cleared / fresh, oldest green first (head = next round's spill) (122)
+    "dq_k_anonymity", "events_window_funnel", "events_slo_burn",
+    "curation_gate_ablation", "dedup_cluster_sizes",
+    "supply_risk_single_source", "shard_hash_ring",
+    "events_bot_regularity", "events_latency_percentiles",
+    "emb_silhouette_proxy", "graph_rich_club", "corpus_ks_lengths",
+    "j13_symbol_resolution", "graph_stress_centrality",
+    "graph_random_walks", "walk_skipgram_pairs", "p7_fixed_projection",
     "p8_ext_ignore_filters", "o1_commit_list_ordering", "o4_topk_orders",
-    "f2_f5_size_contains", "f3_path_functions", "f6_string_parsing",
-    "f7_json_props", "x3_auto_complete", "asof_prior_click",
+    "f6_string_parsing", "f7_json_props", "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
     "sample_stratified", "skew_salted_agg", "text_bpe_tokens",
     "text_char_entropy", "text_rolling_fingerprint", "text_tfidf_topterms",
     "value_histogram", "w_session_30m", "w_sliding_1h_30m",
     "w_tumbling_1h", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_lsh_topk", "mm_media_features",
-    "mm_frame_features", "text_token_stats", "text_quality_score",
-    "text_lang_pred", "text_fingerprint", "text_repetition",
-    "text_unigram_logprob", "cypher_frontend_hop", "pii_redact",
-    "stream_click_attribution", "cohort_retention", "graph_sssp_bounded",
-    "graph_degree_histogram", "ann_ivf_indexed_topk", "sample_weighted",
-    "flagship_region_revenue", "a1_a2_graph_stats",
-    "p2_point_lookup_by_id", "p3_composite_key_lookup",
-    "p4_in_list_lookup", "j1_out_neighbors", "j2_in_neighbors",
-    "j4_subgraph_sample", "j5_two_hop_pattern", "j7_reachable_closure",
-    "j10_unreachable_parts", "j12_range_join_coverage",
-    "a3_collect_parts_per_order", "f4_unwind_indexed",
-    "a4_ordered_collect", "x2_prefix_table", "m3_bulk_props",
-    "m4_propagate_coverage", "j9_chain_successor",
-    "j11_edge_endpoint_validation", "a5_a6_coverage_ratio",
-    "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
-    "dedup_exact", "graph_pagerank", "graph_label_propagation",
-    "ann_pq_topk", "ann_ivf_topk", "dedup_minhash_exact",
-    "dedup_simhash_exact", "dedup_minhash_incremental",
-    "dedup_minhash_clusters", "dedup_substring_spans", "ann_lsh_exact",
-    "bpe_train_merges", "bpe_apply_token_counts", "emb_kmeans_assign",
-    "mm_wav_features", "mm_avi_frames", "boilerplate_stats", "graph_hits",
-    "corpus_vocab_stats", "trending_events", "a7_usage_count",
+    "dedup_simhash", "mm_media_features", "mm_frame_features",
+    "text_token_stats", "text_quality_score", "text_lang_pred",
+    "text_fingerprint", "text_repetition", "text_unigram_logprob",
+    "pii_redact", "stream_click_attribution", "cohort_retention",
+    "sample_weighted", "flagship_region_revenue",
+    "j12_range_join_coverage", "a3_collect_parts_per_order",
+    "f4_unwind_indexed", "a4_ordered_collect", "a5_a6_coverage_ratio",
+    "dedup_exact", "dedup_minhash_exact", "dedup_simhash_exact",
+    "dedup_minhash_incremental", "dedup_minhash_clusters",
+    "dedup_substring_spans", "bpe_train_merges", "bpe_apply_token_counts",
+    "emb_kmeans_assign", "mm_wav_features", "mm_avi_frames",
+    "boilerplate_stats", "corpus_vocab_stats", "trending_events",
     "ann_pq_exact", "bpe_pair_stats", "corpus_distinct_hll",
     "corpus_hll_merge", "emb_power_iteration", "emb_label_centroids",
-    "emb_similarity_histogram", "stream_event_dedup",
-    "corpus_length_deciles", "funnel_conversion", "events_rollup",
-    "events_outliers", "corpus_length_regression", "corpus_lang_pivot",
-    "corpus_train_val_split", "skew_salted_join",
-    "events_transition_matrix", "graph_edge_embeddedness", "graph_kcore",
-    "graph_wcc_bounded", "ann_ivf_exact", "emb_hard_negatives",
-    "dedup_semantic_clusters", "contamination_bloom",
-    "corpus_heavy_hitters", "graph_scc_bounded", "dedup_containment",
-    "shard_manifest", "quality_linear_score", "w_distinct_users_hll",
+    "stream_event_dedup", "corpus_length_deciles", "funnel_conversion",
+    "events_rollup", "events_outliers", "corpus_length_regression",
+    "corpus_lang_pivot", "corpus_train_val_split", "skew_salted_join",
+    "events_transition_matrix", "graph_edge_embeddedness", "ann_ivf_exact",
+    "emb_hard_negatives", "contamination_bloom", "corpus_heavy_hitters",
+    "graph_scc_bounded", "dedup_containment", "shard_manifest",
+    "quality_linear_score", "w_distinct_users_hll",
     "shard_manifest_incremental", "corpus_vocab_coverage",
-    "graph_ffl_motifs", "mm_tga_features", "graph_modularity",
-    "ann_cosine_topk", "dedup_embedding_cosine", "curation_pipeline",
+    "graph_ffl_motifs", "mm_tga_features", "curation_pipeline",
     "gopher_quality_gates", "corpus_mixture_plan", "bpe_fertility_by_lang",
     "text_bigram_logprob", "dedup_lsh_eval", "pack_boundary_stats",
     "dsir_importance_select", "corpus_quantile_summary", "chunk_documents",
     "token_ngram_novelty", "corpus_profile", "emb_kcenter_select",
-    "events_user_ewma", "graph_assortativity", "emb_int8_calibration",
-    "graph_ppr", "chunk_dedup_stats", "corpus_lang_confusion",
-    "vocab_zipf_spectrum", "graph_clustering_coeff",
-    "graph_triangle_count", "graph_ktruss", "graph_jaccard_neighbors",
+    "events_user_ewma", "emb_int8_calibration", "chunk_dedup_stats",
+    "corpus_lang_confusion", "vocab_zipf_spectrum",
+    "graph_clustering_coeff", "graph_triangle_count",
+    "graph_jaccard_neighbors",
 ]
 
 
