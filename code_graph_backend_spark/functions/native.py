@@ -70,6 +70,35 @@ void anf_scatter_max1(
         if (*p < pk) *p = pk;
     }
 }
+
+/* Per-node exact harmonic denominator and zero-register count straight
+   from the packed flat state: s_int[v] = 256*2^49 + sum over nonzero
+   registers of (2^(49-m) - 2^49), zv[v] = #zero registers.  One read
+   pass over flat[lo*256, hi*256), no temporaries (the numpy form
+   gathers a (n,256) int64 matrix — ~381 MB at sf0.1).  Node ranges are
+   disjoint, so threads need no atomics. */
+void anf_estimate(
+    const uint16_t *flat,
+    int64_t *s_int,
+    int64_t *zv,
+    int64_t lo, int64_t hi)
+{
+    static const int64_t BASE = (int64_t)256 << 49;
+    for (int64_t v = lo; v < hi; v++) {
+        const uint16_t *row = flat + (v << 8);
+        int64_t s = BASE;
+        int64_t z = 256;
+        for (int b = 0; b < 256; b++) {
+            const int m = row[b] & 63;
+            if (m) {
+                s += ((int64_t)1 << (49 - m)) - ((int64_t)1 << 49);
+                z--;
+            }
+        }
+        s_int[v] = s;
+        zv[v] = z;
+    }
+}
 """
 
 _LIB = None
@@ -108,6 +137,8 @@ def load_kernels():
         lib.anf_scatter_max.restype = None
         lib.anf_scatter_max1.argtypes = [u16p, i32p, i32p, u16p, i64, i64]
         lib.anf_scatter_max1.restype = None
+        lib.anf_estimate.argtypes = [u16p, i64p, i64p, i64, i64]
+        lib.anf_estimate.restype = None
         _LIB = lib
     except Exception:
         _LIB = None

@@ -282,6 +282,35 @@ def _native_scatter(lib, flat, rcv_r, snd_r, fn, *state):
             f.result()
 
 
+def _native_estimate(lib, flat, s_int, zv):
+    """Final-hop (s_int, zv) through the C kernel, threaded over node
+    ranges (outputs are per-node slices — disjoint, no atomics)."""
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = len(s_int)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    fp = flat.ctypes.data_as(u16p)
+    sp = s_int.ctypes.data_as(i64p)
+    zp = zv.ctypes.data_as(i64p)
+    nt = _anf_threads()
+    spans = [
+        ((n * t) // nt, (n * (t + 1)) // nt) for t in range(nt)
+    ]
+    spans = [(lo, hi) for lo, hi in spans if hi > lo]
+    if len(spans) == 1:
+        lib.anf_estimate(fp, sp, zp, spans[0][0], spans[0][1])
+        return
+    with ThreadPoolExecutor(max_workers=len(spans)) as ex:
+        futs = [
+            ex.submit(lib.anf_estimate, fp, sp, zp, lo, hi)
+            for lo, hi in spans
+        ]
+        for f in futs:
+            f.result()
+
+
 def _anf_local(spark, g, und):
     """Driver-local kernel: flat (n·256,) uint16 PACKED register state
     (entry = (bucket << 6) | m, so element-wise max over equal-bucket
@@ -423,9 +452,18 @@ def _anf_local(spark, g, und):
                 s_int[nz_node[seg]] += np.add.reduceat(delta_pk[pks], seg)
             zv = np.full(n, _M, dtype=np.int64)
             zv -= np.bincount(nz_node, minlength=n)
-        else:
+        elif lib is not None:
             # final hop: no later expansion reads this state — estimate
-            # densely from flat (cheaper than extracting ~30M triples)
+            # straight from flat in C, one read pass, no temporaries
+            # (the numpy gather below materializes a (n, 256) int64
+            # matrix — ~381 MB at sf0.1, the kernel's last remaining
+            # multi-second phase on this round's memory-slow host)
+            s_int = np.empty(n, dtype=np.int64)
+            zv = np.empty(n, dtype=np.int64)
+            _native_estimate(lib, flat, s_int, zv)
+        else:
+            # final hop, numpy fallback: estimate densely from flat
+            # (cheaper than extracting ~30M triples)
             m2d = flat.reshape(n, _M)
             s_int = delta_pk[m2d].sum(axis=1, dtype=np.int64)
             s_int += base_s
