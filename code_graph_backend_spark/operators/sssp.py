@@ -43,14 +43,38 @@ def sssp_bounded(
         import numpy as np
         import pandas as pd
 
-        pdf = wedges.toPandas()
-        src = pdf["_s"].to_numpy(np.int64)
-        dst = pdf["_d"].to_numpy(np.int64)
-        wts = pdf["_w"].to_numpy(np.int64)
-        ids = np.unique(np.concatenate([src, dst, [source_id]]))
+        # the weighted edge arrays are a pure function of (edges, weight
+        # expr); stash them in the typed-edge memo's derived dict so a
+        # second sssp over the same graph skips the corpus-sized
+        # toPandas + index build (the und_arrays discipline). source_id
+        # is appended to the domain at lookup time, so one cache entry
+        # serves every source.
+        wkey = ("sssp_w", str(w))
+        hit = ent["derived"].get(wkey)
+        if hit is None:
+            pdf = wedges.toPandas()
+            src = pdf["_s"].to_numpy(np.int64)
+            dst = pdf["_d"].to_numpy(np.int64)
+            wts = pdf["_w"].to_numpy(np.int64)
+            base_ids = np.unique(np.concatenate([src, dst]))
+            hit = (
+                wts,
+                base_ids,
+                np.searchsorted(base_ids, src),
+                np.searchsorted(base_ids, dst),
+                src,
+                dst,
+            )
+            ent["derived"][wkey] = hit
+        wts, base_ids, si, di, src, dst = hit
+        pos = int(np.searchsorted(base_ids, source_id))
+        if pos < len(base_ids) and base_ids[pos] == source_id:
+            ids = base_ids
+        else:  # isolated source extends the domain — rebuild indices
+            ids = np.union1d(base_ids, [source_id])
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
         n = len(ids)
-        si = np.searchsorted(ids, src)
-        di = np.searchsorted(ids, dst)
         INF = np.iinfo(np.int64).max // 4
         dist = np.full(n, INF, dtype=np.int64)
         dist[np.searchsorted(ids, source_id)] = 0
