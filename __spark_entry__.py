@@ -100,36 +100,15 @@ _PRIORITY = [
     "events_scd2_dimension", "dq_referential_checks",
     "orders_benford_firstdigit", "graph_topological_layers",
     "events_concurrency_profile", "orders_purchase_intervals",
-    # dep-impact: reachable symbol changed (71)
+    # dep-impact: reachable symbol changed (193)
     "graph_landmark_distances", "graph_core_decomposition",
     "graph_anf_sketch", "graph_resource_allocation", "m1_merge_upsert",
     "m2_merge_edges", "m5_cascade_delete", "m6_edge_prop_update",
     "m8_switch_commit_derived", "j3_callees", "j8_chain_payloads",
     "p5_null_predicate", "p6_dynamic_filters", "f2_f5_size_contains",
-    "f3_path_functions", "x3_auto_complete", "ann_lsh_topk",
-    "cypher_frontend_hop", "graph_sssp_bounded", "graph_degree_histogram",
-    "ann_ivf_indexed_topk", "a1_a2_graph_stats", "p2_point_lookup_by_id",
-    "p3_composite_key_lookup", "p4_in_list_lookup", "j1_out_neighbors",
-    "j2_in_neighbors", "j4_subgraph_sample", "j5_two_hop_pattern",
-    "j7_reachable_closure", "j10_unreachable_parts", "x2_prefix_table",
-    "m3_bulk_props", "m4_propagate_coverage", "j9_chain_successor",
-    "j11_edge_endpoint_validation", "pack_sequences",
-    "pack_sequences_sharded", "sample_temperature", "quality_percentile",
-    "s2_cfamily_analyzer", "graph_closeness_approx",
-    "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
-    "graph_pagerank", "graph_label_propagation", "ann_pq_topk",
-    "ann_ivf_topk", "ann_lsh_exact", "graph_hits", "a7_usage_count",
-    "emb_similarity_histogram", "graph_kcore", "graph_wcc_bounded",
-    "token_budget_select", "curation_pipeline_v2", "curation_pipeline_v3",
-    "events_rfm", "events_lateness_profile", "quality_calibration_bins",
-    "shard_zonemap_prune", "shard_zorder_prune",
-    "graph_eccentricity_bounds", "dedup_semantic_clusters",
-    "graph_modularity", "ann_cosine_topk", "dedup_embedding_cosine",
-    "graph_assortativity", "graph_ppr", "graph_ktruss",
-    # cleared / fresh, oldest green first (head = next round's spill) (122)
-    "dq_k_anonymity", "events_window_funnel", "events_slo_burn",
-    "curation_gate_ablation", "dedup_cluster_sizes",
-    "supply_risk_single_source", "shard_hash_ring",
+    "f3_path_functions", "x3_auto_complete", "dq_k_anonymity",
+    "events_window_funnel", "events_slo_burn", "curation_gate_ablation",
+    "dedup_cluster_sizes", "supply_risk_single_source", "shard_hash_ring",
     "events_bot_regularity", "events_latency_percentiles",
     "emb_silhouette_proxy", "graph_rich_club", "corpus_ks_lengths",
     "j13_symbol_resolution", "graph_stress_centrality",
@@ -137,7 +116,14 @@ _PRIORITY = [
     "p8_ext_ignore_filters", "o1_commit_list_ordering", "o4_topk_orders",
     "f6_string_parsing", "f7_json_props", "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
-    "sample_stratified", "skew_salted_agg", "text_bpe_tokens",
+    "sample_stratified", "ann_lsh_topk", "cypher_frontend_hop",
+    "graph_sssp_bounded", "graph_degree_histogram", "ann_ivf_indexed_topk",
+    "a1_a2_graph_stats", "p2_point_lookup_by_id",
+    "p3_composite_key_lookup", "p4_in_list_lookup", "j1_out_neighbors",
+    "j2_in_neighbors", "j4_subgraph_sample", "j5_two_hop_pattern",
+    "j7_reachable_closure", "j10_unreachable_parts", "x2_prefix_table",
+    "m3_bulk_props", "m4_propagate_coverage", "j9_chain_successor",
+    "j11_edge_endpoint_validation", "skew_salted_agg", "text_bpe_tokens",
     "text_char_entropy", "text_rolling_fingerprint", "text_tfidf_topterms",
     "value_histogram", "w_session_30m", "w_sliding_1h_30m",
     "w_tumbling_1h", "dedup_ngram_jaccard", "dedup_minhash_lsh",
@@ -148,6 +134,12 @@ _PRIORITY = [
     "sample_weighted", "flagship_region_revenue",
     "j12_range_join_coverage", "a3_collect_parts_per_order",
     "f4_unwind_indexed", "a4_ordered_collect", "a5_a6_coverage_ratio",
+    "pack_sequences", "pack_sequences_sharded", "sample_temperature",
+    "quality_percentile", "s2_cfamily_analyzer", "graph_closeness_approx",
+    "p1_point_lookup_by_name", "j6_find_paths", "m7_oplog_replay",
+    "graph_pagerank", "graph_label_propagation", "ann_pq_topk",
+    "ann_ivf_topk", "ann_lsh_exact", "graph_hits", "a7_usage_count",
+    "emb_similarity_histogram", "graph_kcore", "graph_wcc_bounded",
     "dedup_exact", "dedup_minhash_exact", "dedup_simhash_exact",
     "dedup_minhash_incremental", "dedup_minhash_clusters",
     "dedup_substring_spans", "bpe_train_merges", "bpe_apply_token_counts",
@@ -158,7 +150,13 @@ _PRIORITY = [
     "stream_event_dedup", "corpus_length_deciles", "funnel_conversion",
     "events_rollup", "events_outliers", "corpus_length_regression",
     "corpus_lang_pivot", "corpus_train_val_split", "skew_salted_join",
-    "events_transition_matrix", "graph_edge_embeddedness", "ann_ivf_exact",
+    "events_transition_matrix", "graph_edge_embeddedness",
+    "token_budget_select", "curation_pipeline_v2", "curation_pipeline_v3",
+    "events_rfm", "events_lateness_profile", "quality_calibration_bins",
+    "shard_zonemap_prune", "shard_zorder_prune",
+    "graph_eccentricity_bounds", "dedup_semantic_clusters",
+    "graph_modularity", "ann_cosine_topk", "dedup_embedding_cosine",
+    "graph_assortativity", "graph_ppr", "graph_ktruss", "ann_ivf_exact",
     "emb_hard_negatives", "contamination_bloom", "corpus_heavy_hitters",
     "graph_scc_bounded", "dedup_containment", "shard_manifest",
     "quality_linear_score", "w_distinct_users_hll",
