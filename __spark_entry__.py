@@ -61,54 +61,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Grading-order rotation (the driver caps correctness rows per round;
 # observed cap = 50, read mechanically by tools/staleness.py
-# .observed_driver_cap()). Round 10 is GENERATED verbatim from
+# .observed_driver_cap()). GENERATED verbatim from
 # `python tools/staleness.py --emit-priority`: the emitter orders the
 # cleared/fresh remainder OLDEST GREEN FIRST, so positions
 # cap..cap+SPILL are automatically the rows whose evidence expires
-# next round. Gate: tests/test_rotation_staleness.py. At this regen
-# (post kernel edits — the r9 lesson: edit kernels EARLY, then
-# re-emit) the audit reads: hard debt 53 = 40 expired (the r5 block
-# aging out naturally at the r10 boundary) + 2 changed (events_rfm's
-# ntile de-globalization and events_lateness_profile's two-level
-# running max — both re-oracled green at sf0.01 after the edit) + 11
-# dep-impact (the 6 r9 spill rows, re-oracled green by the r9 judge,
-# plus 5 rows this round's two_level_prefix_sum/_max helper and
-# analyzer-guard edits touched, each re-oracled green after the
-# change) + 0 never. 53 vs the 50-row cap = a 3-row spill; the emitter
-# puts the newest-green dep-impact rows last so the spill lands on
-# rows already re-verified this round, and they head the r11 rotation
-# automatically. The registry stays FROZEN at 234: it is AT
-# evidence-budget capacity (234 / 5-round re-grade cycle ≈ 47 expiring
-# rows/round vs the 50-row cap — VERDICT r9 item 2; the invariant
-# observed_driver_cap()*STALE_ROUNDS >= registry_size is asserted
-# mechanically in the gate suite).
+# next round. Gate: tests/test_rotation_staleness.py. This regen
+# restores the gate after the r11 grading files landed (ea9947d):
+# committing CORRECTNESS_r11.json shifts the debt computation, so the
+# rotation must be re-emitted in the same tree (ADVICE r11 item 4 —
+# the r11 rows cleared 50 queries and the natural r7-expiry block
+# (34 rows) now heads the budget, followed by dep-impact debt. If this
+# round's kernel edits move debt, re-emit AFTER the edits (the
+# thrice-learned ordering) before the close. The registry stays FROZEN
+# at 234: it is AT evidence-budget capacity (234 / 5-round re-grade
+# cycle ≈ 47 expiring rows/round vs the 50-row cap — VERDICT r9
+# item 2; the invariant observed_driver_cap()*STALE_ROUNDS >=
+# registry_size is asserted mechanically in the gate suite).
 _PRIORITY = [
-    # expired, oldest green first (41)
-    "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
-    "emb_matryoshka_overlap", "corpus_source_overlap", "dedup_semdedup",
-    "er_fuzzy_name_pairs", "text_kn_bigram_logprob",
-    "events_trigram_patterns", "text_rake_keywords", "events_outliers_mad",
-    "events_changepoint", "mm_ppm_features", "corpus_cross_entropy_shift",
-    "emb_norm_outliers", "source_template_overlap", "events_stickiness",
-    "emb_centroid_drift", "graph_mst_boruvka", "events_autocorrelation",
-    "corpus_simpson_diversity", "graph_butterfly_count", "graph_luby_mis",
-    "corpus_pmi_collocations", "orders_basket_rules",
-    "events_gini_engagement", "events_seasonality", "events_markov_mixing",
-    "events_forecast_backtest", "orders_sla_division",
-    "orders_ltv_triangle", "trade_flow_matrix", "market_segment_share",
-    "customers_prospects", "part_hierarchy_rollup",
-    "events_scd2_dimension", "dq_referential_checks",
-    "orders_benford_firstdigit", "graph_topological_layers",
-    "events_concurrency_profile", "orders_purchase_intervals",
-    # dep-impact: reachable symbol changed (193)
-    "graph_landmark_distances", "graph_core_decomposition",
-    "graph_anf_sketch", "graph_resource_allocation", "m1_merge_upsert",
-    "m2_merge_edges", "m5_cascade_delete", "m6_edge_prop_update",
-    "m8_switch_commit_derived", "j3_callees", "j8_chain_payloads",
-    "p5_null_predicate", "p6_dynamic_filters", "f2_f5_size_contains",
-    "f3_path_functions", "x3_auto_complete", "dq_k_anonymity",
-    "events_window_funnel", "events_slo_burn", "curation_gate_ablation",
-    "dedup_cluster_sizes", "supply_risk_single_source", "shard_hash_ring",
+    # expired, oldest green first (34)
+    "j3_callees", "j8_chain_payloads", "p5_null_predicate",
+    "p6_dynamic_filters", "f2_f5_size_contains", "f3_path_functions",
+    "x3_auto_complete", "dq_k_anonymity", "events_window_funnel",
+    "events_slo_burn", "curation_gate_ablation", "dedup_cluster_sizes",
+    "supply_risk_single_source", "shard_hash_ring",
     "events_bot_regularity", "events_latency_percentiles",
     "emb_silhouette_proxy", "graph_rich_club", "corpus_ks_lengths",
     "j13_symbol_resolution", "graph_stress_centrality",
@@ -116,13 +91,15 @@ _PRIORITY = [
     "p8_ext_ignore_filters", "o1_commit_list_ordering", "o4_topk_orders",
     "f6_string_parsing", "f7_json_props", "asof_prior_click",
     "contamination_ngram", "corpus_stats", "dedup_clusters",
-    "sample_stratified", "ann_lsh_topk", "cypher_frontend_hop",
-    "graph_sssp_bounded", "graph_degree_histogram", "ann_ivf_indexed_topk",
-    "a1_a2_graph_stats", "p2_point_lookup_by_id",
-    "p3_composite_key_lookup", "p4_in_list_lookup", "j1_out_neighbors",
-    "j2_in_neighbors", "j4_subgraph_sample", "j5_two_hop_pattern",
-    "j7_reachable_closure", "j10_unreachable_parts", "x2_prefix_table",
-    "m3_bulk_props", "m4_propagate_coverage", "j9_chain_successor",
+    "sample_stratified",
+    # dep-impact: reachable symbol changed (150)
+    "ann_lsh_topk", "cypher_frontend_hop", "graph_sssp_bounded",
+    "graph_degree_histogram", "ann_ivf_indexed_topk", "a1_a2_graph_stats",
+    "p2_point_lookup_by_id", "p3_composite_key_lookup",
+    "p4_in_list_lookup", "j1_out_neighbors", "j2_in_neighbors",
+    "j4_subgraph_sample", "j5_two_hop_pattern", "j7_reachable_closure",
+    "j10_unreachable_parts", "x2_prefix_table", "m3_bulk_props",
+    "m4_propagate_coverage", "j9_chain_successor",
     "j11_edge_endpoint_validation", "skew_salted_agg", "text_bpe_tokens",
     "text_char_entropy", "text_rolling_fingerprint", "text_tfidf_topterms",
     "value_histogram", "w_session_30m", "w_sliding_1h_30m",
@@ -170,7 +147,29 @@ _PRIORITY = [
     "corpus_lang_confusion", "vocab_zipf_spectrum",
     "graph_clustering_coeff", "graph_triangle_count",
     "graph_jaccard_neighbors",
+    # cleared / fresh, oldest green first (head = next round's spill) (50)
+    "events_retention_cohorts", "text_readability", "corpus_ccnet_buckets",
+    "emb_matryoshka_overlap", "corpus_source_overlap", "dedup_semdedup",
+    "er_fuzzy_name_pairs", "text_kn_bigram_logprob",
+    "events_trigram_patterns", "text_rake_keywords", "events_outliers_mad",
+    "events_changepoint", "mm_ppm_features", "corpus_cross_entropy_shift",
+    "emb_norm_outliers", "source_template_overlap", "events_stickiness",
+    "emb_centroid_drift", "graph_mst_boruvka", "events_autocorrelation",
+    "corpus_simpson_diversity", "graph_butterfly_count", "graph_luby_mis",
+    "corpus_pmi_collocations", "orders_basket_rules",
+    "events_gini_engagement", "events_seasonality", "events_markov_mixing",
+    "events_forecast_backtest", "orders_sla_division",
+    "orders_ltv_triangle", "trade_flow_matrix", "market_segment_share",
+    "customers_prospects", "part_hierarchy_rollup",
+    "events_scd2_dimension", "dq_referential_checks",
+    "orders_benford_firstdigit", "graph_topological_layers",
+    "events_concurrency_profile", "orders_purchase_intervals",
+    "graph_landmark_distances", "graph_core_decomposition",
+    "graph_anf_sketch", "graph_resource_allocation", "m1_merge_upsert",
+    "m2_merge_edges", "m5_cascade_delete", "m6_edge_prop_update",
+    "m8_switch_commit_derived",
 ]
+
 
 
 
