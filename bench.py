@@ -217,6 +217,16 @@ def main() -> None:
         # builder's close run sets SPARK_GRAFT_BENCH_SNAPSHOT=bench_close_rN
         # to ALSO write an immutable per-round snapshot the driver never
         # touches.
+        #
+        # r12 (VERDICT r11 item 2): the driver benches at TWO core counts
+        # and the second run used to overwrite the first's per-query map,
+        # which is why PERF_r11 had per_query/scaling empty. Also write a
+        # cpu-keyed copy so each configuration's full summary survives;
+        # bench_summary.json stays as the latest-run alias and the stdout
+        # line is unchanged.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "default")
+        with open(os.path.join(here, f"bench_summary_c{cpus}.json"), "w") as fh:
+            fh.write(summary + "\n")
     except Exception:
         pass
     # The snapshot is the overwrite-proof close artifact BENCH_NOTES
